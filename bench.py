@@ -1,0 +1,81 @@
+"""Single-chip TPU benchmark for the flagship model.
+
+Measures the inference hot path (SURVEY.md §3.4): XLSR-300M front-end
+(24-layer transformer, conv stride 320) + AASIST graph back-end on 4 s /
+16 kHz clips (64000 samples), bfloat16 compute, eval mode — the same
+computation as the reference's ``produce_evaluation_file`` batch scoring
+(``/root/reference/main.py:199-221``).
+
+Prints ONE JSON line:
+  metric   p50 latency per 4 s clip (batched scoring, ms/clip)
+  baseline the 10 ms/clip real-time north-star target (BASELINE.md — the
+           reference repo publishes no throughput numbers);
+           vs_baseline = 10 / value, so >1 means beating the target.
+
+Extra detail (throughput, batch size, device) goes to stderr.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from rtdsd_tpu.models.registry import get_model
+    from rtdsd_tpu.utils.init_host import init_variables_host
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    spec = get_model("XLSR_AASIST", dtype=jnp.bfloat16)
+    model = spec.module
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    clips = np.random.default_rng(0).standard_normal(
+        (batch, 64000)).astype(np.float32) * 0.1
+    waves = jax.device_put(jnp.asarray(clips))
+
+    variables = init_variables_host(model, jnp.zeros((batch, 64000),
+                                                    jnp.float32))
+    variables = jax.device_put(variables)
+
+    @jax.jit
+    def score(waves):
+        return model.apply(variables, waves, train=False)[:, 1]
+
+    t0 = time.time()
+    score(waves).block_until_ready()
+    print(f"compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # warm-up then timed runs
+    for _ in range(2):
+        score(waves).block_until_ready()
+    times = []
+    iters = 10
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        score(waves).block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    times = np.asarray(times)
+    per_clip_ms = times / batch * 1000.0
+    p50 = float(np.percentile(per_clip_ms, 50))
+    thr = batch / float(np.median(times))
+    print(f"batch={batch} p50={p50:.3f} ms/clip  throughput={thr:.1f} utt/s "
+          f"(over {iters} iters, spread {per_clip_ms.min():.3f}-"
+          f"{per_clip_ms.max():.3f} ms)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "p50_latency_ms_per_4s_clip",
+        "value": round(p50, 4),
+        "unit": "ms",
+        "vs_baseline": round(10.0 / p50, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

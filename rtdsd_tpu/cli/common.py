@@ -1,0 +1,127 @@
+"""Shared CLI plumbing: model/state construction, checkpoint IO, scoring."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtdsd_tpu.config import ExpConfig, SysConfig
+from rtdsd_tpu.data.loader import DataLoader, device_prefetch
+from rtdsd_tpu.engine.checkpoint import (load_params_only, restore_checkpoint,
+                                         save_params_only)
+from rtdsd_tpu.engine.steps import (TrainState, create_train_state,
+                                    make_optimizer, make_score_step)
+from rtdsd_tpu.models.convert_fairseq import (convert_reference_model,
+                                              convert_w2v_checkpoint,
+                                              load_torch_state_dict)
+from rtdsd_tpu.models.registry import ModelSpec, get_model
+from rtdsd_tpu.models.wav2vec2 import select_layers
+from rtdsd_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                     replicated_sharding, shard_params)
+
+
+def resolve_dtype(exp_config: ExpConfig):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+            "float16": jnp.float16}[exp_config.compute_dtype]
+
+
+def build_model(sys_config: SysConfig, exp_config: ExpConfig,
+                name: Optional[str] = None, train: bool = True,
+                kwargs: Optional[dict] = None) -> ModelSpec:
+    return get_model(name or sys_config.model,
+                     dtype=resolve_dtype(exp_config), remat=train,
+                     **(kwargs if kwargs is not None else exp_config.kwargs))
+
+
+def init_state(spec: ModelSpec, sys_config: SysConfig, exp_config: ExpConfig,
+               rng: jax.Array, tx=None) -> TrainState:
+    """Init params; load the converted XLSR checkpoint into ssl_model if
+    configured (replacing fairseq load at /root/reference/models/fe.py:11)."""
+    sample = jnp.zeros((2, exp_config.train_duration_samples), jnp.float32)
+    tx = tx or make_optimizer(exp_config.lr, exp_config.weight_decay,
+                              spec.freeze_patterns)
+    state = create_train_state(spec.module, rng, sample, tx)
+
+    ssl_src = sys_config.ssl_pytree_path or sys_config.ssl_ckpt_path
+    if ssl_src:
+        ssl_params = load_ssl_params(ssl_src)
+        ssl_params = select_layers(ssl_params, spec.layer_indices)
+        params = dict(state.params)
+        params["ssl_model"] = jax.tree_util.tree_map(
+            lambda a, b: jnp.asarray(b, a.dtype), params["ssl_model"],
+            ssl_params)
+        state = state.replace(params=params, opt_state=tx.init(params))
+    return state
+
+
+def load_ssl_params(path: str):
+    """Converted-XLSR pytree (.msgpack dir) or raw fairseq .pt."""
+    if os.path.isdir(path):
+        import flax.serialization as ser
+
+        with open(os.path.join(path, "weights.msgpack"), "rb") as f:
+            return ser.msgpack_restore(f.read())["params"]
+    sd = load_torch_state_dict(path)
+    return convert_w2v_checkpoint(sd)
+
+
+def save_ssl_params(path: str, params) -> None:
+    import flax.serialization as ser
+
+    os.makedirs(path, exist_ok=True)
+    blob = ser.msgpack_serialize({"params": jax.tree_util.tree_map(
+        np.asarray, params)})
+    with open(os.path.join(path, "weights.msgpack"), "wb") as f:
+        f.write(blob)
+
+
+def load_checkpoint_for_eval(ckpt: str, spec: ModelSpec,
+                             state: TrainState) -> TrainState:
+    """Accepts: our full checkpoint dir, our weights-only dir, or a trained
+    *reference* torch .pt (converted on the fly — the reference-user bridge)."""
+    if os.path.isdir(ckpt):
+        if os.path.exists(os.path.join(ckpt, "state.msgpack")):
+            return restore_checkpoint(ckpt, state)
+        params, stats = load_params_only(ckpt, state.params, state.batch_stats)
+        return state.replace(params=params, batch_stats=stats or state.batch_stats)
+    sd = load_torch_state_dict(ckpt)
+    tree = convert_reference_model(sd, spec.name)
+    cast = lambda tgt, src: jax.tree_util.tree_map(
+        lambda a, b: jnp.asarray(b, a.dtype), tgt, src)
+    params = dict(state.params)
+    params["ssl_model"] = cast(params["ssl_model"], tree["params"]["ssl_model"])
+    params["backend"] = cast(params["backend"], tree["params"]["backend"])
+    stats = dict(state.batch_stats)
+    stats["backend"] = cast(stats["backend"], tree["batch_stats"]["backend"])
+    return state.replace(params=params, batch_stats=stats)
+
+
+def setup_mesh(exp_config: ExpConfig):
+    mesh = make_mesh(exp_config.mesh_data_axis, exp_config.mesh_model_axis)
+    return mesh, batch_sharding(mesh)
+
+
+def produce_evaluation_file(dataset, spec: ModelSpec, state: TrainState,
+                            save_path: str, batch_size: int,
+                            sharding=None, num_workers: int = 4) -> None:
+    """Write the ``"{utt_id} {score}"`` CM score file — byte format identical
+    to the reference (``/root/reference/main.py:199-221``); score = raw
+    bonafide logit, float via python repr like ``'{}'.format(score)``."""
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    score_step = make_score_step(spec.module)
+    loader = DataLoader(dataset, batch_size, shuffle=False, drop_last=False,
+                        num_workers=num_workers, pad_last=True)
+    names, scores = [], []
+    for batch in device_prefetch(loader, size=2, sharding=sharding):
+        s = np.asarray(score_step(state.params, state.batch_stats,
+                                  batch.waves)).ravel()
+        names.extend(batch.utt_ids[: batch.valid])
+        scores.extend(s[: batch.valid].tolist())
+    with open(save_path, "w") as fh:
+        for f, cm in zip(names, scores):
+            fh.write("{} {}\n".format(f, cm))
+    print(f"Wrote {len(names)} scores -> {save_path}")

@@ -1,0 +1,182 @@
+"""Train / evaluate / score CLI.
+
+Flag surface mirrors the reference entry script
+(``/root/reference/main.py:224-246``):
+
+    python -m rtdsd_tpu.cli.main --config cfg.yaml                 # train
+    python -m rtdsd_tpu.cli.main --config cfg.yaml --accuracy \\
+        --ckpt runs/best                                           # test acc
+    python -m rtdsd_tpu.cli.main --config cfg.yaml --is_eval --is_score \\
+        --ckpt runs/best --tracks LA19,LA21,DF21,InTheWild,ASVspoof5
+
+Differences from the reference launch model (SURVEY.md §2.2-2.3): no
+``mp.spawn``/NCCL — data parallelism is SPMD over a ``jax.sharding.Mesh``
+inside one process per host (multi-host via ``jax.distributed.initialize()``
+when JAX_COORDINATOR is set). ``--ckpt`` accepts this framework's checkpoint
+dirs *or* a trained reference ``.pt`` (converted on the fly).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+
+from rtdsd_tpu.config import load_yaml_config
+from rtdsd_tpu.cli.common import (build_model, init_state,
+                                  load_checkpoint_for_eval,
+                                  produce_evaluation_file, setup_mesh)
+from rtdsd_tpu.data.dataset import (ASVspoof2019LA, ASVspoof2019LA_eval,
+                                    ASVspoof2021DF_eval, ASVspoof2021LA_eval,
+                                    ASVSpoof5, FakeOrReal, InTheWild)
+from rtdsd_tpu.data.loader import DataLoader
+from rtdsd_tpu.engine.checkpoint import save_checkpoint
+from rtdsd_tpu.engine.steps import make_optimizer
+from rtdsd_tpu.engine.trainer import Trainer
+from rtdsd_tpu.utils.logging import Logger
+from rtdsd_tpu.utils.rng import set_seed
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="./configs/paper.yaml", type=str)
+    p.add_argument("--is_eval", action="store_true", default=False)
+    p.add_argument("--ckpt", default=None, type=str)
+    p.add_argument("--comment", default=None, type=str,
+                   help="suffix appended to score file names")
+    p.add_argument("--is_score", action="store_true", default=False)
+    p.add_argument("--accuracy", action="store_true", default=False)
+    p.add_argument("--score_all_folder_path", type=str, default=None)
+    p.add_argument("--tracks", type=str, default="DF21",
+                   help="comma list: LA19/LA21/DF21/InTheWild/ASVspoof5/FakeOrReal")
+    p.add_argument("--max_epoch", type=int, default=None,
+                   help="override ExpConfig.max_epoch")
+    return p.parse_args(argv)
+
+
+TRACK_DATASETS = {
+    "LA19": (ASVspoof2019LA_eval, "la19_score_save_path"),
+    "LA21": (ASVspoof2021LA_eval, "la21_score_save_path"),
+    "DF21": (ASVspoof2021DF_eval, "df21_score_save_path"),
+    "InTheWild": (InTheWild, "itw_score_save_path"),
+    "ASVspoof5": (ASVSpoof5, "asvspoof5_score_save_path"),
+    "FakeOrReal": (FakeOrReal, "itw_score_save_path"),
+}
+
+
+def run_train(args, sys_config, exp_config):
+    rng = set_seed(exp_config.random_seed)
+    logger = Logger(jax.process_index(), sys_config,
+                    metrics_path=os.path.join(sys_config.path_to_save_model,
+                                              "metrics.jsonl"))
+    mesh, bsharding = setup_mesh(exp_config)
+    logger.print(f"devices: {jax.device_count()} mesh: {dict(mesh.shape)}")
+
+    train_set = ASVspoof2019LA(sys_config, exp_config, is_train=True)
+    dev_set = ASVspoof2019LA(sys_config, exp_config, is_train=False)
+    logger.print(f"train: {len(train_set)} utts "
+                 f"({train_set.num_of_spoof} spoof / "
+                 f"{train_set.num_of_bonafide} bonafide), dev: {len(dev_set)}")
+    mk_loader = lambda ds, bs, sh: DataLoader(
+        ds, bs, shuffle=sh, drop_last=sh, seed=exp_config.random_seed,
+        num_workers=sys_config.num_workers,
+        process_index=jax.process_index(),
+        process_count=jax.process_count())
+    train_loader = mk_loader(train_set, exp_config.batch_size_train, True)
+    dev_loader = mk_loader(dev_set, exp_config.batch_size_test, False)
+
+    spec = build_model(sys_config, exp_config, train=True)
+    tx = make_optimizer(exp_config.lr, exp_config.weight_decay,
+                        spec.freeze_patterns)
+    state = init_state(spec, sys_config, exp_config, rng, tx)
+
+    if exp_config.restore_checkpoint:
+        state = load_checkpoint_for_eval(exp_config.restore_checkpoint, spec,
+                                         state)
+        logger.print(f"restored {exp_config.restore_checkpoint}")
+    elif args.ckpt:
+        state = load_checkpoint_for_eval(args.ckpt, spec, state)
+        logger.print(f"loaded ckpt {args.ckpt}")
+
+    trainer = Trainer(spec.module, state, tx, train_loader, dev_loader, None,
+                      logger, exp_config, sys_config, mesh, bsharding,
+                      rng_seed=exp_config.random_seed)
+
+    if args.accuracy:  # reference --accuracy mode (main.py:190-194)
+        loss, acc = trainer.test(is_dev=True)
+        logger.print(f"Test acc: {acc}, Test loss: {loss}")
+        return
+
+    # epoch loop with best-checkpoint logic (ref main.py:144-183: save when
+    # dev loss improves and dev acc > 95; full-state checkpoint here)
+    best_loss = float("inf")
+    max_epoch = args.max_epoch or exp_config.max_epoch
+    for epoch in range(max_epoch):
+        trainer.train()
+        dev_loss, dev_acc = trainer.test(is_dev=True)
+        logger.print(f"epoch {epoch}: dev loss {dev_loss:.5f} acc {dev_acc:.2f}")
+        if dev_loss < best_loss and dev_acc > 95 and jax.process_index() == 0:
+            best_loss = dev_loss
+            name = f"best_LA_epoch{epoch}_{dev_loss:.5f}_{dev_acc:.2f}"
+            path = os.path.join(sys_config.path_to_save_model, name)
+            save_checkpoint(path, trainer.state,
+                            meta={"epoch": epoch, "dev_loss": dev_loss,
+                                  "dev_acc": dev_acc})
+            logger.print(f"saved {path}")
+    logger.close()
+
+
+def run_score(args, sys_config, exp_config, tracks):
+    set_seed(exp_config.random_seed)
+    _mesh, bsharding = setup_mesh(exp_config)
+    spec = build_model(sys_config, exp_config, train=False)
+    state = init_state(spec, sys_config, exp_config, jax.random.key(0))
+    state = load_checkpoint_for_eval(args.ckpt, spec, state)
+    print(f"Loaded checkpoint from {args.ckpt}")
+
+    for track in tracks:
+        if track not in TRACK_DATASETS:
+            raise ValueError(f"Invalid track {track!r}")
+        ds_cls, path_attr = TRACK_DATASETS[track]
+        save_path = getattr(sys_config, path_attr)
+        if args.comment:
+            save_path = save_path.replace(".txt", f"_{args.comment}.txt")
+        if os.path.exists(save_path):  # idempotence (ref main.py:297,409)
+            print(f"{track}: score file exists, skip")
+            continue
+        print(f"Evaluating {track}")
+        dataset = ds_cls(sys_config, exp_config)
+        produce_evaluation_file(dataset, spec, state, save_path,
+                                exp_config.batch_size_test, bsharding,
+                                sys_config.num_workers)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    tracks = args.tracks.split(",")
+    sys_config, exp_config = load_yaml_config(args.config)
+
+    if args.is_eval:
+        sys_config.wandb_disabled = True
+        if args.score_all_folder_path:
+            # score every checkpoint in a folder (ref main.py:258-371)
+            for name in sorted(os.listdir(args.score_all_folder_path)):
+                ckpt = os.path.join(args.score_all_folder_path, name)
+                if not (os.path.isdir(ckpt) or ckpt.endswith(".pt")):
+                    continue
+                args.ckpt = ckpt
+                args.comment = (args.comment or "") + f"_{name}"
+                run_score(args, sys_config, exp_config, tracks)
+            return
+        if args.ckpt is None:
+            raise ValueError("ckpt is None")
+        if args.is_score:
+            run_score(args, sys_config, exp_config, tracks)
+            return
+    run_train(args, sys_config, exp_config)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

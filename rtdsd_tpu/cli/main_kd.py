@@ -1,0 +1,175 @@
+"""Knowledge-distillation CLI.
+
+Mirrors the reference KD entry (``/root/reference/main_kd.py:265-286``):
+
+    python -m rtdsd_tpu.cli.main_kd --config kd.yaml --ckpt teacher_ckpt
+    python -m rtdsd_tpu.cli.main_kd --config kd.yaml --is_eval \\
+        --eval student --ckpt student_ckpt --is_score --tracks DF21
+
+YAML schema is the reference's: ``SysConfig.model`` /
+``SysConfig.student_model``, ``ExpConfig.kwargs`` (teacher),
+``ExpConfig.kd_kwargs`` with ``student_kwargs``, ``copy_weights``,
+``custom_order_copy_weights``, ``ce_loss_weight``, ``kd_criterions``,
+``kd_criterion_weights``.
+
+Reference defects fixed (SURVEY.md §3.3): optimizer over the student's
+params; criteria built once; working imports.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+
+from rtdsd_tpu.config import load_yaml_config
+from rtdsd_tpu.cli.common import (build_model, init_state,
+                                  load_checkpoint_for_eval,
+                                  produce_evaluation_file, setup_mesh)
+from rtdsd_tpu.cli.main import TRACK_DATASETS
+from rtdsd_tpu.data.dataset import ASVspoof2019LA
+from rtdsd_tpu.data.loader import DataLoader
+from rtdsd_tpu.engine.checkpoint import save_checkpoint
+from rtdsd_tpu.engine.kd import KDTrainer, copy_teacher_weights
+from rtdsd_tpu.engine.steps import make_optimizer
+from rtdsd_tpu.models.wav2vec2 import resolve_layer_indices
+from rtdsd_tpu.utils.logging import Logger
+from rtdsd_tpu.utils.rng import set_seed
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="./configs/kd.yaml", type=str)
+    p.add_argument("--is_eval", action="store_true", default=False)
+    p.add_argument("--eval", default="student", choices=["teacher", "student"])
+    p.add_argument("--ckpt", default=None, type=str)
+    p.add_argument("--comment", default=None, type=str)
+    p.add_argument("--is_score", action="store_true", default=False)
+    p.add_argument("--accuracy", action="store_true", default=False)
+    p.add_argument("--tracks", type=str, default="DF21")
+    p.add_argument("--max_epoch", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def build_student(sys_config, exp_config):
+    kd = exp_config.kd_kwargs or {}
+    student_kwargs = kd.get("student_kwargs", {})
+    return build_model(sys_config, exp_config, name=sys_config.student_model,
+                       train=True, kwargs=student_kwargs), student_kwargs
+
+
+def run_kd_train(args, sys_config, exp_config):
+    rng = set_seed(exp_config.random_seed)
+    logger = Logger(jax.process_index(), sys_config,
+                    metrics_path=os.path.join(sys_config.path_to_save_model,
+                                              "kd_metrics.jsonl"))
+    mesh, bsharding = setup_mesh(exp_config)
+    kd = exp_config.kd_kwargs or {}
+
+    # teacher (frozen) + trained checkpoint
+    teacher_spec = build_model(sys_config, exp_config, train=False)
+    t_state = init_state(teacher_spec, sys_config, exp_config, rng)
+    if args.ckpt:
+        t_state = load_checkpoint_for_eval(args.ckpt, teacher_spec, t_state)
+        logger.print(f"Load Teacher checkpoint from {args.ckpt}")
+    teacher_variables = {"params": t_state.params}
+    if t_state.batch_stats:
+        teacher_variables["batch_stats"] = t_state.batch_stats
+
+    # student
+    student_spec, student_kwargs = build_student(sys_config, exp_config)
+    tx = make_optimizer(exp_config.lr, exp_config.weight_decay,
+                        student_spec.freeze_patterns)
+    s_state = init_state(student_spec, sys_config, exp_config,
+                         jax.random.fold_in(rng, 1), tx)
+
+    n_t = sum(x.size for x in jax.tree_util.tree_leaves(t_state.params))
+    n_s = sum(x.size for x in jax.tree_util.tree_leaves(s_state.params))
+    logger.print(f"Number of teacher model parameters: {n_t}")
+    logger.print(f"Number of student model parameters: {n_s}")
+
+    # teacher -> student weight copy (ref main_kd.py:127-141)
+    if kd.get("copy_weights", True):
+        order = student_kwargs.get("order", "first")
+        custom = kd.get("custom_order_copy_weights",
+                        student_kwargs.get("custom_order"))
+        indices = resolve_layer_indices(
+            24, int(student_kwargs.get("num_layers", 24)), order, custom)
+        params = copy_teacher_weights(s_state.params, t_state.params, indices)
+        s_state = s_state.replace(params=params, opt_state=tx.init(params))
+        logger.print("Copied teacher weights to student "
+                     f"(layer map {indices})")
+
+    train_set = ASVspoof2019LA(sys_config, exp_config, is_train=True)
+    dev_set = ASVspoof2019LA(sys_config, exp_config, is_train=False)
+    mk_loader = lambda ds, bs, sh: DataLoader(
+        ds, bs, shuffle=sh, drop_last=sh, seed=exp_config.random_seed,
+        num_workers=sys_config.num_workers,
+        process_index=jax.process_index(), process_count=jax.process_count())
+    trainer = KDTrainer(
+        teacher_spec.module, teacher_variables, student_spec.module, s_state,
+        tx, kd, mk_loader(train_set, exp_config.batch_size_train, True),
+        mk_loader(dev_set, exp_config.batch_size_test, False), None, logger,
+        exp_config, sys_config, bsharding, rng_seed=exp_config.random_seed)
+
+    if args.accuracy:
+        loss, acc = trainer.test(is_dev=True)
+        logger.print(f"Student dev acc: {acc}, loss: {loss}")
+        return
+
+    best_loss = float("inf")
+    for epoch in range(args.max_epoch or exp_config.max_epoch):
+        trainer.train()
+        dev_loss, dev_acc = trainer.test(is_dev=True)
+        logger.print(f"epoch {epoch}: student dev loss {dev_loss:.5f} "
+                     f"acc {dev_acc:.2f}")
+        if dev_loss < best_loss and jax.process_index() == 0:
+            best_loss = dev_loss
+            name = f"student_best_epoch{epoch}_{dev_loss:.5f}_{dev_acc:.2f}"
+            path = os.path.join(sys_config.path_to_save_model, name)
+            save_checkpoint(path, trainer.state,
+                            meta={"epoch": epoch, "dev_loss": dev_loss,
+                                  "dev_acc": dev_acc, "kind": "student"})
+            logger.print(f"saved {path}")
+    logger.close()
+
+
+def run_kd_score(args, sys_config, exp_config, tracks):
+    set_seed(exp_config.random_seed)
+    _mesh, bsharding = setup_mesh(exp_config)
+    if args.eval == "teacher":
+        spec = build_model(sys_config, exp_config, train=False)
+    else:
+        spec, _ = build_student(sys_config, exp_config)
+    state = init_state(spec, sys_config, exp_config, jax.random.key(0))
+    state = load_checkpoint_for_eval(args.ckpt, spec, state)
+    for track in tracks:
+        ds_cls, path_attr = TRACK_DATASETS[track]
+        save_path = getattr(sys_config, path_attr)
+        if args.comment:
+            save_path = save_path.replace(".txt", f"_{args.comment}.txt")
+        if os.path.exists(save_path):
+            print(f"{track}: score file exists, skip")
+            continue
+        produce_evaluation_file(ds_cls(sys_config, exp_config), spec, state,
+                                save_path, exp_config.batch_size_test,
+                                bsharding, sys_config.num_workers)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    sys_config, exp_config = load_yaml_config(args.config)
+    if args.is_eval:
+        sys_config.wandb_disabled = True
+        if args.ckpt is None:
+            raise ValueError("ckpt is None")
+        if args.is_score:
+            run_kd_score(args, sys_config, exp_config, args.tracks.split(","))
+            return
+    run_kd_train(args, sys_config, exp_config)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

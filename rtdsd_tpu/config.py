@@ -1,0 +1,157 @@
+"""Typed configuration mirroring the reference YAML schema.
+
+The reference (``/root/reference/config.py:1-89``) builds two dict-backed
+objects from ``yaml.safe_load``: ``SysConfig`` (paths / wandb / model names)
+and ``ExpConfig`` (hyper-parameters, plus free-form ``kwargs`` forwarded into
+model constructors and ``kd_kwargs`` describing the distillation topology).
+
+This rebuild keeps the exact same YAML keys and defaults so reference configs
+load unchanged, but uses dataclasses so typos fail loudly instead of silently
+defaulting, and replaces the reference's ``globals()`` model lookup
+(``/root/reference/main.py:76-84``) with an explicit registry
+(:mod:`rtdsd_tpu.models.registry`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+@dataclass
+class SysConfig:
+    """System-level config: dataset paths, logging, model names.
+
+    Field names and defaults match ``/root/reference/config.py:1-58``.
+    """
+
+    wandb_disabled: bool = False
+    wandb_project: str = "ASV-Spoofing"
+    wandb_name: str = "rtdsd-tpu"
+    wandb_entity: str = ""
+    wandb_key: str = ""
+    wandb_notes: str = ""
+
+    path_label_asv_spoof_2019_la_train: str = ""
+    path_label_asv_spoof_2019_la_dev: str = ""
+    path_asv_spoof_2019_la_train: str = ""
+    path_asv_spoof_2019_la_dev: str = ""
+    path_label_asv_spoof_2019_la_eval: str = ""
+    path_asv_spoof_2019_la_eval: str = ""
+
+    path_label_asv_spoof_2021_la_eval: str = ""
+    path_label_asv_spoof_2021_la_eval_spec: bool = False
+    path_asv_spoof_2021_la_eval: str = ""
+
+    path_asv_spoof_2021_df_eval: str = ""
+    path_label_asv_spoof_2021_df_eval: str = ""
+
+    num_workers: int = 4
+
+    path_to_save_model: str = "./runs"
+    df21_score_save_path: str = "./runs"
+    la21_score_save_path: str = "./runs"
+    la19_score_save_path: str = "./runs"
+
+    path_itw_eval: str = ""
+    path_label_itw_eval: str = ""
+    # The reference's InTheWild dataset reads these names
+    # (/root/reference/data/test_set.py:260,272) even though SysConfig never
+    # defines them; we support both spellings.
+    path_in_the_wild: str = ""
+    path_label_in_the_wild: str = ""
+
+    # ASVspoof5 / FakeOrReal tracks are dispatched by the reference CLI
+    # (/root/reference/main.py:336-368) but their dataset classes are missing
+    # from the snapshot; this rebuild implements them for real.
+    path_asvspoof5: str = ""
+    path_label_asvspoof5: str = ""
+    asvspoof5_score_save_path: str = "./runs"
+    itw_score_save_path: str = "./runs"
+
+    model: str = "XLSR_AASIST"
+    student_model: str = "XLSR_AASIST"
+
+    # TPU-specific additions (absent in reference): fairseq checkpoint for the
+    # XLSR front-end converter, and the converted pytree cache location.
+    ssl_ckpt_path: str = ""
+    ssl_pytree_path: str = ""
+
+    @classmethod
+    def from_dict(cls, cfg: Dict[str, Any]) -> "SysConfig":
+        return _from_dict(cls, cfg)
+
+
+@dataclass
+class ExpConfig:
+    """Experiment config. Names/defaults match ``/root/reference/config.py:60-89``."""
+
+    random_seed: int = 1024
+    is_pre_emphasis: bool = True
+    is_random_start: bool = False
+    include_non_speech: bool = True
+    include_residual: bool = True
+    pre_emphasis: float = 0.97
+    sample_rate: int = 16000
+    train_duration_sec: float = 4
+    test_duration_sec: float = 4
+    batch_size_train: int = 32
+    batch_size_test: int = 40
+    lr: float = 1e-6
+    weight_decay: float = 1e-4
+    max_epoch: int = 100
+    allow_data_augmentation: bool = False
+    data_augmentation: List[str] = field(default_factory=lambda: ["ACN"])
+    restore_checkpoint: Optional[str] = None
+    kwargs: Dict[str, Any] = field(default_factory=dict)
+    kd_kwargs: Dict[str, Any] = field(default_factory=dict)
+
+    # --- TPU-rebuild additions (all optional, defaults preserve reference
+    # behavior) ---
+    # Compute dtype for the model forward ("float32" for checkpoint-parity
+    # scoring, "bfloat16" for MXU throughput).
+    compute_dtype: str = "bfloat16"
+    # Number of batches prefetched to device.
+    prefetch: int = 2
+    # Mesh axis sizes; data axis -1 = all local devices.
+    mesh_data_axis: int = -1
+    mesh_model_axis: int = 1
+    # Whether the CE loss uses the reference's fixed class weights [0.9, 0.1]
+    # (/root/reference/main.py:105-107 — index 0 = spoof, 1 = bonafide).
+    ce_weight: List[float] = field(default_factory=lambda: [0.9, 0.1])
+
+    @property
+    def train_duration_samples(self) -> int:
+        return int(self.train_duration_sec * self.sample_rate)
+
+    @property
+    def test_duration_samples(self) -> int:
+        return int(self.test_duration_sec * self.sample_rate)
+
+    @classmethod
+    def from_dict(cls, cfg: Dict[str, Any]) -> "ExpConfig":
+        return _from_dict(cls, cfg)
+
+
+def _from_dict(cls, cfg: Dict[str, Any]):
+    """Build a dataclass from a dict, ignoring unknown keys loudly."""
+    names = {f.name for f in dataclasses.fields(cls)}
+    known = {k: v for k, v in cfg.items() if k in names}
+    unknown = sorted(set(cfg) - names)
+    if unknown:
+        import warnings
+
+        warnings.warn(f"{cls.__name__}: ignoring unknown config keys {unknown}")
+    return cls(**known)
+
+
+def load_yaml_config(path: str) -> tuple[SysConfig, ExpConfig]:
+    """Load a reference-format YAML (top-level SysConfig / ExpConfig blocks)."""
+    with open(path, "r") as f:
+        raw = yaml.safe_load(f) or {}
+    sys_cfg = SysConfig.from_dict(raw.get("SysConfig", {}) or {})
+    exp_cfg = ExpConfig.from_dict(raw.get("ExpConfig", {}) or {})
+    return sys_cfg, exp_cfg

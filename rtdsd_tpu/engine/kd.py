@@ -1,0 +1,393 @@
+"""Knowledge-distillation engine.
+
+Re-creates the *intent* of the reference KD path (``KDTrainer``,
+``/root/reference/trainer.py:141-302`` + teacher->student weight copy,
+``main_kd.py:127-141``) in functional JAX:
+
+- torch forward hooks -> flax ``capture_intermediates`` taps plus the
+  stacked per-layer hidden states sown by the XLSR encoder
+  (one forward, no hook bookkeeping, works under jit);
+- torchdistill's criterion registry -> :data:`KD_CRITERIA` (MSE / L1 /
+  cosine / KL-with-temperature on logits), same
+  ``kd_criterions`` + ``kd_criterion_weights`` + ``ce_loss_weight`` YAML
+  schema;
+- teacher eval-mode no-grad forward and student training forward fused into
+  ONE jitted SPMD step.
+
+Reference snapshot defects fixed by construction (SURVEY.md §3.3): the
+optimizer here is built over the *student* params (the reference optimized
+the teacher's, ``main_kd.py:163-164``, so its ``step()`` never trained the
+student); criteria are instantiated once, not per batch; the torchdistill
+imports the reference forgot cannot be forgotten because there are none.
+
+Module-path translation: tap paths accept both this framework's
+slash-paths (e.g. ``backend/LL``) and the reference's torch dotted paths
+(e.g. ``ssl_model.model.encoder.layers.5`` -> XLSR hidden state 5;
+``module.`` prefixes stripped).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rtdsd_tpu.engine.steps import (TrainState, weighted_cross_entropy,
+                                    _preprocess_train)
+from rtdsd_tpu.ops.rawboost import RawBoostArgs
+
+# --------------------------------------------------------------- criteria
+
+def _flat(x):
+    return x.reshape(x.shape[0], -1) if x.ndim > 2 else x
+
+
+def mse_loss(student, teacher, labels, **kw):
+    return jnp.mean((student - teacher) ** 2)
+
+
+def l1_loss(student, teacher, labels, **kw):
+    return jnp.mean(jnp.abs(student - teacher))
+
+
+def cosine_loss(student, teacher, labels, **kw):
+    s, t = _flat(student), _flat(teacher)
+    s = s / (jnp.linalg.norm(s, axis=-1, keepdims=True) + 1e-8)
+    t = t / (jnp.linalg.norm(t, axis=-1, keepdims=True) + 1e-8)
+    return jnp.mean(1.0 - jnp.sum(s * t, axis=-1))
+
+
+def kl_div_loss(student, teacher, labels, temperature: float = 1.0, **kw):
+    """KL(teacher || student) on logits with temperature, x T^2 (Hinton KD)."""
+    t = float(temperature)
+    log_p_s = jax.nn.log_softmax(student / t, axis=-1)
+    p_t = jax.nn.softmax(teacher / t, axis=-1)
+    return jnp.mean(jnp.sum(p_t * (jnp.log(p_t + 1e-12) - log_p_s),
+                            axis=-1)) * t * t
+
+
+KD_CRITERIA: Dict[str, Callable] = {
+    "MSELoss": mse_loss,
+    "mse": mse_loss,
+    "L1Loss": l1_loss,
+    "CosineLoss": cosine_loss,
+    "KDLoss": kl_div_loss,
+    "KLDivLoss": kl_div_loss,
+    "logits_kd": kl_div_loss,
+}
+
+
+def get_mid_level_loss(criterion_config: dict) -> Tuple[Callable, dict]:
+    """torchdistill-style lookup: {'key': name, 'kwargs': {...}} -> (fn, kwargs)."""
+    key = criterion_config.get("key", "MSELoss")
+    if key not in KD_CRITERIA:
+        raise ValueError(f"Unknown KD criterion {key!r}; have {sorted(KD_CRITERIA)}")
+    return KD_CRITERIA[key], dict(criterion_config.get("kwargs", {}))
+
+
+# ----------------------------------------------------------- tap resolution
+
+_LAYER_RE = re.compile(r"(?:^|\.)(?:model\.)?encoder\.layers\.(\d+)$")
+
+
+def normalize_tap_path(path: str) -> str:
+    """Translate a reference torch module path to a framework tap path."""
+    p = path.replace("module.", "")
+    m = _LAYER_RE.search(p)
+    if m:
+        return f"ssl_hidden:{m.group(1)}"
+    if p in ("ssl_model", "ssl_model.model", "ssl_model.model.encoder"):
+        return "ssl_model"
+    if p in ("", ".", "logits", "out_layer", "fc5", "output"):
+        return "logits"
+    # torch dots -> flax slashes; known head renames
+    p = p.replace("conformer", "backend/conformer")
+    return p.replace(".", "/")
+
+
+def resolve_tap(tap_path: str, logits, intermediates) -> jax.Array:
+    """Fetch an activation by tap path from captured intermediates."""
+    if tap_path == "logits":
+        return logits
+    if tap_path.startswith("ssl_hidden:"):
+        idx = int(tap_path.split(":")[1])
+        hs = _find_intermediate(intermediates, ("ssl_model", "hidden_states"))
+        return hs[idx]
+    if tap_path == "ssl_model":
+        out = _find_intermediate(intermediates, ("ssl_model", "__call__"))
+        return out[0] if isinstance(out, tuple) else out
+    parts = tuple(tap_path.split("/"))
+    out = _find_intermediate(intermediates, parts + ("__call__",))
+    if out is None:
+        out = _find_intermediate(intermediates, parts)
+    if out is None:
+        raise KeyError(f"tap path {tap_path!r} not found in intermediates")
+    if isinstance(out, tuple):
+        out = out[0]
+    # MyConformer returns (logits, embedding)
+    if isinstance(out, tuple):
+        out = out[0]
+    return out
+
+
+def _find_intermediate(tree, path: Tuple[str, ...]):
+    node = tree
+    for p in path:
+        if not isinstance(node, dict) or p not in node:
+            return None
+        node = node[p]
+    if isinstance(node, tuple) and len(node) == 1:
+        node = node[0]
+    return node
+
+
+def _capture_filter(needed: Sequence[str]):
+    """capture_intermediates filter: only the modules KD actually taps.
+
+    Never captures inside the scanned XLSR layer stack (per-layer states come
+    from the sown ``hidden_states`` instead, which scan handles natively).
+    """
+    prefixes = set()
+    for t in needed:
+        if t in ("logits",) or t.startswith("ssl_hidden:"):
+            continue
+        prefixes.add(tuple(t.split("/")))
+    prefixes.add(("ssl_model",))  # for the 'ssl_model' tap / sown hiddens
+
+    def fltr(mdl, method_name) -> bool:
+        if method_name != "__call__":
+            return False
+        path = tuple(mdl.path)
+        if "layers" in path:  # inside nn.scan — handled by sow
+            return False
+        return path in prefixes
+    return fltr
+
+
+# ------------------------------------------------------------- weight copy
+
+def copy_teacher_weights(student_params, teacher_params,
+                         layer_indices: Optional[Sequence[int]] = None):
+    """strict=False-style copy: every leaf whose path+shape matches is taken
+    from the teacher (ref main_kd.py:127-132); the XLSR layer stack is copied
+    per ``layer_indices`` (the custom-order mapping, main_kd.py:133-141)."""
+    flat_t = _flatten(teacher_params)
+
+    def visit(path, leaf):
+        ps = "/".join(path)
+        if "layers/layer" in ps and layer_indices is not None:
+            src = flat_t.get(ps)
+            if src is not None and src.shape[1:] == leaf.shape[1:]:
+                idx = jnp.asarray(list(layer_indices), jnp.int32)
+                return jnp.take(src, idx, axis=0)
+            return leaf
+        src = flat_t.get(ps)
+        if src is not None and src.shape == leaf.shape:
+            return src
+        return leaf
+
+    return _map_with_paths(visit, student_params)
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out["/".join(prefix + (k,))] = v
+    return out
+
+
+def _map_with_paths(fn, tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out[k] = _map_with_paths(fn, v, prefix + (k,))
+        else:
+            out[k] = fn(prefix + (k,), v)
+    return out
+
+
+# --------------------------------------------------------------- KD step
+
+def make_kd_train_step(teacher_model, student_model,
+                       tx: optax.GradientTransformation,
+                       kd_kwargs: dict, *,
+                       ce_weight: Optional[Sequence[float]] = (0.9, 0.1),
+                       preemph: Optional[float] = 0.97,
+                       rawboost_algo: Optional[int] = None,
+                       rawboost_args: RawBoostArgs = RawBoostArgs(),
+                       aug_list: Tuple[str, ...] = (),
+                       sample_rate: float = 16000.0) -> Callable:
+    """Build the fused KD step:
+    (student_state, teacher_vars, waves, labels, key) -> (state, metrics).
+
+    ``kd_kwargs`` follows the reference YAML schema
+    (/root/reference/trainer.py:213-275): ``ce_loss_weight``,
+    ``kd_criterions`` (list of {key, kwargs: {student_module_path,
+    teacher_module_path, ...}}), ``kd_criterion_weights``.
+    """
+    ce_loss_weight = float(kd_kwargs.get("ce_loss_weight", 1.0))
+    criterions = list(kd_kwargs.get("kd_criterions", []))
+    weights = [float(w) for w in kd_kwargs.get(
+        "kd_criterion_weights", [1.0] * len(criterions))]
+    crits = []
+    for cfg_i, w in zip(criterions, weights):
+        fn, kw = get_mid_level_loss(cfg_i)
+        sp = normalize_tap_path(kw.pop("student_module_path", "logits"))
+        tp = normalize_tap_path(kw.pop("teacher_module_path", "logits"))
+        key_name = (f"{cfg_i.get('key', 'MSELoss')}_{sp}_{tp}")
+        crits.append((fn, kw, sp, tp, w, key_name))
+
+    t_filter = _capture_filter([c[3] for c in crits])
+    s_filter = _capture_filter([c[2] for c in crits])
+
+    def step(state: TrainState, teacher_variables, waves, labels, key):
+        k_aug, k_drop = jax.random.split(jax.random.fold_in(key, state.step))
+        waves = _preprocess_train(
+            waves, k_aug, algo=rawboost_algo, rawboost_args=rawboost_args,
+            sample_rate=sample_rate, preemph=preemph, aug_list=aug_list)
+
+        # teacher: eval mode, no grad (ref trainer.py:249-252)
+        t_logits, t_mut = teacher_model.apply(
+            teacher_variables, waves, train=False,
+            capture_intermediates=t_filter, mutable=["intermediates"])
+        t_logits = jax.lax.stop_gradient(t_logits)
+        t_inter = jax.lax.stop_gradient(t_mut.get("intermediates", {}))
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            mutable = ["intermediates"]
+            if state.batch_stats:
+                mutable.append("batch_stats")
+            s_logits, s_mut = student_model.apply(
+                variables, waves, train=True, rngs={"dropout": k_drop},
+                capture_intermediates=s_filter, mutable=mutable)
+            s_inter = s_mut.get("intermediates", {})
+            ce = weighted_cross_entropy(s_logits, labels, ce_weight)
+            kd_terms = {}
+            kd_total = 0.0
+            for fn, kw, sp, tp, w, name in crits:
+                s_act = resolve_tap(sp, s_logits, s_inter)
+                t_act = resolve_tap(tp, t_logits, t_inter)
+                term = fn(s_act.astype(jnp.float32),
+                          t_act.astype(jnp.float32), labels, **kw) * w
+                kd_terms[name] = term
+                kd_total = kd_total + term
+            total = ce_loss_weight * ce + kd_total
+            new_stats = s_mut.get("batch_stats", state.batch_stats)
+            return total, (s_logits, new_stats, ce, kd_terms)
+
+        (total, (s_logits, new_stats, ce, kd_terms)), grads = \
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_stats, opt_state=new_opt)
+        metrics = {"total_loss": total, "ce_loss": ce,
+                   "num_correct": jnp.sum(jnp.argmax(s_logits, -1) == labels)}
+        metrics.update(kd_terms)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+class KDTrainer:
+    """Mirror of the reference ``KDTrainer`` API (trainer.py:141-302):
+    ``train()`` one epoch with per-criterion AverageMeter logging,
+    ``test(is_dev)`` evaluating the *student*."""
+
+    def __init__(self, teacher_model, teacher_variables, student_model,
+                 state: TrainState, tx, kd_kwargs: dict, train_loader,
+                 dev_loader, test_loader, logger, exp_config, sys_config,
+                 batch_sharding=None, rng_seed: int = 1024):
+        from rtdsd_tpu.engine.steps import (device_augs, make_eval_step,
+                                            pick_rawboost_algo)
+        from rtdsd_tpu.utils.metrics import AverageMeter
+
+        self._AverageMeter = AverageMeter
+        self.teacher_model = teacher_model
+        self.teacher_variables = teacher_variables
+        self.student_model = student_model
+        self.state = state
+        self.train_loader = train_loader
+        self.dev_loader = dev_loader
+        self.test_loader = test_loader
+        self.logger = logger
+        self.exp_config = exp_config
+        self.sys_config = sys_config
+        self.batch_sharding = batch_sharding
+        self.epoch = 0
+        self._key = jax.random.key(rng_seed)
+
+        preemph = exp_config.pre_emphasis if exp_config.is_pre_emphasis else None
+        da = list(exp_config.data_augmentation or [])
+        self.kd_step = make_kd_train_step(
+            teacher_model, student_model, tx, kd_kwargs,
+            ce_weight=tuple(exp_config.ce_weight), preemph=preemph,
+            rawboost_algo=pick_rawboost_algo(da),
+            aug_list=(device_augs(da)
+                      if exp_config.allow_data_augmentation else ()),
+            sample_rate=float(exp_config.sample_rate))
+        self.eval_step = make_eval_step(
+            student_model, ce_weight=tuple(exp_config.ce_weight),
+            preemph=preemph)
+
+    def train(self):
+        from rtdsd_tpu.data.loader import device_prefetch
+
+        self.train_loader.set_epoch(self.epoch)
+        meters: Dict[str, Any] = {}
+        num_batches = len(self.train_loader)
+        log_every = max(int(num_batches * 0.02), 1)
+        num_correct = num_total = iter_count = 0
+
+        for batch in device_prefetch(self.train_loader,
+                                     size=self.exp_config.prefetch,
+                                     sharding=self.batch_sharding):
+            self.state, metrics = self.kd_step(
+                self.state, self.teacher_variables, batch.waves,
+                batch.labels, self._key)
+            bsz = batch.waves.shape[0]
+            for k, v in metrics.items():
+                if k == "num_correct":
+                    continue
+                meters.setdefault(k, self._AverageMeter(k)).update(float(v), bsz)
+            num_correct += int(metrics["num_correct"])
+            num_total += bsz
+            iter_count += 1
+            if iter_count >= log_every:
+                self.logger.wandbLog({k: m.avg for k, m in meters.items()},
+                                     step=int(self.state.step))
+                iter_count = 0
+
+        acc = 100.0 * num_correct / max(num_total, 1)
+        self.logger.wandbLog({"Train Acc": acc})
+        self.epoch += 1
+        return meters.get("total_loss").avg if meters else 0.0
+
+    def test(self, is_dev: bool = False):
+        from rtdsd_tpu.data.loader import device_prefetch
+
+        loader = self.dev_loader if is_dev else self.test_loader
+        loss_sum = 0.0
+        num_correct = num_total = 0
+        for batch in device_prefetch(loader, size=self.exp_config.prefetch,
+                                     sharding=self.batch_sharding):
+            out = self.eval_step(self.state.params, self.state.batch_stats,
+                                 batch.waves, batch.labels)
+            v = batch.valid
+            loss_sum += float(out["loss"]) * v
+            num_correct += int(np.asarray(out["correct"])[:v].sum())
+            num_total += v
+        eval_loss = loss_sum / max(num_total, 1)
+        accuracy = 100.0 * num_correct / max(num_total, 1)
+        self.logger.wandbLog({"Dev Acc": accuracy, "Dev Loss": eval_loss})
+        return eval_loss, accuracy

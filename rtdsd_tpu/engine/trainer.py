@@ -1,0 +1,141 @@
+"""Epoch-level training engine.
+
+API mirrors the reference ``Trainer`` (``/root/reference/trainer.py:12-139``):
+``train()`` runs one epoch with 2%-interval loss logging and epoch train
+accuracy; ``test(is_dev)`` returns ``(eval_loss, accuracy)`` with the same
+weighted-loss accounting (``loss.item() * batch_size`` summed / total).
+Differences (all upgrades, documented in SURVEY.md §7):
+
+- the whole batch body is one jitted SPMD step (see
+  :mod:`rtdsd_tpu.engine.steps`);
+- the loader reshuffles per epoch (reference never called
+  ``sampler.set_epoch``);
+- EER is computed in-framework on dev scores each ``test()`` call (the
+  reference defined ``calculate_EER`` but never invoked it).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from rtdsd_tpu.config import ExpConfig, SysConfig
+from rtdsd_tpu.data.loader import DataLoader, device_prefetch
+from rtdsd_tpu.engine.steps import (TrainState, device_augs, make_eval_step,
+                                    make_train_step, pick_rawboost_algo)
+from rtdsd_tpu.utils.logging import Logger
+from rtdsd_tpu.utils.metrics import compute_eer
+
+
+class Trainer:
+    def __init__(self, model, state: TrainState, tx, train_loader: DataLoader,
+                 dev_loader: Optional[DataLoader],
+                 test_loader: Optional[DataLoader], logger: Logger,
+                 exp_config: ExpConfig, sys_config: SysConfig,
+                 mesh=None, batch_sharding=None, rng_seed: int = 1024):
+        self.model = model
+        self.state = state
+        self.train_loader = train_loader
+        self.dev_loader = dev_loader
+        self.test_loader = test_loader
+        self.logger = logger
+        self.exp_config = exp_config
+        self.sys_config = sys_config
+        self.mesh = mesh
+        self.batch_sharding = batch_sharding
+        self.epoch = 0
+        self._key = jax.random.key(rng_seed)
+
+        preemph = exp_config.pre_emphasis if exp_config.is_pre_emphasis else None
+        da = list(exp_config.data_augmentation or [])
+        algo = pick_rawboost_algo(da)
+        augs = device_augs(da) if exp_config.allow_data_augmentation else ()
+        self.train_step = make_train_step(
+            model, tx, ce_weight=tuple(exp_config.ce_weight), preemph=preemph,
+            rawboost_algo=algo, aug_list=augs,
+            sample_rate=float(exp_config.sample_rate))
+        self.eval_step = make_eval_step(
+            model, ce_weight=tuple(exp_config.ce_weight), preemph=preemph)
+
+    # ----------------------------------------------------------------- train
+
+    def train(self) -> float:
+        """One epoch. Returns mean train loss."""
+        self.train_loader.set_epoch(self.epoch)
+        num_batches = len(self.train_loader)
+        log_every = max(int(num_batches * 0.02), 1)  # ref trainer.py:74
+        loss_sum = 0.0
+        iter_count = 0
+        epoch_loss = 0.0
+        num_correct = 0
+        num_total = 0
+        t0 = time.time()
+
+        batches = device_prefetch(self.train_loader,
+                                  size=self.exp_config.prefetch,
+                                  sharding=self.batch_sharding)
+        for step_idx, batch in enumerate(batches):
+            self.state, metrics = self.train_step(
+                self.state, batch.waves, batch.labels, self._key)
+            loss = float(metrics["loss"])
+            loss_sum += loss
+            epoch_loss += loss
+            iter_count += 1
+            num_correct += int(metrics["num_correct"])
+            num_total += batch.waves.shape[0]
+            if iter_count >= log_every:
+                self.logger.wandbLog({"Loss": loss_sum / iter_count},
+                                     step=int(self.state.step))
+                loss_sum = 0.0
+                iter_count = 0
+
+        acc = 100.0 * num_correct / max(num_total, 1)
+        self.logger.wandbLog({"Train Acc": acc})
+        self.logger.print(
+            f"epoch {self.epoch}: train loss {epoch_loss / max(num_batches, 1):.5f} "
+            f"acc {acc:.2f}% ({time.time() - t0:.1f}s, "
+            f"{num_total / max(time.time() - t0, 1e-9):.1f} utt/s)")
+        self.epoch += 1
+        return epoch_loss / max(num_batches, 1)
+
+    # ------------------------------------------------------------------ eval
+
+    def test(self, is_dev: bool = False) -> Tuple[float, float]:
+        loader = self.dev_loader if is_dev else self.test_loader
+        return self._test(loader, mode="validation" if is_dev else "evaluation")
+
+    def _test(self, loader: DataLoader, mode: str = "evaluation"
+              ) -> Tuple[float, float]:
+        loss_sum = 0.0
+        num_correct = 0
+        num_total = 0
+        scores = []
+        labels = []
+        for batch in device_prefetch(loader, size=self.exp_config.prefetch,
+                                     sharding=self.batch_sharding):
+            out = self.eval_step(self.state.params, self.state.batch_stats,
+                                 batch.waves, batch.labels)
+            v = batch.valid
+            loss_sum += float(out["loss"]) * v
+            num_correct += int(np.asarray(out["correct"])[:v].sum())
+            num_total += v
+            scores.append(np.asarray(out["scores"])[:v])
+            labels.append(np.asarray(batch.labels)[:v])
+
+        eval_loss = loss_sum / max(num_total, 1)
+        accuracy = 100.0 * num_correct / max(num_total, 1)
+        logs = {"Dev Acc": accuracy, "Dev Loss": eval_loss}
+        scores = np.concatenate(scores) if scores else np.zeros(0)
+        labels = np.concatenate(labels) if labels else np.zeros(0)
+        if len(np.unique(labels)) == 2:
+            logs["Dev EER"] = self.calculate_EER(scores, labels)
+        self.logger.wandbLog(logs)
+        return eval_loss, accuracy
+
+    @staticmethod
+    def calculate_EER(scores, labels) -> float:
+        """Percent EER (ref trainer.py:134-139 semantics)."""
+        return compute_eer(scores, labels, pos_label=1)

@@ -1,0 +1,275 @@
+"""wav2vec2-XLSR (XLS-R 300M) front-end, pure JAX/flax.
+
+The reference loads the fairseq XLSR-300M checkpoint and calls
+``model(x, mask=False, features_only=True)['x']``
+(``/root/reference/models/fe.py:8-40``); the layer-pruned student variant
+slices ``encoder.layers`` to the first/last/middle-n or an arbitrary
+``custom_order`` (``/root/reference/models/fe.py:43-99``). This module is a
+from-scratch JAX implementation of the same computation:
+
+  raw wave (B, T) ->
+    7-layer strided conv feature extractor (stride 320, RF 400, layer-norm
+    mode) -> (B, frames, 512)
+  -> layer_norm -> Linear 512->1024
+  -> grouped-conv relative positional embedding (k=128, groups=16) + GELU
+  -> N pre-LN transformer layers (16 heads, ffn 4096)
+  -> final layer_norm                                    -> (B, frames, 1024)
+
+TPU-first choices:
+- Transformer layers are *stacked* (one pytree with a leading layer axis) and
+  executed with ``lax.scan`` — one compilation of one layer regardless of N,
+  and layer-subset/custom-order is a static ``jnp.take`` on the stacked
+  params (see :func:`select_layers`).
+- Attention uses ``jax.nn.dot_product_attention`` (fused on TPU).
+- Optional ``remat`` wraps each scanned layer in ``jax.checkpoint`` to trade
+  FLOPs for HBM during training.
+- All matmuls run in the configured ``dtype`` (bfloat16 by default for MXU);
+  params and layer-norm statistics stay float32.
+
+Checkpoint conversion from the fairseq ``.pt`` lives in
+:mod:`rtdsd_tpu.models.convert_fairseq`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax.core import FrozenDict
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class Wav2Vec2Config:
+    # conv feature extractor: (dim, kernel, stride) per layer
+    conv_layers: Tuple[Tuple[int, int, int], ...] = (
+        (512, 10, 5), (512, 3, 2), (512, 3, 2), (512, 3, 2), (512, 3, 2),
+        (512, 2, 2), (512, 2, 2))
+    extractor_mode: str = "layer_norm"   # XLSR uses per-block LayerNorm
+    conv_bias: bool = True
+    encoder_embed_dim: int = 1024
+    encoder_ffn_dim: int = 4096
+    encoder_heads: int = 16
+    encoder_layers: int = 24
+    conv_pos: int = 128
+    conv_pos_groups: int = 16
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    activation_dropout: float = 0.0
+    layer_norm_first: bool = True        # XLSR / large models are pre-LN
+
+    @property
+    def head_dim(self) -> int:
+        return self.encoder_embed_dim // self.encoder_heads
+
+    @property
+    def total_stride(self) -> int:
+        s = 1
+        for _, _, stride in self.conv_layers:
+            s *= stride
+        return s
+
+    def num_frames(self, num_samples: int) -> int:
+        t = num_samples
+        for _, k, s in self.conv_layers:
+            t = (t - k) // s + 1
+        return t
+
+
+def middle_indices(array_length: int, n: int) -> List[int]:
+    """Ref: /root/reference/models/fe.py:43-50."""
+    start = (array_length - n) // 2
+    return list(range(start, start + n))
+
+
+def resolve_layer_indices(total: int, num_layers: int, order: str = "first",
+                          custom_order: Optional[Sequence[int]] = None
+                          ) -> List[int]:
+    """Layer-subset selection semantics of My_XLSR_FE
+    (/root/reference/models/fe.py:69-90)."""
+    if num_layers < 1 or num_layers > total:
+        raise ValueError(f"num_layers must be in [1, {total}]")
+    if order == "first":
+        return list(range(num_layers))
+    if order == "last":
+        return list(range(total - num_layers, total))
+    if order == "middle":
+        return middle_indices(total, num_layers)
+    if custom_order is None:
+        raise ValueError("custom order requires custom_order list of ints")
+    if not isinstance(custom_order, (list, tuple)):
+        raise ValueError("custom_order must be a list of integers")
+    return list(custom_order)
+
+
+class ConvFeatureExtractor(nn.Module):
+    """Strided 1-D conv stack over the raw waveform (fairseq layer_norm mode)."""
+
+    cfg: Wav2Vec2Config
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: (B, T) -> (B, T, 1)
+        x = x[..., None].astype(self.dtype)
+        for i, (dim, k, stride) in enumerate(self.cfg.conv_layers):
+            x = nn.Conv(dim, (k,), strides=(stride,), padding="VALID",
+                        use_bias=self.cfg.conv_bias, name=f"conv_{i}",
+                        dtype=self.dtype)(x)
+            if self.cfg.extractor_mode == "layer_norm":
+                x = nn.LayerNorm(name=f"ln_{i}", dtype=self.dtype)(x)
+            elif self.cfg.extractor_mode == "group_norm" and i == 0:
+                # fairseq "default" mode: GroupNorm(512, 512) on layer 0 only
+                x = nn.GroupNorm(num_groups=dim, name="gn_0",
+                                 dtype=self.dtype)(x)
+            x = jax.nn.gelu(x, approximate=False)
+        return x  # (B, frames, 512)
+
+
+class PositionalConv(nn.Module):
+    """Grouped conv positional embedding (fairseq pos_conv + SamePad + GELU)."""
+
+    cfg: Wav2Vec2Config
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = self.cfg.conv_pos
+        pos = nn.Conv(self.cfg.encoder_embed_dim, (k,),
+                      padding=((k // 2, k // 2),),
+                      feature_group_count=self.cfg.conv_pos_groups,
+                      name="conv", dtype=self.dtype)(x)
+        if k % 2 == 0:
+            pos = pos[:, :-1, :]  # fairseq SamePad trims one step for even k
+        return jax.nn.gelu(pos, approximate=False)
+
+
+class TransformerLayer(nn.Module):
+    """Pre-LN transformer layer (fairseq TransformerSentenceEncoderLayer,
+    layer_norm_first=True)."""
+
+    cfg: Wav2Vec2Config
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        cfg = self.cfg
+        residual = x
+        h = nn.LayerNorm(name="self_attn_layer_norm", dtype=self.dtype)(x)
+
+        def proj(name):
+            return nn.Dense(cfg.encoder_embed_dim, name=name, dtype=self.dtype)
+
+        b, t, d = h.shape
+        shape_h = (b, t, cfg.encoder_heads, cfg.head_dim)
+        q = proj("q_proj")(h).reshape(shape_h)
+        kk = proj("k_proj")(h).reshape(shape_h)
+        v = proj("v_proj")(h).reshape(shape_h)
+        attn = jax.nn.dot_product_attention(q, kk, v)
+        attn = attn.reshape(b, t, d)
+        h = proj("out_proj")(attn)
+        h = nn.Dropout(cfg.dropout, deterministic=not train)(h)
+        x = residual + h
+
+        residual = x
+        h = nn.LayerNorm(name="final_layer_norm", dtype=self.dtype)(x)
+        h = nn.Dense(cfg.encoder_ffn_dim, name="fc1", dtype=self.dtype)(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dropout(cfg.activation_dropout, deterministic=not train)(h)
+        h = nn.Dense(cfg.encoder_embed_dim, name="fc2", dtype=self.dtype)(h)
+        h = nn.Dropout(cfg.dropout, deterministic=not train)(h)
+        return residual + h
+
+
+class _ScanLayer(nn.Module):
+    """Adapter giving TransformerLayer scan's (carry, x) -> (carry, y) shape.
+
+    The per-layer output is also emitted as ``y`` so KD taps get every
+    intermediate hidden state for free (stacked (L, B, T, D)). ``train`` is a
+    module attribute, not a call kwarg — nn.scan drops call kwargs."""
+
+    cfg: Wav2Vec2Config
+    dtype: Dtype = jnp.float32
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, carry, _):
+        y = TransformerLayer(self.cfg, self.dtype, name="layer")(
+            carry, train=self.train)
+        return y, y
+
+
+class Wav2Vec2Encoder(nn.Module):
+    """Full XLSR front-end: wave (B, T) -> features (B, frames, 1024)."""
+
+    cfg: Wav2Vec2Config = Wav2Vec2Config()
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, wave: jax.Array, *, train: bool = False,
+                 return_hiddens: bool = False):
+        cfg = self.cfg
+        feats = ConvFeatureExtractor(cfg, self.dtype,
+                                     name="feature_extractor")(wave)
+        # float32 for the normalization, as fairseq does
+        x = nn.LayerNorm(name="layer_norm_pre", dtype=self.dtype)(feats)
+        x = nn.Dense(cfg.encoder_embed_dim, name="post_extract_proj",
+                     dtype=self.dtype)(x)
+        x = nn.Dropout(cfg.dropout, deterministic=not train)(x)
+
+        x = x + PositionalConv(cfg, self.dtype, name="pos_conv")(x)
+        if not cfg.layer_norm_first:
+            x = nn.LayerNorm(name="encoder_layer_norm", dtype=self.dtype)(x)
+
+        layer_cls = _ScanLayer
+        if self.remat:
+            layer_cls = nn.remat(
+                _ScanLayer, static_argnums=(), prevent_cse=False)
+        stack = nn.scan(
+            layer_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=cfg.encoder_layers,
+            metadata_params={nn.PARTITION_NAME: "layers"},
+        )(cfg, self.dtype, train, name="layers")
+        x, hiddens = stack(x, None)
+
+        if cfg.layer_norm_first:
+            x = nn.LayerNorm(name="encoder_layer_norm", dtype=self.dtype)(x)
+
+        # Expose per-layer hidden states (stacked (L, B, T, D)) for KD taps —
+        # the functional replacement for the reference's forward hooks on
+        # encoder.layers[i] (/root/reference/trainer.py:176-195).
+        self.sow("intermediates", "hidden_states", hiddens)
+
+        if return_hiddens:
+            return x, hiddens
+        return x
+
+
+def select_layers(params, indices: Sequence[int]):
+    """Build a layer-subset front-end param tree from a full one.
+
+    Transformer layer params are stacked on axis 0 (see ``nn.scan`` above), so
+    first/last/middle/custom selection (ref semantics,
+    /root/reference/models/fe.py:69-90 and the KD custom-order weight copy,
+    /root/reference/main_kd.py:133-141) is a single static gather per leaf.
+    """
+    idx = jnp.asarray(list(indices), dtype=jnp.int32)
+
+    def maybe_take(path, leaf):
+        if any(getattr(p, "key", None) == "layers" for p in path):
+            return jnp.take(leaf, idx, axis=0)
+        return leaf
+
+    flat = jax.tree_util.tree_map_with_path(maybe_take, params)
+    return flat
+
+
+def subset_config(cfg: Wav2Vec2Config, num_layers: int) -> Wav2Vec2Config:
+    return dataclasses.replace(cfg, encoder_layers=num_layers)

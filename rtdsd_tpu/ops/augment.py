@@ -1,0 +1,170 @@
+"""Batched on-device waveform augmentation.
+
+Reference: ``WaveformAugmetation`` (``/root/reference/data/augmentation.py:16-89``)
+composes torch_audiomentations transforms — AddColoredNoise, HighPassFilter,
+LowPassFilter, Gain — each applied per-example with probability p, on GPU,
+inside the trainer (``/root/reference/trainer.py:55-56``). Default parameter
+grid reproduced from augmentation.py:18-33.
+
+This is a from-scratch JAX implementation with the same *distributional*
+capabilities, one PRNG stream per example, fully jittable:
+
+- colored noise: white noise spectrally shaped by
+  ``linspace(1, sqrt(nyquist))**(-f_decay)`` (the torch_audiomentations
+  shaping family; f_decay=0 -> white), scaled to a uniformly sampled SNR.
+- HPF/LPF: 127-tap windowed-sinc FIR at a uniformly sampled cutoff, applied
+  as a centered FFT convolution (capability-equivalent to the reference's
+  julius sinc filters).
+- gain: uniform dB scale.
+
+Bernoulli application masks use ``jnp.where`` so every example costs the same
+— no data-dependent control flow under jit.
+
+The reference's CPU-side ``process_audiomentations`` chain
+(augmentation.py:92-108: background noise from a private AudioSet dir,
+time-stretch, air absorption, time mask, MP3 compression) depends on local
+corpora/codecs; the in-framework equivalents here are gain / noise / filters /
+time-mask; codec-based augmentation is host-side and out of scope for the
+device pipeline (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_PARAMS: Dict[str, Dict[str, float]] = {
+    "sr": 16000,
+    "ACN": {"min_snr_in_db": 10, "max_snr_in_db": 40,
+            "min_f_decay": -2.0, "max_f_decay": 2.0, "p": 0.5},
+    "HPF": {"min_cutoff_freq": 20.0, "max_cutoff_freq": 2400.0, "p": 0.5},
+    "LPF": {"min_cutoff_freq": 150.0, "max_cutoff_freq": 7500.0, "p": 0.5},
+    "GAN": {"min_gain_in_db": -12.0, "max_gain_in_db": 12.0, "p": 0.75},
+    "TMK": {"min_band_part": 0.1, "max_band_part": 0.15, "p": 0.5},
+}
+
+_FIR_TAPS = 127
+
+
+def colored_noise(key: jax.Array, n: int, f_decay: jax.Array,
+                  sr: float) -> jax.Array:
+    """Unit-variance-ish colored noise, amplitude ∝ linspace(1,sqrt(nyq))^-decay."""
+    white = jax.random.normal(key, (n,))
+    spec = jnp.fft.rfft(white)
+    shape = jnp.linspace(1.0, (sr / 2.0) ** 0.5, spec.shape[0]) ** (-f_decay)
+    return jnp.fft.irfft(spec * shape, n)
+
+
+def _add_colored_noise(key, x, p, sr, min_snr, max_snr, min_fd, max_fd):
+    ka, ks, kf, kn = jax.random.split(key, 4)
+    apply = jax.random.bernoulli(ka, p)
+    snr = jax.random.uniform(ks, (), minval=min_snr, maxval=max_snr)
+    fd = jax.random.uniform(kf, (), minval=min_fd, maxval=max_fd)
+    noise = colored_noise(kn, x.shape[-1], fd, sr)
+    sig_rms = jnp.sqrt(jnp.mean(x ** 2) + 1e-12)
+    noise_rms = jnp.sqrt(jnp.mean(noise ** 2) + 1e-12)
+    noise = noise * (sig_rms / noise_rms) / (10.0 ** (snr / 20.0))
+    return jnp.where(apply, x + noise, x)
+
+
+def sinc_fir(cutoff_hz: jax.Array, sr: float, highpass: bool,
+             taps: int = _FIR_TAPS) -> jax.Array:
+    """Windowed-sinc (Hamming) low/high-pass FIR, odd tap count."""
+    m = jnp.arange(taps) - (taps - 1) / 2.0
+    wc = cutoff_hz / (sr / 2.0)  # units of Nyquist
+    h = wc * jnp.sinc(wc * m)
+    win = 0.54 - 0.46 * jnp.cos(2 * jnp.pi * jnp.arange(taps) / (taps - 1))
+    h = h * win
+    h = h / jnp.sum(h)  # unity DC gain
+    if highpass:
+        # spectral inversion: delta - lowpass
+        delta = jnp.zeros((taps,)).at[(taps - 1) // 2].set(1.0)
+        h = delta - h
+    return h
+
+
+def _fir_same(x: jax.Array, h: jax.Array) -> jax.Array:
+    """Centered 'same' FIR via FFT convolution."""
+    t, k = x.shape[-1], h.shape[-1]
+    nfft = 1 << (t + k - 1).bit_length()
+    y = jnp.fft.irfft(jnp.fft.rfft(x, nfft) * jnp.fft.rfft(h, nfft), nfft)
+    return jax.lax.dynamic_slice_in_dim(y, (k - 1) // 2, t, axis=-1)
+
+
+def _filter_aug(key, x, p, sr, min_cut, max_cut, highpass):
+    ka, kc = jax.random.split(key)
+    apply = jax.random.bernoulli(ka, p)
+    cutoff = jax.random.uniform(kc, (), minval=min_cut, maxval=max_cut)
+    y = _fir_same(x, sinc_fir(cutoff, sr, highpass))
+    return jnp.where(apply, y, x)
+
+
+def _gain(key, x, p, min_db, max_db):
+    ka, kg = jax.random.split(key)
+    apply = jax.random.bernoulli(ka, p)
+    g = jax.random.uniform(kg, (), minval=min_db, maxval=max_db)
+    return jnp.where(apply, x * 10.0 ** (g / 20.0), x)
+
+
+def _time_mask(key, x, p, min_part, max_part):
+    """audiomentations-style TimeMask with linear fade (augmentation.py:104)."""
+    ka, kl, ks = jax.random.split(key, 3)
+    t = x.shape[-1]
+    apply = jax.random.bernoulli(ka, p)
+    frac = jax.random.uniform(kl, (), minval=min_part, maxval=max_part)
+    length = (frac * t).astype(jnp.int32)
+    start = jax.random.randint(ks, (), 0, jnp.maximum(t - length, 1))
+    idx = jnp.arange(t)
+    inside = (idx >= start) & (idx < start + length)
+    # fade in/out over 10% of the mask at each edge
+    fade = jnp.maximum(length // 10, 1)
+    ramp_in = jnp.clip((idx - start) / fade, 0.0, 1.0)
+    ramp_out = jnp.clip((start + length - 1 - idx) / fade, 0.0, 1.0)
+    depth = jnp.minimum(ramp_in, ramp_out)
+    gain = jnp.where(inside, 1.0 - depth, 1.0)
+    return jnp.where(apply, x * gain, x)
+
+
+def _augment_single(key: jax.Array, x: jax.Array, aug_list: Tuple[str, ...],
+                    sr: float) -> jax.Array:
+    p = DEFAULT_PARAMS
+    keys = jax.random.split(key, 5)
+    if "ACN" in aug_list:
+        a = p["ACN"]
+        x = _add_colored_noise(keys[0], x, a["p"], sr, a["min_snr_in_db"],
+                               a["max_snr_in_db"], a["min_f_decay"],
+                               a["max_f_decay"])
+    if "HPF" in aug_list:
+        a = p["HPF"]
+        x = _filter_aug(keys[1], x, a["p"], sr, a["min_cutoff_freq"],
+                        a["max_cutoff_freq"], highpass=True)
+    if "LPF" in aug_list:
+        a = p["LPF"]
+        x = _filter_aug(keys[2], x, a["p"], sr, a["min_cutoff_freq"],
+                        a["max_cutoff_freq"], highpass=False)
+    if "GAN" in aug_list:
+        a = p["GAN"]
+        x = _gain(keys[3], x, a["p"], a["min_gain_in_db"], a["max_gain_in_db"])
+    if "TMK" in aug_list:
+        a = p["TMK"]
+        x = _time_mask(keys[4], x, a["p"], a["min_band_part"],
+                       a["max_band_part"])
+    return x
+
+
+@partial(jax.jit, static_argnames=("aug_list", "sr"))
+def waveform_augment(key: jax.Array, batch: jax.Array,
+                     aug_list: Tuple[str, ...] = ("ACN", "HPF", "LPF", "GAN"),
+                     sr: float = 16000.0) -> jax.Array:
+    """Apply the configured augmentation chain to a batch (B, T) on device.
+
+    ``aug_list`` uses the reference's codes (augmentation.py:17):
+    ACN / HPF / LPF / GAN (+ TMK time-mask extension). RawBoost codes in the
+    list are handled separately by :mod:`rtdsd_tpu.ops.rawboost`.
+    """
+    keys = jax.random.split(key, batch.shape[0])
+    return jax.vmap(lambda k, x: _augment_single(k, x, tuple(aug_list), sr))(
+        keys, batch)

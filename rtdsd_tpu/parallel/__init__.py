@@ -1,0 +1,3 @@
+from rtdsd_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding, make_mesh, replicated_sharding, shard_params,
+    sharding_for_tree)

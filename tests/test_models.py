@@ -1,0 +1,189 @@
+"""Shape / numerics / mode tests for the model zoo."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtdsd_tpu.models.aasist import (AASISTBackend, GraphAttentionLayer,
+                                     GraphPool, HtrgGraphAttentionLayer,
+                                     ResidualBlock)
+from rtdsd_tpu.models.conformer import ConformerBackend, MyConformer
+from rtdsd_tpu.models.wav2vec2 import (Wav2Vec2Config, Wav2Vec2Encoder,
+                                       middle_indices, resolve_layer_indices,
+                                       select_layers)
+
+TINY_W2V = Wav2Vec2Config(
+    conv_layers=((64, 10, 5), (64, 3, 2), (64, 2, 2)),
+    encoder_embed_dim=64, encoder_ffn_dim=128, encoder_heads=4,
+    encoder_layers=3, conv_pos=16, conv_pos_groups=4)
+
+
+def test_w2v_num_frames():
+    cfg = Wav2Vec2Config()
+    # 4 s @ 16 kHz -> 199 frames (SURVEY.md §3.4); 1 s -> 49
+    assert cfg.num_frames(64000) == 199
+    assert cfg.num_frames(16000) == 49
+    assert cfg.total_stride == 320
+
+
+def test_layer_indices():
+    assert resolve_layer_indices(24, 6, "first") == [0, 1, 2, 3, 4, 5]
+    assert resolve_layer_indices(24, 6, "last") == [18, 19, 20, 21, 22, 23]
+    assert resolve_layer_indices(24, 6, "middle") == middle_indices(24, 6)
+    assert middle_indices(24, 6) == [9, 10, 11, 12, 13, 14]
+    assert resolve_layer_indices(24, 3, "custom", [0, 11, 23]) == [0, 11, 23]
+    with pytest.raises(ValueError):
+        resolve_layer_indices(24, 0, "first")
+    with pytest.raises(ValueError):
+        resolve_layer_indices(24, 3, "custom", None)
+
+
+def test_w2v_encoder_shapes():
+    enc = Wav2Vec2Encoder(TINY_W2V)
+    wave = jnp.zeros((2, 3200))
+    variables = enc.init(jax.random.key(0), wave)
+    out = enc.apply(variables, wave)
+    assert out.shape == (2, TINY_W2V.num_frames(3200), 64)
+    out2, hiddens = enc.apply(variables, wave, return_hiddens=True)
+    assert hiddens.shape == (3, 2, TINY_W2V.num_frames(3200), 64)
+    np.testing.assert_allclose(out2, out, rtol=1e-6)
+
+
+def test_w2v_layers_stacked_and_selectable():
+    enc = Wav2Vec2Encoder(TINY_W2V)
+    wave = jnp.zeros((1, 3200))
+    variables = enc.init(jax.random.key(0), wave)
+    leaf = variables["params"]["layers"]["layer"]["fc1"]["kernel"]
+    assert leaf.shape[0] == 3  # stacked layer axis
+
+    sub = select_layers(variables["params"], [0, 2])
+    sub_leaf = sub["layers"]["layer"]["fc1"]["kernel"]
+    assert sub_leaf.shape[0] == 2
+    np.testing.assert_array_equal(sub_leaf[1], leaf[2])
+
+    # the 2-layer model runs with the selected params
+    import dataclasses
+    enc2 = Wav2Vec2Encoder(dataclasses.replace(TINY_W2V, encoder_layers=2))
+    out = enc2.apply({"params": sub}, wave)
+    assert out.shape == (1, TINY_W2V.num_frames(3200), 64)
+
+
+def test_graph_attention_layer():
+    layer = GraphAttentionLayer(out_dim=32, temperature=2.0)
+    x = jax.random.normal(jax.random.key(1), (2, 12, 24))
+    variables = layer.init(jax.random.key(0), x, train=False)
+    y = layer.apply(variables, x, train=False)
+    assert y.shape == (2, 12, 32)
+    # eval mode is deterministic
+    y2 = layer.apply(variables, x, train=False)
+    np.testing.assert_array_equal(y, y2)
+
+
+def test_htrg_layer_shapes_and_master():
+    layer = HtrgGraphAttentionLayer(in_dim=16, out_dim=8, temperature=100.0)
+    x1 = jax.random.normal(jax.random.key(1), (2, 6, 16))
+    x2 = jax.random.normal(jax.random.key(2), (2, 4, 16))
+    master = jnp.ones((1, 1, 16))
+    variables = layer.init(jax.random.key(0), x1, x2, master, train=False)
+    o1, o2, m = layer.apply(variables, x1, x2, master, train=False)
+    assert o1.shape == (2, 6, 8)
+    assert o2.shape == (2, 4, 8)
+    assert m.shape == (2, 1, 8)
+    # master=None derives the mean master (ref aasist_modules.py:167-168)
+    o1, o2, m = layer.apply(variables, x1, x2, None, train=False)
+    assert m.shape == (2, 1, 8)
+
+
+def test_graph_pool_topk_semantics():
+    pool = GraphPool(k=0.5, p=0.0)
+    x = jax.random.normal(jax.random.key(1), (3, 10, 8))
+    variables = pool.init(jax.random.key(0), x, train=False)
+    y = pool.apply(variables, x, train=False)
+    assert y.shape == (3, 5, 8)
+    # nodes must be score-scaled rows of the input, in descending score order
+    w = variables["params"]["proj"]["kernel"]
+    b = variables["params"]["proj"]["bias"]
+    scores = jax.nn.sigmoid(x @ w + b)
+    scored = np.asarray(x * scores)
+    order = np.argsort(-np.asarray(scores)[..., 0], axis=1, kind="stable")
+    expected = np.take_along_axis(scored, order[:, :5, None], axis=1)
+    np.testing.assert_allclose(y, expected, rtol=1e-6)
+
+
+def test_residual_block_preserves_hw():
+    x = jax.random.normal(jax.random.key(1), (2, 42, 66, 1))
+    blk = ResidualBlock(1, 32, first=True)
+    variables = blk.init(jax.random.key(0), x, train=False)
+    y = blk.apply(variables, x, train=False)
+    assert y.shape == (2, 42, 66, 32)
+    blk2 = ResidualBlock(32, 32)
+    v2 = blk2.init(jax.random.key(0), y, train=False)
+    y2 = blk2.apply(v2, y, train=False)
+    assert y2.shape == y.shape
+
+
+@pytest.mark.parametrize("frames", [199, 49])
+def test_aasist_backend_shapes(frames):
+    model = AASISTBackend()
+    feats = jax.random.normal(jax.random.key(1), (2, frames, 1024)) * 0.1
+    variables = model.init(jax.random.key(0), feats, train=False)
+    logits = model.apply(variables, feats, train=False)
+    assert logits.shape == (2, 2)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_aasist_backend_train_mode_updates_batch_stats():
+    model = AASISTBackend()
+    feats = jax.random.normal(jax.random.key(1), (4, 199, 1024)) * 0.1
+    variables = model.init(jax.random.key(0), feats, train=False)
+    logits, mutated = model.apply(
+        variables, feats, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.key(2)})
+    assert logits.shape == (4, 2)
+    old = variables["batch_stats"]["first_bn"]["mean"]
+    new = mutated["batch_stats"]["first_bn"]["mean"]
+    assert not np.allclose(old, new)
+
+
+def test_aasist_out_s1_bug_flag_changes_output():
+    feats = jax.random.normal(jax.random.key(1), (1, 199, 1024)) * 0.1
+    buggy = AASISTBackend(fix_out_s1_bug=False)
+    fixed = AASISTBackend(fix_out_s1_bug=True)
+    variables = buggy.init(jax.random.key(0), feats, train=False)
+    a = buggy.apply(variables, feats, train=False)
+    b = fixed.apply(variables, feats, train=False)
+    assert not np.allclose(a, b)
+
+
+def test_conformer_shapes():
+    model = MyConformer(emb_size=144, n_encoders=2)
+    x = jax.random.normal(jax.random.key(1), (2, 50, 144))
+    variables = model.init(jax.random.key(0), x, train=False)
+    out, emb = model.apply(variables, x, train=False)
+    assert out.shape == (2, 2)
+    assert emb.shape == (2, 144)
+
+
+def test_conformer_backend_shapes():
+    model = ConformerBackend(n_encoders=1)
+    feats = jax.random.normal(jax.random.key(1), (2, 49, 256))
+    variables = model.init(jax.random.key(0), feats, train=False)
+    out = model.apply(variables, feats, train=False)
+    assert out.shape == (2, 2)
+
+
+def test_registry():
+    from rtdsd_tpu.models.registry import get_model, list_models
+
+    names = list_models()
+    for expected in ["XLSR_AASIST", "My_XLSR_AASIST", "Model",
+                     "ConformerModel", "MyModel"]:
+        assert expected in names
+    spec = get_model("My_XLSR_AASIST", num_layers=3, order="custom",
+                     custom_order=[0, 11, 23])
+    assert spec.layer_indices == [0, 11, 23]
+    assert spec.module.w2v_cfg.encoder_layers == 3
+    spec = get_model("XLSR_AASIST", partial_freeze_layers={
+        "target_layers": ["feature_extractor"], "non_target_layers": ["ln"]})
+    assert spec.freeze_patterns == ["feature_extractor"]

@@ -1,0 +1,129 @@
+"""DSP op tests against scipy/numpy oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+from rtdsd_tpu.ops.augment import sinc_fir, waveform_augment
+from rtdsd_tpu.ops.preemphasis import pre_emphasis
+from rtdsd_tpu.ops.rawboost import (MAX_CHAIN_TAPS, RawBoostArgs,
+                                    _conv_full_fixed, filter_fir,
+                                    firwin_bandstop, isd_additive_noise,
+                                    norm_wav, rawboost, ssi_additive_noise)
+
+
+def test_pre_emphasis_matches_reference_semantics(rng):
+    x = rng.standard_normal((3, 100)).astype(np.float32)
+    y = np.asarray(pre_emphasis(jnp.asarray(x), 0.97))
+    # reflect-pad by one then FIR [-0.97, 1]: y[0] = x[0] - 0.97*x[1]
+    expected = np.empty_like(x)
+    expected[:, 0] = x[:, 0] - 0.97 * x[:, 1]
+    expected[:, 1:] = x[:, 1:] - 0.97 * x[:, :-1]
+    np.testing.assert_allclose(y, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_pre_emphasis_disabled_is_identity(rng):
+    x = rng.standard_normal((2, 50)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(pre_emphasis(jnp.asarray(x), enabled=False)), x)
+
+
+@pytest.mark.parametrize("c,f1,f2", [(11, 100.0, 900.0), (51, 500.0, 1500.0),
+                                     (99, 20.0, 7000.0)])
+def test_firwin_bandstop_matches_scipy(c, f1, f2):
+    fs = 16000.0
+    ours = np.asarray(firwin_bandstop(jnp.float32(c), jnp.float32(f1),
+                                      jnp.float32(f2), fs))
+    ref = sps.firwin(c, [f1, f2], window="hamming", fs=fs)
+    np.testing.assert_allclose(ours[:c], ref, rtol=1e-4, atol=1e-6)
+    assert np.all(ours[c:] == 0)
+
+
+def test_conv_full_fixed_matches_numpy(rng):
+    a = np.zeros(128, np.float32)
+    b = np.zeros(MAX_CHAIN_TAPS, np.float32)
+    a[:11] = rng.standard_normal(11)
+    b[:21] = rng.standard_normal(21)
+    out = np.asarray(_conv_full_fixed(jnp.asarray(a), jnp.asarray(b), 64))
+    expected = np.convolve(a, b)[:64]
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_filter_fir_matches_reference_centered_slice(rng):
+    """Oracle = the documented reference behavior (RawBoost.py:54-59):
+    pad-by-N zeros, causal lfilter, slice [N//2 : len-N//2]."""
+    t, taps = 400, 31
+    x = rng.standard_normal(t).astype(np.float64)
+    b_np = sps.firwin(taps, [300, 3000], window="hamming", fs=16000)
+    n = taps + 1
+    xpad = np.pad(x, (0, n))
+    y_ref = sps.lfilter(b_np, 1, xpad)[n // 2: xpad.shape[0] - n // 2]
+
+    b_buf = np.zeros(MAX_CHAIN_TAPS, np.float32)
+    b_buf[:taps] = b_np
+    y = np.asarray(filter_fir(jnp.asarray(x, jnp.float32),
+                              jnp.asarray(b_buf), jnp.int32(taps)))
+    assert y.shape == (t,)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-3, atol=1e-5)
+
+
+def test_norm_wav():
+    x = jnp.asarray([0.5, -2.0, 1.0])
+    np.testing.assert_allclose(np.asarray(norm_wav(x, always=False)),
+                               [0.25, -1.0, 0.5])
+    y = jnp.asarray([0.2, -0.5])
+    np.testing.assert_allclose(np.asarray(norm_wav(y, always=False)),
+                               [0.2, -0.5])
+    np.testing.assert_allclose(np.asarray(norm_wav(y, always=True)),
+                               [0.4, -1.0])
+
+
+def test_isd_modifies_bounded_fraction(rng):
+    args = RawBoostArgs()
+    x = jnp.asarray(rng.standard_normal(4000).astype(np.float32)) * 0.1
+    y = isd_additive_noise(jax.random.key(3), x, args)
+    changed = np.sum(~np.isclose(np.asarray(y), np.asarray(x)))
+    assert changed <= int(4000 * args.P / 100) + 1
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_ssi_achieves_sampled_snr(rng):
+    args = RawBoostArgs()
+    x = jnp.asarray(rng.standard_normal(4000).astype(np.float32))
+    y = ssi_additive_noise(jax.random.key(5), x, args, 16000.0)
+    noise = np.asarray(y) - np.asarray(x)
+    snr = 20 * np.log10(np.linalg.norm(np.asarray(x)) / np.linalg.norm(noise))
+    assert args.SNRmin - 0.5 <= snr <= args.SNRmax + 0.5
+
+
+@pytest.mark.parametrize("algo", [1, 2, 4, 8, -1])
+def test_rawboost_batch(algo, rng):
+    batch = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32)) * 0.1
+    out = rawboost(jax.random.key(0), batch, algo)
+    assert out.shape == batch.shape
+    assert np.isfinite(np.asarray(out)).all()
+    if algo == -1:
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(batch))
+    else:
+        assert not np.allclose(np.asarray(out), np.asarray(batch))
+
+
+def test_sinc_fir_dc_and_nyquist():
+    lp = np.asarray(sinc_fir(jnp.float32(2000.0), 16000.0, highpass=False))
+    # unity DC gain for lowpass
+    np.testing.assert_allclose(lp.sum(), 1.0, rtol=1e-5)
+    hp = np.asarray(sinc_fir(jnp.float32(2000.0), 16000.0, highpass=True))
+    # ~zero DC gain for highpass
+    assert abs(hp.sum()) < 1e-5
+
+
+def test_waveform_augment_shapes_and_determinism(rng):
+    batch = jnp.asarray(rng.standard_normal((4, 4000)).astype(np.float32))
+    out1 = waveform_augment(jax.random.key(7), batch)
+    out2 = waveform_augment(jax.random.key(7), batch)
+    assert out1.shape == batch.shape
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    out3 = waveform_augment(jax.random.key(8), batch)
+    assert not np.allclose(np.asarray(out1), np.asarray(out3))
