@@ -41,7 +41,7 @@ class DataLoader:
                  shuffle: bool = False, drop_last: bool = False,
                  seed: int = 1024, num_workers: int = 2,
                  process_index: int = 0, process_count: int = 1,
-                 pad_last: bool = True):
+                 pad_last: bool = True, use_native: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -52,6 +52,16 @@ class DataLoader:
         self.process_count = process_count
         self.pad_last = pad_last
         self.epoch = 0
+        # native C++ batch decode+crop (GIL-free thread pool) when built
+        self._native = None
+        if use_native:
+            try:
+                from rtdsd_tpu.native import flac as _native_mod
+
+                if _native_mod.available():
+                    self._native = _native_mod
+            except Exception:
+                self._native = None
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -76,6 +86,8 @@ class DataLoader:
         return -(-n // self.batch_size)
 
     def _make_batch(self, batch_idx: np.ndarray, rng) -> Batch:
+        if self._native is not None:
+            return self._make_batch_native(batch_idx, rng)
         ids, waves, labels = [], [], []
         for i in batch_idx:
             uid, wave, label = self.dataset.get(int(i), rng)
@@ -89,6 +101,22 @@ class DataLoader:
                 waves.append(waves[-1])
                 labels.append(labels[-1])
         return Batch(ids, np.stack(waves), np.asarray(labels, np.int32), valid)
+
+    def _make_batch_native(self, batch_idx: np.ndarray, rng) -> Batch:
+        trials = [self.dataset.trials[int(i)] for i in batch_idx]
+        valid = len(trials)
+        if self.pad_last and valid < self.batch_size:
+            trials = trials + [trials[-1]] * (self.batch_size - valid)
+        seed = (int(rng.integers(1, 2 ** 62))
+                if self.dataset.is_random_start else 0)
+        waves, failed = self._native.load_batch(
+            [t.path for t in trials], self.dataset.duration, seed=seed,
+            threads=self.num_workers)
+        if failed:
+            raise RuntimeError(
+                f"native decode failed for {failed} file(s) in batch")
+        return Batch([t.utt_id for t in trials], waves,
+                     np.asarray([t.label for t in trials], np.int32), valid)
 
     def __iter__(self) -> Iterator[Batch]:
         idx = self._indices()
