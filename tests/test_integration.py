@@ -1,0 +1,84 @@
+"""End-to-end integration: tiny flagship model through train/eval/score,
+multi-device mesh step, and the graft dryrun."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtdsd_tpu.engine.steps import (create_train_state, make_eval_step,
+                                    make_optimizer, make_score_step,
+                                    make_train_step)
+from rtdsd_tpu.models.wav2vec2 import Wav2Vec2Config
+from rtdsd_tpu.models.zoo import XLSR_AASIST, XLSR_Conformer
+
+TINY = Wav2Vec2Config(
+    conv_layers=((16, 10, 5), (16, 3, 2), (16, 2, 2)),
+    encoder_embed_dim=16, encoder_ffn_dim=32, encoder_heads=2,
+    encoder_layers=2, conv_pos=8, conv_pos_groups=2)
+
+
+@pytest.fixture(scope="module")
+def waves():
+    return jnp.asarray(np.random.default_rng(0).standard_normal(
+        (4, 4000)).astype(np.float32) * 0.1)
+
+
+def test_xlsr_aasist_full_pipeline(waves):
+    model = XLSR_AASIST(w2v_cfg=TINY)
+    tx = make_optimizer(1e-3, 1e-4)
+    state = create_train_state(model, jax.random.key(0), waves, tx)
+    labels = jnp.asarray([0, 1, 0, 1])
+
+    step = make_train_step(model, tx, rawboost_algo=2, aug_list=("GAN",),
+                           donate=False)
+    state, metrics = step(state, waves, labels, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+    ev = make_eval_step(model)
+    out = ev(state.params, state.batch_stats, waves, labels)
+    assert out["scores"].shape == (4,)
+
+    sc = make_score_step(model)
+    scores = sc(state.params, state.batch_stats, waves)
+    assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_xlsr_conformer_pipeline(waves):
+    model = XLSR_Conformer(w2v_cfg=TINY, emb_size=16, heads=2, kernel_size=5,
+                           n_encoders=1)
+    tx = make_optimizer(1e-3, 0.0)
+    state = create_train_state(model, jax.random.key(0), waves, tx)
+    step = make_train_step(model, tx, donate=False)
+    state, metrics = step(state, waves, jnp.asarray([1, 0, 1, 0]),
+                          jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_bf16_compute_dtype(waves):
+    model = XLSR_AASIST(w2v_cfg=TINY, dtype=jnp.bfloat16)
+    variables = model.init(jax.random.key(0), waves, train=False)
+    # params stay f32, output logits come back usable
+    k = variables["params"]["ssl_model"]["post_extract_proj"]["kernel"]
+    assert k.dtype == jnp.float32
+    logits = model.apply(variables, waves, train=False)
+    assert np.isfinite(np.asarray(logits, np.float32)).all()
+
+
+def test_graft_dryrun_smoke():
+    import __graft_entry__ as ge
+
+    n = min(len(jax.devices()), 8)
+    if n < 2:
+        pytest.skip("needs >=2 devices")
+    ge.dryrun_multichip(n)
+
+
+def test_remat_matches_no_remat(waves):
+    model_a = XLSR_AASIST(w2v_cfg=TINY, remat=False)
+    model_b = XLSR_AASIST(w2v_cfg=TINY, remat=True)
+    variables = model_a.init(jax.random.key(0), waves, train=False)
+    a = model_a.apply(variables, waves, train=False)
+    b = model_b.apply(variables, waves, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)

@@ -1,0 +1,72 @@
+"""Streaming scorer + profiling harness tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from rtdsd_tpu.engine.steps import make_score_step
+from rtdsd_tpu.engine.streaming import StreamingScorer, frame_windows
+from rtdsd_tpu.utils.profiling import Timing, measure
+
+
+def test_frame_windows_cover_and_tile():
+    w = np.arange(100, dtype=np.float32)
+    out = frame_windows(w, duration=40, hop=30)
+    # starts 0, 30, 60 (covers to 100)
+    assert out.shape == (3, 40)
+    np.testing.assert_array_equal(out[0], w[:40])
+    np.testing.assert_array_equal(out[-1], w[60:100])
+
+    # short input: one repeat-tiled window
+    short = np.arange(30, dtype=np.float32)
+    out = frame_windows(short, duration=40, hop=30)
+    assert out.shape == (1, 40)
+    np.testing.assert_array_equal(out[0], np.resize(short, 40))
+
+
+def test_frame_windows_tail_window():
+    w = np.arange(105, dtype=np.float32)
+    out = frame_windows(w, 40, 30)
+    # starts 0, 30, 60, then tail at 65
+    assert out.shape == (4, 40)
+    np.testing.assert_array_equal(out[-1], w[65:105])
+
+
+class _Mean(nn.Module):
+    @nn.compact
+    def __call__(self, x, *, train=False):
+        m = x.mean(-1, keepdims=True)
+        return jnp.concatenate([-m, m], axis=-1) * nn.Dense(
+            1, use_bias=False, kernel_init=nn.initializers.ones)(
+                jnp.ones((x.shape[0], 1)))
+
+
+def test_streaming_scorer_aggregation():
+    model = _Mean()
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 10)))
+    step = make_score_step(model)
+    scorer = StreamingScorer(step, variables["params"], {}, duration=10,
+                             hop=5, batch_size=4, aggregate="mean")
+    # wave with mean ramping up; score = window mean
+    wave = np.linspace(0, 1, 50).astype(np.float32)
+    ws = scorer.window_scores(wave)
+    assert len(ws) >= 8
+    assert ws[-1] > ws[0]  # later windows have larger means
+    s_mean = scorer.score(wave)
+    scorer.aggregate = "max"
+    assert scorer.score(wave) >= s_mean
+    scorer.aggregate = "min"
+    assert scorer.score(wave) <= s_mean
+
+
+def test_measure_returns_sane_timing():
+    f = jax.jit(lambda x: x * 2)
+    x = jnp.ones((8, 8))
+    t = measure(f, (x,), warmup=1, iters=5)
+    assert isinstance(t, Timing)
+    assert 0 < t.p50_ms < 1000
+    assert t.p99_ms >= t.p50_ms
+    per = t.per_item_ms(8)
+    assert abs(per.p50_ms - t.p50_ms / 8) < 1e-9
+    assert t.throughput(8) > 0
