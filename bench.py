@@ -6,6 +6,10 @@ Measures the inference hot path (SURVEY.md §3.4): XLSR-300M front-end
 computation as the reference's ``produce_evaluation_file`` batch scoring
 (``/root/reference/main.py:199-221``).
 
+Params are passed as explicit jit arguments (closed-over host arrays would
+be lowered as HLO constants and constant-folded for minutes), and the timed
+region fetches scores to the host so async dispatch can't undercount.
+
 Prints ONE JSON line:
   metric   p50 latency per 4 s clip (batched scoring, ms/clip)
   baseline the 10 ms/clip real-time north-star target (BASELINE.md — the
@@ -31,34 +35,39 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
-    spec = get_model("XLSR_AASIST", dtype=jnp.bfloat16)
+    spec = get_model("XLSR_AASIST", dtype=jnp.bfloat16, fused_gat=False)
     model = spec.module
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     clips = np.random.default_rng(0).standard_normal(
         (batch, 64000)).astype(np.float32) * 0.1
     waves = jax.device_put(jnp.asarray(clips))
 
+    t0 = time.time()
     variables = init_variables_host(model, jnp.zeros((batch, 64000),
                                                     jnp.float32))
+    print(f"host init: {time.time() - t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
     variables = jax.device_put(variables)
+    jax.block_until_ready(variables)
+    print(f"device_put: {time.time() - t0:.1f}s", file=sys.stderr)
 
     @jax.jit
-    def score(waves):
+    def score(variables, waves):
         return model.apply(variables, waves, train=False)[:, 1]
 
     t0 = time.time()
-    score(waves).block_until_ready()
-    print(f"compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
+    np.asarray(score(variables, waves))
+    print(f"compile+first+warm: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    # warm-up then timed runs
+    # warm-up then timed runs (host readback inside the timed region)
     for _ in range(2):
-        score(waves).block_until_ready()
+        np.asarray(score(variables, waves))
     times = []
-    iters = 10
+    iters = 20
     for _ in range(iters):
         t0 = time.perf_counter()
-        score(waves).block_until_ready()
+        np.asarray(score(variables, waves))
         times.append(time.perf_counter() - t0)
 
     times = np.asarray(times)

@@ -45,30 +45,60 @@ def _dense(features: int, name: str, dtype: Dtype):
     return nn.Dense(features, name=name, dtype=dtype)
 
 
+class _DenseParams(nn.Module):
+    """Declares Dense-compatible params (kernel/bias) without applying them —
+    same param-tree path as ``nn.Dense`` so checkpoints are interchangeable;
+    lets the fused Pallas path consume the raw weights."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return k, b
+
+
 class GraphAttentionLayer(nn.Module):
-    """Pairwise-multiplicative node attention (ref: aasist_modules.py:17-110)."""
+    """Pairwise-multiplicative node attention (ref: aasist_modules.py:17-110).
+
+    ``fused=True`` routes the eval-mode attention+aggregation through the
+    Pallas kernel (:mod:`rtdsd_tpu.ops.pallas.gat`), which keeps the
+    O(N^2 D) pairwise intermediates in VMEM.
+    """
 
     out_dim: int
     temperature: float = 1.0
     dtype: Dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
         # x: (B, N, D)
         x = nn.Dropout(0.2, deterministic=not train)(x)
 
-        # attention map: pairwise mul -> tanh(Dense) -> scalar per edge
-        att = x[:, :, None, :] * x[:, None, :, :]              # (B, N, N, D)
-        att = jnp.tanh(_dense(self.out_dim, "att_proj", self.dtype)(att))
+        att_k, att_b = _DenseParams(self.out_dim, name="att_proj")(x.shape[-1])
         att_w = self.param("att_weight", nn.initializers.xavier_normal(),
                            (self.out_dim, 1))
-        att = jnp.einsum("bijd,do->bijo", att, att_w.astype(att.dtype))
-        att = att / self.temperature
-        # softmax over the j (aggregation) axis — torch dim=-2 of (B,i,j,1)
-        att = jax.nn.softmax(att, axis=-2)
 
-        x1 = _dense(self.out_dim, "proj_with_att", self.dtype)(
-            jnp.einsum("bij,bjd->bid", att[..., 0], x))
+        if self.fused and not train:
+            from rtdsd_tpu.ops.pallas.gat import fused_gat_aggregate
+
+            agg = fused_gat_aggregate(x, att_k, att_b, att_w,
+                                      self.temperature).astype(x.dtype)
+        else:
+            # pairwise mul -> tanh(proj) -> scalar per edge
+            att = x[:, :, None, :] * x[:, None, :, :]          # (B, N, N, D)
+            att = jnp.tanh(att @ att_k.astype(att.dtype)
+                           + att_b.astype(att.dtype))
+            att = jnp.einsum("bijd,do->bijo", att, att_w.astype(att.dtype))
+            att = att / self.temperature
+            # softmax over the j (aggregation) axis — torch dim=-2 of (B,i,j,1)
+            att = jax.nn.softmax(att, axis=-2)
+            agg = jnp.einsum("bij,bjd->bid", att[..., 0], x)
+
+        x1 = _dense(self.out_dim, "proj_with_att", self.dtype)(agg)
         x2 = _dense(self.out_dim, "proj_without_att", self.dtype)(x)
         x = x1 + x2
 
@@ -217,6 +247,7 @@ class AASISTBackend(nn.Module):
     temperatures: Tuple[float, float, float, float] = (2.0, 2.0, 100.0, 100.0)
     num_classes: int = 2
     fix_out_s1_bug: bool = False
+    fused_gat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -256,6 +287,7 @@ class AASISTBackend(nn.Module):
                            (1, e_s.shape[1], ch))
         e_s = e_s + pos_s.astype(e_s.dtype)
         gat_s = GraphAttentionLayer(g0, self.temperatures[0], self.dtype,
+                                    self.fused_gat,
                                     name="GAT_layer_S")(e_s, train=train)
         out_s = GraphPool(self.pool_ratios[0], 0.3, self.dtype,
                           name="pool_S")(gat_s, train=train)     # (B, 21, 64)
@@ -264,6 +296,7 @@ class AASISTBackend(nn.Module):
         w2 = jax.nn.softmax(w, axis=1)
         e_t = jnp.sum(x * w2, axis=1)                            # (B, W, 64)
         gat_t = GraphAttentionLayer(g0, self.temperatures[1], self.dtype,
+                                    self.fused_gat,
                                     name="GAT_layer_T")(e_t, train=train)
         out_t = GraphPool(self.pool_ratios[1], 0.3, self.dtype,
                           name="pool_T")(gat_t, train=train)     # (B, W/2, 64)

@@ -77,6 +77,7 @@ def _xlsr_aasist(dtype=jnp.float32, remat=False, **kwargs) -> ModelSpec:
     module = XLSR_AASIST(
         w2v_cfg=make_w2v_cfg(24, **kwargs.get("w2v", {})),
         fix_out_s1_bug=bool(kwargs.get("fix_out_s1_bug", False)),
+        fused_gat=bool(kwargs.get("fused_gat", False)),
         dtype=dtype, remat=remat)
     return ModelSpec("XLSR_AASIST", module, list(range(24)), freeze, reinit)
 
@@ -87,6 +88,7 @@ def _my_xlsr_aasist(dtype=jnp.float32, remat=False, **kwargs) -> ModelSpec:
     module = XLSR_AASIST(
         w2v_cfg=make_w2v_cfg(n, **kwargs.get("w2v", {})),
         fix_out_s1_bug=bool(kwargs.get("fix_out_s1_bug", False)),
+        fused_gat=bool(kwargs.get("fused_gat", False)),
         dtype=dtype, remat=remat)
     return ModelSpec("My_XLSR_AASIST", module, indices)
 

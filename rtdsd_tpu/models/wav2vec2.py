@@ -61,6 +61,10 @@ class Wav2Vec2Config:
     attention_dropout: float = 0.0
     activation_dropout: float = 0.0
     layer_norm_first: bool = True        # XLSR / large models are pre-LN
+    # lax.scan unroll factor for the layer stack. The scanned while-loop can
+    # be pathologically slow to compile on some XLA:TPU toolchains; full
+    # unroll (= encoder_layers) trades compile-graph size for a flat program.
+    scan_unroll: int = 1
 
     @property
     def head_dim(self) -> int:
@@ -235,6 +239,7 @@ class Wav2Vec2Encoder(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             length=cfg.encoder_layers,
+            unroll=min(max(cfg.scan_unroll, 1), cfg.encoder_layers),
             metadata_params={nn.PARTITION_NAME: "layers"},
         )(cfg, self.dtype, train, name="layers")
         x, hiddens = stack(x, None)

@@ -38,6 +38,7 @@ class XLSR_AASIST(nn.Module):
 
     w2v_cfg: Wav2Vec2Config = Wav2Vec2Config()
     fix_out_s1_bug: bool = False
+    fused_gat: bool = False
     dtype: Dtype = jnp.float32
     remat: bool = False
 
@@ -47,6 +48,7 @@ class XLSR_AASIST(nn.Module):
                                 name="ssl_model")(
             _squeeze_wave(wave), train=train)
         return AASISTBackend(fix_out_s1_bug=self.fix_out_s1_bug,
+                             fused_gat=self.fused_gat,
                              dtype=self.dtype, name="backend")(
             feats, train=train)
 

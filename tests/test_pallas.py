@@ -1,0 +1,55 @@
+"""Pallas kernel equivalence tests (interpreter mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtdsd_tpu.models.aasist import AASISTBackend, GraphAttentionLayer
+from rtdsd_tpu.ops.pallas.gat import fused_gat_aggregate
+
+
+
+
+def test_fused_gat_matches_einsum(rng):
+    b, n, d, do = 3, 11, 16, 8
+    x = rng.standard_normal((b, n, d)).astype(np.float32)
+    k = (rng.standard_normal((d, do)) * 0.3).astype(np.float32)
+    bias = (rng.standard_normal(do) * 0.1).astype(np.float32)
+    a = (rng.standard_normal((do, 1)) * 0.3).astype(np.float32)
+    temp = 2.0
+
+    got = np.asarray(fused_gat_aggregate(
+        jnp.asarray(x), jnp.asarray(k), jnp.asarray(bias), jnp.asarray(a),
+        temperature=temp, interpret=True))
+
+    # oracle: the layer's einsum path semantics (softmax over torch dim=-2)
+    att = np.tanh(x[:, :, None, :] * x[:, None, :, :] @ k + bias)
+    s = (att @ a) / temp                              # (B, i, j, 1)
+    e = np.exp(s - s.max(axis=-2, keepdims=True))
+    soft = (e / e.sum(axis=-2, keepdims=True))[..., 0]
+    want = np.einsum("bij,bjd->bid", soft, x)
+
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_gat_layer_fused_matches_unfused(rng):
+    x = jnp.asarray(rng.standard_normal((2, 12, 24)).astype(np.float32))
+    plain = GraphAttentionLayer(out_dim=16, temperature=2.0, fused=False)
+    fused = GraphAttentionLayer(out_dim=16, temperature=2.0, fused=True)
+    variables = plain.init(jax.random.key(0), x, train=False)
+    a = plain.apply(variables, x, train=False)
+    b = fused.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_backend_fused_matches_unfused(rng):
+    feats = jnp.asarray(rng.standard_normal((2, 60, 64)).astype(np.float32)
+                        * 0.1)
+    plain = AASISTBackend(fused_gat=False)
+    fused = AASISTBackend(fused_gat=True)
+    variables = plain.init(jax.random.key(0), feats, train=False)
+    a = plain.apply(variables, feats, train=False)
+    b = fused.apply(variables, feats, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                               atol=2e-4)
