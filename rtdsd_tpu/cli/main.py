@@ -162,12 +162,14 @@ def main(argv=None):
         sys_config.wandb_disabled = True
         if args.score_all_folder_path:
             # score every checkpoint in a folder (ref main.py:258-371)
+            base_comment = args.comment or ""
             for name in sorted(os.listdir(args.score_all_folder_path)):
                 ckpt = os.path.join(args.score_all_folder_path, name)
                 if not (os.path.isdir(ckpt) or ckpt.endswith(".pt")):
                     continue
                 args.ckpt = ckpt
-                args.comment = (args.comment or "") + f"_{name}"
+                args.comment = f"{base_comment}_{name}" if base_comment \
+                    else name
                 run_score(args, sys_config, exp_config, tracks)
             return
         if args.ckpt is None:
