@@ -19,6 +19,10 @@ Prints ONE JSON line:
 Extra detail (throughput, batch size, device) goes to stderr.
 """
 
+from rtdsd_tpu.utils.cache import enable_persistent_compile_cache
+
+enable_persistent_compile_cache()
+
 import json
 import sys
 import time

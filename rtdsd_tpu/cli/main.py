@@ -18,6 +18,10 @@ dirs *or* a trained reference ``.pt`` (converted on the fly).
 
 from __future__ import annotations
 
+from rtdsd_tpu.utils.cache import enable_persistent_compile_cache
+
+enable_persistent_compile_cache()
+
 import argparse
 import os
 import sys
@@ -67,6 +71,9 @@ TRACK_DATASETS = {
 
 
 def run_train(args, sys_config, exp_config):
+    from rtdsd_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     rng = set_seed(exp_config.random_seed)
     logger = Logger(jax.process_index(), sys_config,
                     metrics_path=os.path.join(sys_config.path_to_save_model,
@@ -110,7 +117,16 @@ def run_train(args, sys_config, exp_config):
         return
 
     # epoch loop with best-checkpoint logic (ref main.py:144-183: save when
-    # dev loss improves and dev acc > 95; full-state checkpoint here)
+    # dev loss improves and dev acc > 95; full-state checkpoint here).
+    # Optional EER-based early stopping (the reference defines EarlyStopping
+    # but never wires it, utils.py:54-98; enable via kwargs.early_stop_patience)
+    from rtdsd_tpu.utils.metrics import EarlyStopping
+
+    patience = int(exp_config.kwargs.get("early_stop_patience", 0) or 0)
+    stopper = EarlyStopping(patience=patience,
+                            save_dir=sys_config.path_to_save_model) \
+        if patience > 0 else None
+
     best_loss = float("inf")
     max_epoch = args.max_epoch or exp_config.max_epoch
     for epoch in range(max_epoch):
@@ -125,6 +141,14 @@ def run_train(args, sys_config, exp_config):
                             meta={"epoch": epoch, "dev_loss": dev_loss,
                                   "dev_acc": dev_acc})
             logger.print(f"saved {path}")
+        if stopper is not None:
+            stopper(dev_loss, epoch,
+                    lambda p: save_checkpoint(p, trainer.state,
+                                              meta={"epoch": epoch}))
+            if stopper.early_stop:
+                logger.print(f"early stop at epoch {epoch} "
+                             f"(patience {patience})")
+                break
     logger.close()
 
 

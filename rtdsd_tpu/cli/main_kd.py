@@ -18,6 +18,10 @@ params; criteria built once; working imports.
 
 from __future__ import annotations
 
+from rtdsd_tpu.utils.cache import enable_persistent_compile_cache
+
+enable_persistent_compile_cache()
+
 import argparse
 import os
 import sys

@@ -9,16 +9,21 @@ flax port ``rtdsd_tpu/models/aasist.py::GraphAttentionLayer``) computes
     out[i,:]    = sum_j att[i,j] * x[j,:]              (N, D)
 
 The naive graph materializes the (B, N, N, D) pairwise tensor and the
-(B, N, N, Dout) projection in HBM (for B=32, N=66, D=64: ~35 MB per tensor
-per layer). This kernel keeps everything for one batch row in VMEM: for each
-query node i it forms the pairwise row, projects on the MXU, softmaxes, and
-aggregates — the O(N^2 D) intermediates never leave the chip.
+(B, N, N, Dout) projection in HBM (for B=128, N=66, D=64: ~140 MB per tensor
+per layer). This kernel keeps everything for one batch row in VMEM: each grid
+step handles 8 query nodes (TPU sublane granularity); per query the pairwise
+row is formed, projected on the MXU, masked-softmaxed and aggregated — the
+O(N^2 D) intermediates never reach HBM.
+
+TPU lowering constraints honored: node count padded to a multiple of 8
+outside the kernel (padded keys masked to -inf before softmax), all in-kernel
+indices static, block shapes (1, 8, D) / (1, Np, D).
 
 Numerically identical (up to float reassociation) to the einsum path; the
-equivalence test lives in tests/test_pallas.py. Runs in interpreter mode off
+equivalence tests live in tests/test_pallas.py. Runs in interpreter mode off
 TPU so the same code path is testable on CPU.
 
-Inference-path kernel (no custom VJP yet): the flax layer uses it under
+Inference-path kernel (no custom VJP): the flax layer uses it under
 ``fused=True`` at eval; training keeps the XLA einsum graph.
 """
 
@@ -38,25 +43,34 @@ except Exception:  # pragma: no cover
     pltpu = None
     _VMEM = None
 
+_SUBLANE = 8
 
-def _gat_kernel(x_ref, w_ref, b_ref, a_ref, o_ref, *, temp: float, n: int):
-    x = x_ref[0]                      # (N, D)
+
+def _gat_kernel(xq_ref, x_ref, w_ref, b_ref, a_ref, o_ref, *, temp: float,
+                n_valid: int):
+    """One grid step = (batch b, query-node group of 8)."""
+    xq = xq_ref[0]                    # (8, D)   — 8 query nodes
+    x = x_ref[0]                      # (Np, D)  — all (padded) nodes
     w = w_ref[:]                      # (D, Do)
     b = b_ref[:]                      # (1, Do)
     a = a_ref[:]                      # (Do, 1)
 
-    def body(i, _):
-        xi = x[i, :]                              # (D,)
-        pair = xi[None, :] * x                    # (N, D) — row i vs all j
+    np_nodes = x.shape[0]
+    # mask for padded key nodes (j >= n_valid)
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (np_nodes, 1), 0)
+    neg_inf = jnp.float32(-1e30)
+
+    for q in range(_SUBLANE):         # static unrolled loop
+        xi = xq[q, :]                             # (D,)
+        pair = xi[None, :] * x                    # (Np, D)
         proj = jnp.tanh(
             jnp.dot(pair, w, preferred_element_type=jnp.float32) + b)
-        s = jnp.dot(proj, a, preferred_element_type=jnp.float32)[:, 0] / temp
-        s = jax.nn.softmax(s)
-        o_ref[0, i, :] = jnp.dot(s[None, :], x,
-                                 preferred_element_type=jnp.float32)[0]
-        return 0
-
-    jax.lax.fori_loop(0, n, body, 0)
+        s = jnp.dot(proj, a, preferred_element_type=jnp.float32) / temp
+        s = jnp.where(j_idx < n_valid, s, neg_inf)       # (Np, 1)
+        s = s - jnp.max(s, axis=0, keepdims=True)
+        e = jnp.exp(s)
+        soft = e / jnp.sum(e, axis=0, keepdims=True)
+        o_ref[0, q, :] = jnp.sum(soft * x, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("temperature", "interpret"))
@@ -73,22 +87,30 @@ def fused_gat_aggregate(x: jax.Array, att_proj_kernel: jax.Array,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    x = x.astype(jnp.float32)
-    kernel = functools.partial(_gat_kernel, temp=float(temperature), n=n)
+    n_pad = -(-n // _SUBLANE) * _SUBLANE
+    x32 = x.astype(jnp.float32)
+    if n_pad != n:
+        x32 = jnp.pad(x32, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    kernel = functools.partial(_gat_kernel, temp=float(temperature),
+                               n_valid=n)
     specs = dict(memory_space=_VMEM) if (_VMEM is not None and not interpret) \
         else {}
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b, n_pad // _SUBLANE),
         in_specs=[
-            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), **specs),
-            pl.BlockSpec((d, do), lambda i: (0, 0), **specs),
-            pl.BlockSpec((1, do), lambda i: (0, 0), **specs),
-            pl.BlockSpec((do, 1), lambda i: (0, 0), **specs),
+            pl.BlockSpec((1, _SUBLANE, d), lambda bi, i: (bi, i, 0), **specs),
+            pl.BlockSpec((1, n_pad, d), lambda bi, i: (bi, 0, 0), **specs),
+            pl.BlockSpec((d, do), lambda bi, i: (0, 0), **specs),
+            pl.BlockSpec((1, do), lambda bi, i: (0, 0), **specs),
+            pl.BlockSpec((do, 1), lambda bi, i: (0, 0), **specs),
         ],
-        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), **specs),
-        out_shape=jax.ShapeDtypeStruct((b, n, d), jnp.float32),
+        out_specs=pl.BlockSpec((1, _SUBLANE, d), lambda bi, i: (bi, i, 0),
+                               **specs),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, d), jnp.float32),
         interpret=interpret,
-    )(x, att_proj_kernel.astype(jnp.float32),
+    )(x32, x32, att_proj_kernel.astype(jnp.float32),
       att_proj_bias.reshape(1, -1).astype(jnp.float32),
       att_weight.astype(jnp.float32))
+    return out[:, :n, :]

@@ -187,3 +187,22 @@ def test_registry():
     spec = get_model("XLSR_AASIST", partial_freeze_layers={
         "target_layers": ["feature_extractor"], "non_target_layers": ["ln"]})
     assert spec.freeze_patterns == ["feature_extractor"]
+
+
+def test_conv_dots_matches_xla_conv():
+    """dots-decomposed strided conv == XLA conv (same params)."""
+    import dataclasses
+
+    cfg_conv = dataclasses.replace(TINY_W2V, conv_impl="conv")
+    cfg_dots = dataclasses.replace(TINY_W2V, conv_impl="dots")
+    from rtdsd_tpu.models.wav2vec2 import ConvFeatureExtractor
+
+    fe_conv = ConvFeatureExtractor(cfg_conv)
+    fe_dots = ConvFeatureExtractor(cfg_dots)
+    wave = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 3200)).astype(np.float32))
+    variables = fe_conv.init(jax.random.key(0), wave)
+    a = fe_conv.apply(variables, wave)
+    b = fe_dots.apply(variables, wave)  # identical param tree
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-5)
