@@ -29,7 +29,7 @@ get one from a ``.pt`` file; torch is only needed for that step).
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Mapping, Sequence
+from typing import Any, Dict, Mapping, Optional, Sequence
 
 import numpy as np
 
@@ -121,11 +121,18 @@ def _stack(layers: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
     return out
 
 
-def convert_w2v_checkpoint(sd: StateDict, num_conv_layers: int = 7,
+def convert_w2v_checkpoint(sd: StateDict, num_conv_layers: Optional[int] = None,
                            extractor_mode: str = "layer_norm",
                            prefix: str = "") -> Dict[str, Any]:
-    """fairseq wav2vec2 state dict -> Wav2Vec2Encoder params (numpy pytree)."""
+    """fairseq wav2vec2 state dict -> Wav2Vec2Encoder params (numpy pytree).
+
+    ``num_conv_layers`` defaults to auto-detection from the state dict."""
     P = prefix
+    if num_conv_layers is None:
+        num_conv_layers = 1 + max(
+            int(m.group(1)) for k in sd
+            if (m := re.match(re.escape(P) +
+                              r"feature_extractor\.conv_layers\.(\d+)\.", k)))
     fe: Dict[str, Any] = {}
     for i in range(num_conv_layers):
         fe[f"conv_{i}"] = _conv1d(sd, f"{P}feature_extractor.conv_layers.{i}.0")
