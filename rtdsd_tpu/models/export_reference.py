@@ -152,6 +152,50 @@ def export_aasist_backend(params: Dict, stats: Dict) -> Dict[str, np.ndarray]:
     return out
 
 
+def _dense_as_conv1x1(out: Dict, name: str, p: Dict):
+    """flax Dense (I, O) -> torch Conv1d weight (O, I, 1)."""
+    out[f"{name}.weight"] = _t(p["kernel"]).T[..., None].copy()
+    if "bias" in p:
+        out[f"{name}.bias"] = _t(p["bias"])
+
+
+def export_conformer_backend(params: Dict, stats: Dict
+                             ) -> Dict[str, np.ndarray]:
+    """ConformerBackend -> reference 'Model' names (lucidrains internals)."""
+    out: Dict[str, np.ndarray] = {}
+    _lin(out, "LL", params["LL"])
+    _norm(out, "first_bn", params["first_bn"], stats["first_bn"])
+    conf = params["conformer"]
+    cstats = stats["conformer"]
+    out["conformer.class_token"] = _t(conf["class_token"])
+    _lin(out, "conformer.fc5", conf["fc5"])
+    blocks = sorted(k for k in conf if k.startswith("block_"))
+    for bname in blocks:
+        i = bname.split("_")[1]
+        bp = f"conformer.encoder_blocks.{i}"
+        blk = conf[bname]
+        _norm(out, f"{bp}.ff1.fn.norm", blk["ff1_norm"])
+        _lin(out, f"{bp}.ff1.fn.fn.net.0", blk["ff1"]["fc1"])
+        _lin(out, f"{bp}.ff1.fn.fn.net.3", blk["ff1"]["fc2"])
+        _norm(out, f"{bp}.attn.norm", blk["attn_norm"])
+        _lin(out, f"{bp}.attn.fn.to_q", blk["attn"]["to_q"])
+        _lin(out, f"{bp}.attn.fn.to_kv", blk["attn"]["to_kv"])
+        _lin(out, f"{bp}.attn.fn.to_out", blk["attn"]["to_out"])
+        out[f"{bp}.attn.fn.rel_pos_emb.weight"] = _t(
+            blk["attn"]["rel_pos_emb"]["embedding"])
+        _norm(out, f"{bp}.conv.net.0", blk["conv"]["ln"])
+        _dense_as_conv1x1(out, f"{bp}.conv.net.2", blk["conv"]["pw1"])
+        _conv1d(out, f"{bp}.conv.net.4.conv", blk["conv"]["dw"])
+        _norm(out, f"{bp}.conv.net.5", blk["conv"]["bn"],
+              cstats[bname]["conv"]["bn"])
+        _dense_as_conv1x1(out, f"{bp}.conv.net.7", blk["conv"]["pw2"])
+        _norm(out, f"{bp}.ff2.fn.norm", blk["ff2_norm"])
+        _lin(out, f"{bp}.ff2.fn.fn.net.0", blk["ff2"]["fc1"])
+        _lin(out, f"{bp}.ff2.fn.fn.net.3", blk["ff2"]["fc2"])
+        _norm(out, f"{bp}.post_norm", blk["post_norm"])
+    return out
+
+
 def export_reference_model(variables: Dict[str, Any], model_name: str
                            ) -> Dict[str, np.ndarray]:
     """{'params', 'batch_stats'} of a zoo model -> reference state dict."""
@@ -162,6 +206,6 @@ def export_reference_model(variables: Dict[str, Any], model_name: str
         out.update(export_aasist_backend(params["backend"],
                                          stats["backend"]))
     else:
-        raise NotImplementedError(
-            "conformer export lands with the conformer roundtrip tests")
+        out.update(export_conformer_backend(params["backend"],
+                                            stats["backend"]))
     return out

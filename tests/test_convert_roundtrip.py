@@ -80,3 +80,32 @@ def test_export_loads_into_torch_strictly():
     tsd = {k: torch.from_numpy(np.asarray(v).copy()) for k, v in sd.items()}
     assert tsd["encoder.1.0.bn1.weight"].shape == (32,)
     assert all(v.dtype in (torch.float32, torch.int64) for v in tsd.values())
+
+
+def test_conformer_export_convert_roundtrip():
+    from rtdsd_tpu.models.zoo import XLSR_Conformer
+
+    model = XLSR_Conformer(w2v_cfg=TINY, emb_size=16, heads=2, kernel_size=5,
+                           n_encoders=2)
+    wave = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (2, 800)).astype(np.float32) * 0.1)
+    variables = model.init(jax.random.key(0), wave, train=False)
+    sd = export_reference_model(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]}, "Model")
+    for expected in ["conformer.class_token", "conformer.fc5.weight",
+                     "conformer.encoder_blocks.1.attn.fn.rel_pos_emb.weight",
+                     "conformer.encoder_blocks.0.conv.net.4.conv.weight",
+                     "conformer.encoder_blocks.0.conv.net.5.running_mean"]:
+        assert expected in sd, expected
+    # torch Conv1d-1x1 layout check
+    assert sd["conformer.encoder_blocks.0.conv.net.2.weight"].ndim == 3
+
+    back = convert_reference_model(sd, "Model", n_encoders=2)
+    _tree_equal(variables["params"]["backend"],
+                back["params"]["backend"], "backend")
+    a = model.apply(variables, wave, train=False)
+    b = model.apply({"params": back["params"],
+                     "batch_stats": back["batch_stats"]}, wave, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)
