@@ -111,12 +111,16 @@ class GraphAttentionLayer(nn.Module):
 
 class HtrgGraphAttentionLayer(nn.Module):
     """Heterogeneous S/T graph attention with master node
-    (ref: aasist_modules.py:112-294)."""
+    (ref: aasist_modules.py:112-294).
+
+    ``fused=True`` routes the eval-mode typed-edge attention+aggregation
+    through the Pallas kernel (:mod:`rtdsd_tpu.ops.pallas.gat`)."""
 
     in_dim: int
     out_dim: int
     temperature: float = 1.0
     dtype: Dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x1: jax.Array, x2: jax.Array,
@@ -132,9 +136,25 @@ class HtrgGraphAttentionLayer(nn.Module):
 
         x = nn.Dropout(0.2, deterministic=not train)(x)
 
-        att_map = self._derive_att_map(x, n1, n2)
+        att_k, att_b = _DenseParams(self.out_dim, name="att_proj")(
+            x.shape[-1])
+        w11 = self._edge_weight("att_weight11")
+        w22 = self._edge_weight("att_weight22")
+        w12 = self._edge_weight("att_weight12")
+
+        if self.fused and not train:
+            from rtdsd_tpu.ops.pallas.gat import fused_htrg_gat_aggregate
+
+            agg = fused_htrg_gat_aggregate(
+                x, att_k, att_b, w11, w22, w12, n1,
+                self.temperature).astype(x.dtype)
+        else:
+            att_map = self._derive_att_map(x, att_k, att_b, w11, w22, w12,
+                                           n1)
+            agg = jnp.einsum("bij,bjd->bid", att_map[..., 0], x)
+
         master = self._update_master(x, master)
-        x = self._project(x, att_map)
+        x = self._project(x, agg)
         x = nn.BatchNorm(use_running_average=not train, name="bn",
                          dtype=self.dtype, **_BN_KW)(x)
         x = jax.nn.selu(x)
@@ -144,13 +164,14 @@ class HtrgGraphAttentionLayer(nn.Module):
         return self.param(name, nn.initializers.xavier_normal(),
                           (self.out_dim, 1))
 
-    def _derive_att_map(self, x, n1, n2):
+    def _derive_att_map(self, x, att_k, att_b, w11, w22, w12, n1):
         att = x[:, :, None, :] * x[:, None, :, :]              # (B, N, N, D)
-        att = jnp.tanh(_dense(self.out_dim, "att_proj", self.dtype)(att))
+        att = jnp.tanh(att @ att_k.astype(att.dtype)
+                       + att_b.astype(att.dtype))
 
-        w11 = self._edge_weight("att_weight11").astype(att.dtype)
-        w22 = self._edge_weight("att_weight22").astype(att.dtype)
-        w12 = self._edge_weight("att_weight12").astype(att.dtype)
+        w11 = w11.astype(att.dtype)
+        w22 = w22.astype(att.dtype)
+        w12 = w12.astype(att.dtype)
         # Typed-edge scalar scores assembled by block concat (the reference
         # writes into a zeros att_board in place, aasist_modules.py:249-258 —
         # functionally identical, but concat is jit-friendly).
@@ -176,9 +197,8 @@ class HtrgGraphAttentionLayer(nn.Module):
         x2 = _dense(self.out_dim, "proj_without_attM", self.dtype)(master)
         return x1 + x2
 
-    def _project(self, x, att_map):
-        x1 = _dense(self.out_dim, "proj_with_att", self.dtype)(
-            jnp.einsum("bij,bjd->bid", att_map[..., 0], x))
+    def _project(self, x, agg):
+        x1 = _dense(self.out_dim, "proj_with_att", self.dtype)(agg)
         x2 = _dense(self.out_dim, "proj_without_att", self.dtype)(x)
         return x1 + x2
 
@@ -307,7 +327,8 @@ class AASISTBackend(nn.Module):
         master2 = master2.astype(out_t.dtype)
 
         hs_gal = lambda i, o, name: HtrgGraphAttentionLayer(
-            i, o, self.temperatures[2], self.dtype, name=name)
+            i, o, self.temperatures[2], self.dtype, self.fused_gat,
+            name=name)
 
         # ---- inference branch 1 (xlsr_aasist.py:129-139) ----
         out_t1, out_s1, m1 = hs_gal(g0, g1, "HtrgGAT_layer_ST11")(

@@ -114,3 +114,89 @@ def fused_gat_aggregate(x: jax.Array, att_proj_kernel: jax.Array,
       att_proj_bias.reshape(1, -1).astype(jnp.float32),
       att_weight.astype(jnp.float32))
     return out[:, :n, :]
+
+
+def _htrg_kernel(xq_ref, x_ref, w_ref, b_ref, w11_ref, w22_ref, w12_ref,
+                 o_ref, *, temp: float, n_valid: int, n1: int):
+    """Heterogeneous variant: edge weight selected by (i, j) node types —
+    w11 for S-S, w22 for T-T, w12 for cross edges
+    (ref aasist_modules.py:239-267)."""
+    xq = xq_ref[0]                    # (8, D)
+    x = x_ref[0]                      # (Np, D)
+    w = w_ref[:]
+    b = b_ref[:]
+    w11, w22, w12 = w11_ref[:], w22_ref[:], w12_ref[:]
+
+    np_nodes = x.shape[0]
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (np_nodes, 1), 0)
+    j_is_1 = j_idx < n1
+    valid = j_idx < n_valid
+    neg_inf = jnp.float32(-1e30)
+    block = pl.program_id(1)
+
+    for q in range(_SUBLANE):
+        i_global = block * _SUBLANE + q
+        i_is_1 = i_global < n1
+        xi = xq[q, :]
+        pair = xi[None, :] * x
+        proj = jnp.tanh(
+            jnp.dot(pair, w, preferred_element_type=jnp.float32) + b)
+        s11 = jnp.dot(proj, w11, preferred_element_type=jnp.float32)
+        s22 = jnp.dot(proj, w22, preferred_element_type=jnp.float32)
+        s12 = jnp.dot(proj, w12, preferred_element_type=jnp.float32)
+        same_1 = jnp.logical_and(i_is_1, j_is_1)
+        same_2 = jnp.logical_and(jnp.logical_not(i_is_1),
+                                 jnp.logical_not(j_is_1))
+        s = jnp.where(same_1, s11, jnp.where(same_2, s22, s12)) / temp
+        s = jnp.where(valid, s, neg_inf)
+        s = s - jnp.max(s, axis=0, keepdims=True)
+        e = jnp.exp(s)
+        soft = e / jnp.sum(e, axis=0, keepdims=True)
+        o_ref[0, q, :] = jnp.sum(soft * x, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("n1", "temperature", "interpret"))
+def fused_htrg_gat_aggregate(x: jax.Array, att_proj_kernel: jax.Array,
+                             att_proj_bias: jax.Array, w11: jax.Array,
+                             w22: jax.Array, w12: jax.Array, n1: int,
+                             temperature: float = 1.0,
+                             interpret: bool | None = None) -> jax.Array:
+    """Typed-edge GAT aggregation for the heterogeneous S/T graph.
+
+    x: (B, N, D) concat of n1 type-1 and N-n1 type-2 nodes.
+    """
+    b, n, d = x.shape
+    do = att_proj_kernel.shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    n_pad = -(-n // _SUBLANE) * _SUBLANE
+    x32 = x.astype(jnp.float32)
+    if n_pad != n:
+        x32 = jnp.pad(x32, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    kernel = functools.partial(_htrg_kernel, temp=float(temperature),
+                               n_valid=n, n1=int(n1))
+    specs = dict(memory_space=_VMEM) if (_VMEM is not None and not interpret) \
+        else {}
+    ew = lambda a: a.astype(jnp.float32)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_pad // _SUBLANE),
+        in_specs=[
+            pl.BlockSpec((1, _SUBLANE, d), lambda bi, i: (bi, i, 0), **specs),
+            pl.BlockSpec((1, n_pad, d), lambda bi, i: (bi, 0, 0), **specs),
+            pl.BlockSpec((d, do), lambda bi, i: (0, 0), **specs),
+            pl.BlockSpec((1, do), lambda bi, i: (0, 0), **specs),
+            pl.BlockSpec((do, 1), lambda bi, i: (0, 0), **specs),
+            pl.BlockSpec((do, 1), lambda bi, i: (0, 0), **specs),
+            pl.BlockSpec((do, 1), lambda bi, i: (0, 0), **specs),
+        ],
+        out_specs=pl.BlockSpec((1, _SUBLANE, d), lambda bi, i: (bi, i, 0),
+                               **specs),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, d), jnp.float32),
+        interpret=interpret,
+    )(x32, x32, att_proj_kernel.astype(jnp.float32),
+      att_proj_bias.reshape(1, -1).astype(jnp.float32),
+      ew(w11), ew(w22), ew(w12))
+    return out[:, :n, :]

@@ -53,3 +53,22 @@ def test_backend_fused_matches_unfused(rng):
     b = fused.apply(variables, feats, train=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
                                atol=2e-4)
+
+
+def test_fused_htrg_matches_einsum(rng):
+    from rtdsd_tpu.models.aasist import HtrgGraphAttentionLayer
+
+    x1 = jnp.asarray(rng.standard_normal((2, 9, 16)).astype(np.float32))
+    x2 = jnp.asarray(rng.standard_normal((2, 5, 16)).astype(np.float32))
+    master = jnp.ones((1, 1, 16))
+    plain = HtrgGraphAttentionLayer(16, 8, temperature=100.0, fused=False)
+    fused = HtrgGraphAttentionLayer(16, 8, temperature=100.0, fused=True)
+    variables = plain.init(jax.random.key(0), x1, x2, master, train=False)
+    a1, a2, am = plain.apply(variables, x1, x2, master, train=False)
+    b1, b2, bm = fused.apply(variables, x1, x2, master, train=False)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(b1), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(b2), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(am), np.asarray(bm), rtol=1e-4,
+                               atol=1e-5)
