@@ -121,8 +121,17 @@ def pick_rawboost_algo(data_augmentation: Sequence[str]) -> Optional[int]:
 
 
 def device_augs(data_augmentation: Sequence[str]) -> Tuple[str, ...]:
-    return tuple(a for a in data_augmentation
-                 if a in ("ACN", "HPF", "LPF", "GAN", "TMK"))
+    """Device-executable augmentation codes. "mul_augment" (the reference's
+    CPU audiomentations chain, augmentation.py:92-108) maps to its device
+    equivalents: time-stretch, gain, air absorption, time mask (background
+    noise needs a corpus and MP3 a codec -- host-side, out of scope)."""
+    out = []
+    for a in data_augmentation:
+        if a in ("ACN", "HPF", "LPF", "GAN", "TMK", "TST", "AIR"):
+            out.append(a)
+        elif a == "mul_augment":
+            out.extend(["TST", "GAN", "AIR", "TMK"])
+    return tuple(dict.fromkeys(out))
 
 
 def make_train_step(model, tx: optax.GradientTransformation, *,

@@ -44,6 +44,11 @@ DEFAULT_PARAMS: Dict[str, Dict[str, float]] = {
     "LPF": {"min_cutoff_freq": 150.0, "max_cutoff_freq": 7500.0, "p": 0.5},
     "GAN": {"min_gain_in_db": -12.0, "max_gain_in_db": 12.0, "p": 0.75},
     "TMK": {"min_band_part": 0.1, "max_band_part": 0.15, "p": 0.5},
+    # device equivalents of the reference's CPU audiomentations chain
+    # (augmentation.py:92-108): TimeStretch(0.8-1.2, length-preserving),
+    # AirAbsorption(1-20 m)
+    "TST": {"min_rate": 0.8, "max_rate": 1.2, "p": 0.75},
+    "AIR": {"min_distance": 1.0, "max_distance": 20.0, "p": 0.75},
 }
 
 _FIR_TAPS = 127
@@ -128,10 +133,45 @@ def _time_mask(key, x, p, min_part, max_part):
     return jnp.where(apply, x * gain, x)
 
 
+def time_stretch(key, x, rate_min: float, rate_max: float):
+    """Length-preserving linear-interpolation resample (audiomentations
+    TimeStretch with leave_length_unchanged=True): rate>1 speeds up (signal
+    ends early, zero tail), rate<1 slows down (tail cropped)."""
+    t = x.shape[-1]
+    rate = jax.random.uniform(key, (), minval=rate_min, maxval=rate_max)
+    src = jnp.arange(t, dtype=jnp.float32) * rate
+    lo = jnp.floor(src).astype(jnp.int32)
+    frac = src - lo
+    hi = jnp.clip(lo + 1, 0, t - 1)
+    valid = lo < t
+    lo = jnp.clip(lo, 0, t - 1)
+    y = x[lo] * (1.0 - frac) + x[hi] * frac
+    return jnp.where(valid, y, 0.0)
+
+
+def air_absorption(key, x, d_min: float, d_max: float, sr: float):
+    """Distance-dependent high-frequency attenuation (audiomentations
+    AirAbsorption equivalent): spectral gain 10^(-a(f)·d/20) with the
+    standard-atmosphere-shaped coefficient a(f) ≈ 0.006·(f/1kHz)^1.8 dB/m
+    (~0.15 dB/m at 6 kHz, matching 20 °C / 50% humidity tables)."""
+    t = x.shape[-1]
+    d = jax.random.uniform(key, (), minval=d_min, maxval=d_max)
+    spec = jnp.fft.rfft(x)
+    freqs = jnp.fft.rfftfreq(t, 1.0 / sr)
+    atten_db = 0.006 * (freqs / 1000.0) ** 1.8 * d
+    gain = 10.0 ** (-atten_db / 20.0)
+    return jnp.fft.irfft(spec * gain, t)
+
+
+def _maybe(key, p, fn, x):
+    ka, kf = jax.random.split(key)
+    return jnp.where(jax.random.bernoulli(ka, p), fn(kf), x)
+
+
 def _augment_single(key: jax.Array, x: jax.Array, aug_list: Tuple[str, ...],
                     sr: float) -> jax.Array:
     p = DEFAULT_PARAMS
-    keys = jax.random.split(key, 5)
+    keys = jax.random.split(key, 7)
     if "ACN" in aug_list:
         a = p["ACN"]
         x = _add_colored_noise(keys[0], x, a["p"], sr, a["min_snr_in_db"],
@@ -152,6 +192,16 @@ def _augment_single(key: jax.Array, x: jax.Array, aug_list: Tuple[str, ...],
         a = p["TMK"]
         x = _time_mask(keys[4], x, a["p"], a["min_band_part"],
                        a["max_band_part"])
+    if "TST" in aug_list:
+        a = p["TST"]
+        x = _maybe(keys[5], a["p"],
+                   lambda k: time_stretch(k, x, a["min_rate"], a["max_rate"]),
+                   x)
+    if "AIR" in aug_list:
+        a = p["AIR"]
+        x = _maybe(keys[6], a["p"],
+                   lambda k: air_absorption(k, x, a["min_distance"],
+                                            a["max_distance"], sr), x)
     return x
 
 

@@ -127,3 +127,49 @@ def test_waveform_augment_shapes_and_determinism(rng):
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
     out3 = waveform_augment(jax.random.key(8), batch)
     assert not np.allclose(np.asarray(out1), np.asarray(out3))
+
+
+def test_time_stretch_semantics(rng):
+    from rtdsd_tpu.ops.augment import time_stretch
+
+    x = jnp.asarray(np.sin(np.arange(2000) / 5).astype(np.float32))
+    # deterministic rate via degenerate range
+    fast = np.asarray(time_stretch(jax.random.key(0), x, 1.25, 1.25))
+    slow = np.asarray(time_stretch(jax.random.key(0), x, 0.8, 0.8))
+    assert fast.shape == slow.shape == (2000,)
+    # rate>1: tail is zero-padded; rate<1: no zeros introduced
+    assert np.all(fast[1601:] == 0)
+    assert not np.any(slow == 0.0) or slow[0] == 0.0
+    # stretched content matches linear resample oracle
+    src = np.arange(2000) * 1.25
+    lo = np.floor(src).astype(int)
+    oracle = np.where(lo < 1999,
+                      np.asarray(x)[np.clip(lo, 0, 1999)] * (1 - (src - lo))
+                      + np.asarray(x)[np.clip(lo + 1, 0, 1999)] * (src - lo),
+                      0.0)
+    oracle[lo >= 2000] = 0.0
+    np.testing.assert_allclose(fast[:1500], oracle[:1500], atol=1e-5)
+
+
+def test_air_absorption_attenuates_highs(rng):
+    from rtdsd_tpu.ops.augment import air_absorption
+
+    t = np.arange(8000) / 16000
+    low = np.sin(2 * np.pi * 200 * t).astype(np.float32)
+    high = np.sin(2 * np.pi * 6000 * t).astype(np.float32)
+    y_low = np.asarray(air_absorption(jax.random.key(0),
+                                      jnp.asarray(low), 20.0, 20.0, 16000))
+    y_high = np.asarray(air_absorption(jax.random.key(0),
+                                       jnp.asarray(high), 20.0, 20.0, 16000))
+    low_ratio = np.linalg.norm(y_low) / np.linalg.norm(low)
+    high_ratio = np.linalg.norm(y_high) / np.linalg.norm(high)
+    assert high_ratio < low_ratio < 1.001
+    assert high_ratio < 0.8
+
+
+def test_mul_augment_mapping():
+    from rtdsd_tpu.engine.steps import device_augs
+
+    assert device_augs(["mul_augment"]) == ("TST", "GAN", "AIR", "TMK")
+    assert device_augs(["ACN", "mul_augment", "RawBoost4"]) == \
+        ("ACN", "TST", "GAN", "AIR", "TMK")
