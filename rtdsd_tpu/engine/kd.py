@@ -349,24 +349,36 @@ class KDTrainer:
         log_every = max(int(num_batches * 0.02), 1)
         num_correct = num_total = iter_count = 0
 
+        # device metrics are flushed to host meters only at log points (a
+        # float() per step would sync-serialize the dispatch pipeline)
+        pending = []
+
+        def flush():
+            nonlocal num_correct
+            for metrics, bsz in pending:
+                for k, v in metrics.items():
+                    if k == "num_correct":
+                        num_correct += int(v)
+                        continue
+                    meters.setdefault(k, self._AverageMeter(k)).update(
+                        float(v), bsz)
+            pending.clear()
+
         for batch in device_prefetch(self.train_loader,
                                      size=self.exp_config.prefetch,
                                      sharding=self.batch_sharding):
             self.state, metrics = self.kd_step(
                 self.state, self.teacher_variables, batch.waves,
                 batch.labels, self._key)
-            bsz = batch.waves.shape[0]
-            for k, v in metrics.items():
-                if k == "num_correct":
-                    continue
-                meters.setdefault(k, self._AverageMeter(k)).update(float(v), bsz)
-            num_correct += int(metrics["num_correct"])
-            num_total += bsz
+            pending.append((metrics, batch.waves.shape[0]))
+            num_total += batch.waves.shape[0]
             iter_count += 1
             if iter_count >= log_every:
+                flush()
                 self.logger.wandbLog({k: m.avg for k, m in meters.items()},
                                      step=int(self.state.step))
                 iter_count = 0
+        flush()
 
         acc = 100.0 * num_correct / max(num_total, 1)
         self.logger.wandbLog({"Train Acc": acc})

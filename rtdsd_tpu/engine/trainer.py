@@ -74,23 +74,32 @@ class Trainer:
         num_total = 0
         t0 = time.time()
 
+        # metrics stay on device between log points: a float() every step
+        # would force a host sync per step and serialize dispatch (expensive
+        # on high-latency links; a pipeline bubble everywhere)
+        pending = []
         batches = device_prefetch(self.train_loader,
                                   size=self.exp_config.prefetch,
                                   sharding=self.batch_sharding)
         for step_idx, batch in enumerate(batches):
             self.state, metrics = self.train_step(
                 self.state, batch.waves, batch.labels, self._key)
-            loss = float(metrics["loss"])
-            loss_sum += loss
-            epoch_loss += loss
-            iter_count += 1
-            num_correct += int(metrics["num_correct"])
+            pending.append(metrics)
             num_total += batch.waves.shape[0]
+            iter_count += 1
             if iter_count >= log_every:
+                losses = [float(m["loss"]) for m in pending]
+                num_correct += sum(int(m["num_correct"]) for m in pending)
+                loss_sum = sum(losses)
+                epoch_loss += loss_sum
+                pending = []
                 self.logger.wandbLog({"Loss": loss_sum / iter_count},
                                      step=int(self.state.step))
-                loss_sum = 0.0
                 iter_count = 0
+        if pending:
+            losses = [float(m["loss"]) for m in pending]
+            num_correct += sum(int(m["num_correct"]) for m in pending)
+            epoch_loss += sum(losses)
 
         acc = 100.0 * num_correct / max(num_total, 1)
         self.logger.wandbLog({"Train Acc": acc})
