@@ -1,0 +1,112 @@
+"""Score-file evaluation: EER from CM score files + protocol labels.
+
+The reference ships raw score files and defers EER to the official external
+ASVspoof 2021 evaluation package (``/root/reference/README.md:10-11``). This
+tool computes EER in-framework from the same artifacts:
+
+    python -m rtdsd_tpu.cli.evaluate --scores runs/scores_DF21.txt \\
+        --config cfg.yaml --track DF21
+    python -m rtdsd_tpu.cli.evaluate --scores s.txt --protocol labels.txt \\
+        --file-field 1 --label-field 5
+
+Score file format: ``utt_id score`` per line (bonafide logit, higher =
+more bonafide). Prints EER% and counts. (min t-DCF additionally needs ASV
+scores, which only the official package distributes — out of scope.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from rtdsd_tpu.utils.metrics import compute_eer
+
+
+def read_scores(path: str) -> dict:
+    out = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                out[parts[0]] = float(parts[1])
+    return out
+
+
+def labels_from_protocol(path: str, file_field: int, label_field: int) -> dict:
+    out = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) <= max(file_field, label_field):
+                continue
+            out[parts[file_field]] = 1 if parts[label_field] == "bonafide" else 0
+    return out
+
+
+# per-track protocol field indices (matching data/protocols.py)
+TRACK_FIELDS = {
+    "LA19": (1, 4), "LA21": (1, 4), "DF21": (1, 5),
+    "InTheWild": (0, 1), "ASVspoof5": (0, 2),
+}
+TRACK_PROTOCOL_ATTR = {
+    "LA19": "path_label_asv_spoof_2019_la_eval",
+    "LA21": "path_label_asv_spoof_2021_la_eval",
+    "DF21": "path_label_asv_spoof_2021_df_eval",
+    "InTheWild": "path_label_in_the_wild",
+    "ASVspoof5": "path_label_asvspoof5",
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--scores", required=True)
+    p.add_argument("--protocol", default=None)
+    p.add_argument("--config", default=None)
+    p.add_argument("--track", default=None, choices=list(TRACK_FIELDS))
+    p.add_argument("--file-field", type=int, default=None)
+    p.add_argument("--label-field", type=int, default=None)
+    args = p.parse_args(argv)
+
+    protocol = args.protocol
+    if protocol is None:
+        if not (args.config and args.track):
+            p.error("need --protocol or (--config + --track)")
+        from rtdsd_tpu.config import load_yaml_config
+
+        sys_cfg, _ = load_yaml_config(args.config)
+        protocol = getattr(sys_cfg, TRACK_PROTOCOL_ATTR[args.track])
+        if args.track == "InTheWild" and not protocol:
+            protocol = sys_cfg.path_label_itw_eval
+
+    ff, lf = args.file_field, args.label_field
+    if ff is None or lf is None:
+        if args.track is None:
+            p.error("need --track or explicit --file-field/--label-field")
+        ff, lf = TRACK_FIELDS[args.track]
+
+    scores = read_scores(args.scores)
+    labels = labels_from_protocol(protocol, ff, lf)
+    # strip extensions from protocol keys if score keys are extension-free
+    if not set(scores) & set(labels):
+        labels = {k.rsplit(".", 1)[0].rsplit("/", 1)[-1]: v
+                  for k, v in labels.items()}
+    common = sorted(set(scores) & set(labels))
+    if not common:
+        print("ERROR: no utterances in common between scores and protocol",
+              file=sys.stderr)
+        return 2
+    s = np.asarray([scores[u] for u in common])
+    y = np.asarray([labels[u] for u in common])
+    n_bona = int(y.sum())
+    eer = compute_eer(s, y, pos_label=1)
+    print(f"trials: {len(common)} (bonafide {n_bona}, spoof "
+          f"{len(common) - n_bona}; {len(scores) - len(common)} scores "
+          f"unmatched)")
+    print(f"EER: {eer:.4f} %")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -107,9 +107,9 @@ def run_train(args, sys_config, exp_config):
         state = load_checkpoint_for_eval(args.ckpt, spec, state)
         logger.print(f"loaded ckpt {args.ckpt}")
 
-    trainer = Trainer(spec.module, state, tx, train_loader, dev_loader, None,
-                      logger, exp_config, sys_config, mesh, bsharding,
-                      rng_seed=exp_config.random_seed)
+    trainer = Trainer(spec.module, state, tx, train_loader, dev_loader,
+                      dev_loader, logger, exp_config, sys_config, mesh,
+                      bsharding, rng_seed=exp_config.random_seed)
 
     if args.accuracy:  # reference --accuracy mode (main.py:190-194)
         loss, acc = trainer.test(is_dev=True)
@@ -141,6 +141,12 @@ def run_train(args, sys_config, exp_config):
                             meta={"epoch": epoch, "dev_loss": dev_loss,
                                   "dev_acc": dev_acc})
             logger.print(f"saved {path}")
+        if jax.process_index() == 0:
+            # rolling crash-resume checkpoint (full state incl. optimizer)
+            save_checkpoint(os.path.join(sys_config.path_to_save_model,
+                                         "last"),
+                            trainer.state, meta={"epoch": epoch,
+                                                 "dev_loss": dev_loss})
         if stopper is not None:
             stopper(dev_loss, epoch,
                     lambda p: save_checkpoint(p, trainer.state,
