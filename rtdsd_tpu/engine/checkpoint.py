@@ -53,6 +53,59 @@ def restore_checkpoint(path: str, target_state: TrainState) -> TrainState:
     return target_state.replace(**tree)
 
 
+_ASYNC_CKPT = None
+
+
+def save_checkpoint_async(path: str, state: TrainState,
+                          meta: Optional[dict] = None):
+    """Non-blocking save via orbax's AsyncCheckpointer (the training loop
+    continues while the state streams to disk). Falls back to the sync
+    msgpack writer when orbax is unavailable. Returns a handle with
+    ``wait_until_finished()`` (no-op object on the fallback path)."""
+    global _ASYNC_CKPT
+    tree = {"step": state.step, "params": state.params,
+            "batch_stats": state.batch_stats, "opt_state": state.opt_state}
+    try:
+        import orbax.checkpoint as ocp
+
+        if _ASYNC_CKPT is None:
+            _ASYNC_CKPT = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        target = os.path.abspath(os.path.join(path, "orbax"))
+        if os.path.exists(target):
+            import shutil
+
+            shutil.rmtree(target)
+        os.makedirs(path, exist_ok=True)
+        _ASYNC_CKPT.save(target, tree)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta or {}, f, indent=2)
+        return _ASYNC_CKPT
+    except Exception:
+        save_checkpoint(path, state, meta)
+
+        class _Done:
+            def wait_until_finished(self):
+                return None
+
+        return _Done()
+
+
+def restore_checkpoint_any(path: str, target_state: TrainState) -> TrainState:
+    """Restore either format: orbax dir or msgpack."""
+    orbax_dir = os.path.join(path, "orbax")
+    if os.path.exists(orbax_dir):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        tree = ckptr.restore(
+            os.path.abspath(orbax_dir),
+            {"step": target_state.step, "params": target_state.params,
+             "batch_stats": target_state.batch_stats,
+             "opt_state": target_state.opt_state})
+        return target_state.replace(**tree)
+    return restore_checkpoint(path, target_state)
+
+
 def load_meta(path: str) -> dict:
     try:
         with open(os.path.join(path, "meta.json")) as f:

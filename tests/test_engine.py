@@ -202,3 +202,18 @@ def test_sharding_rules():
     assert sh["small"]["bias"].spec == P()
     sh = sharding_for_tree(tree, mesh, "fsdp+tp")
     assert sh["big"]["kernel"].spec == P("data", None)
+
+
+def test_async_checkpoint_roundtrip(tmp_path, tiny_setup):
+    from rtdsd_tpu.engine.checkpoint import (restore_checkpoint_any,
+                                             save_checkpoint_async)
+
+    model, tx, state, waves = tiny_setup
+    path = str(tmp_path / "async_ckpt")
+    handle = save_checkpoint_async(path, state, meta={"epoch": 1})
+    handle.wait_until_finished()
+    fresh = create_train_state(model, jax.random.key(9), waves, tx)
+    restored = restore_checkpoint_any(path, fresh)
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
