@@ -30,6 +30,18 @@ from rtdsd_tpu.data.io import load_audio
 from rtdsd_tpu.data.protocols import Trial
 
 
+def resample(wave: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase resample to the configured rate (the reference's
+    ``librosa.load(..., sr=16000)`` resampled implicitly,
+    test_set.py:109)."""
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    g = gcd(int(sr), int(target_sr))
+    return resample_poly(wave, target_sr // g, sr // g).astype(np.float32)
+
+
 def _tile_to(x: np.ndarray, duration: int) -> np.ndarray:
     if len(x) >= duration:
         return x
@@ -76,7 +88,9 @@ class AudioDataset:
     def get(self, index: int, rng: Optional[np.random.Generator] = None
             ) -> Tuple[str, np.ndarray, int]:
         t = self.trials[index]
-        wave, _sr = load_audio(t.path)
+        wave, sr = load_audio(t.path)
+        if sr and sr != self.sample_rate:
+            wave = resample(wave, sr, self.sample_rate)
         if self.is_random_start and rng is not None:
             wave = adjust_duration_random_start(wave, self.duration, rng)
         else:

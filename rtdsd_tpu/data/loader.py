@@ -111,7 +111,8 @@ class DataLoader:
                 if self.dataset.is_random_start else 0)
         waves, failed = self._native.load_batch(
             [t.path for t in trials], self.dataset.duration, seed=seed,
-            threads=self.num_workers)
+            threads=self.num_workers,
+            expected_sr=self.dataset.sample_rate)
         if failed:
             raise RuntimeError(
                 f"native decode failed for {failed} file(s) in batch")

@@ -37,10 +37,11 @@ def _load():
             ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
         lib.rtdsd_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
-        lib.rtdsd_load_batch.restype = ctypes.c_int
-        lib.rtdsd_load_batch.argtypes = [
+        lib.rtdsd_load_batch_sr.restype = ctypes.c_int
+        lib.rtdsd_load_batch_sr.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int64,
-            ctypes.c_uint64, ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+            ctypes.c_uint64, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.c_int]
         _lib = lib
     except OSError:
         _lib = None
@@ -84,9 +85,11 @@ def decode(path: str) -> Tuple[np.ndarray, int]:
 
 
 def load_batch(paths: List[str], duration: int, seed: int = 0,
-               threads: int = 0) -> Tuple[np.ndarray, int]:
-    """Decode + duration-fit a batch. Returns ((B, duration) float32,
-    n_failed). seed=0 -> deterministic first-window crops."""
+               threads: int = 0, expected_sr: int = 16000
+               ) -> Tuple[np.ndarray, int]:
+    """Decode + (linear) resample to expected_sr if needed + duration-fit a
+    batch. Returns ((B, duration) float32, n_failed). seed=0 ->
+    deterministic first-window crops; expected_sr=0 disables resampling."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library not built")
@@ -94,7 +97,8 @@ def load_batch(paths: List[str], duration: int, seed: int = 0,
         threads = min(len(paths), os.cpu_count() or 1)
     out = np.empty((len(paths), duration), np.float32)
     c_paths = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
-    failed = lib.rtdsd_load_batch(
+    failed = lib.rtdsd_load_batch_sr(
         c_paths, len(paths), duration, seed,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), threads)
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), threads,
+        expected_sr)
     return out, int(failed)

@@ -453,11 +453,14 @@ int64_t rtdsd_decode(const char* path, float** out, int* channels,
 void rtdsd_free(float* p) { free(p); }
 
 // Batched loader: decode `count` files on `num_threads` threads, take
-// channel 0, repeat-tile + crop to `duration` samples (random-start when
-// seed != 0, deterministic per (seed, index)), write into out[count][duration]
-// (caller-allocated, C-contiguous). Returns number of failed files.
-int rtdsd_load_batch(const char** paths, int count, int64_t duration,
-                     uint64_t seed, float* out, int num_threads) {
+// channel 0, linear-resample to expected_sr when the file rate differs
+// (expected_sr > 0), repeat-tile + crop to `duration` samples (random-start
+// when seed != 0, deterministic per (seed, index)), write into
+// out[count][duration] (caller-allocated, C-contiguous). Returns number of
+// failed files.
+int rtdsd_load_batch_sr(const char** paths, int count, int64_t duration,
+                        uint64_t seed, float* out, int num_threads,
+                        int expected_sr) {
   std::atomic<int> next(0), failed(0);
   int nt = num_threads > 0 ? num_threads : 1;
   if (nt > count) nt = count;
@@ -477,7 +480,28 @@ int rtdsd_load_batch(const char** paths, int count, int64_t duration,
         continue;
       }
       uint32_t ch = info.channels ? info.channels : 1;
-      // channel 0, repeat-tile to >= duration, then window
+      // mono channel 0
+      std::vector<float> mono((size_t)n);
+      for (int64_t t = 0; t < n; ++t) mono[(size_t)t] = pcm[(size_t)t * ch];
+      // linear resample if the container rate differs from the pipeline rate
+      if (expected_sr > 0 && info.sample_rate > 0 &&
+          (int)info.sample_rate != expected_sr) {
+        double ratio = (double)info.sample_rate / (double)expected_sr;
+        int64_t n2 = (int64_t)((double)n / ratio);
+        if (n2 < 1) n2 = 1;
+        std::vector<float> res((size_t)n2);
+        for (int64_t t = 0; t < n2; ++t) {
+          double srcp = (double)t * ratio;
+          int64_t lo = (int64_t)srcp;
+          double frac = srcp - (double)lo;
+          int64_t hi = lo + 1 < n ? lo + 1 : n - 1;
+          res[(size_t)t] = (float)((1.0 - frac) * mono[(size_t)lo] +
+                                   frac * mono[(size_t)hi]);
+        }
+        mono.swap(res);
+        n = n2;
+      }
+      // repeat-tile to >= duration, then window
       int64_t start = 0;
       if (seed != 0 && n > duration) {
         uint64_t s = seed ^ (0x9E3779B97F4A7C15ull * (uint64_t)(i + 1));
@@ -485,8 +509,7 @@ int rtdsd_load_batch(const char** paths, int count, int64_t duration,
         start = (int64_t)(xorshift64(&s) % (uint64_t)(n - duration + 1));
       }
       for (int64_t t = 0; t < duration; ++t) {
-        int64_t src = (start + t) % n;
-        dst[t] = pcm[(size_t)src * ch];
+        dst[t] = mono[(size_t)((start + t) % n)];
       }
     }
   };
@@ -495,6 +518,13 @@ int rtdsd_load_batch(const char** paths, int count, int64_t duration,
   for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
   for (auto& th : threads) th.join();
   return failed.load();
+}
+
+// Back-compat entry point (no resampling).
+int rtdsd_load_batch(const char** paths, int count, int64_t duration,
+                     uint64_t seed, float* out, int num_threads) {
+  return rtdsd_load_batch_sr(paths, count, duration, seed, out, num_threads,
+                             0);
 }
 
 }  // extern "C"

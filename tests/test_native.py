@@ -264,3 +264,23 @@ def test_batch_loader_missing_file(tmp_path, rng):
     assert failed == 1
     assert np.all(out[1] == 0)
     assert not np.all(out[0] == 0)
+
+
+def test_batch_loader_resamples(tmp_path, rng):
+    """A 32 kHz file is resampled to the pipeline's 16 kHz."""
+    from rtdsd_tpu.data.io import write_wav
+
+    t = np.arange(3200) / 32000  # 0.1 s at 32 kHz
+    wave = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    path = str(tmp_path / "hi.wav")
+    write_wav(path, wave, 32000)
+    out, failed = native.load_batch([path], duration=1600, expected_sr=16000)
+    assert failed == 0
+    # 0.1 s at 16 kHz = 1600 samples of a 440 Hz tone: same frequency content
+    spec = np.abs(np.fft.rfft(out[0]))
+    peak_hz = np.argmax(spec) * 16000 / 1600
+    assert abs(peak_hz - 440) < 20
+    # without resampling the tone would read as 220 Hz worth of cycles... and
+    # with expected_sr=0 the raw samples are tiled instead
+    out2, _ = native.load_batch([path], duration=1600, expected_sr=0)
+    assert not np.allclose(out, out2)
