@@ -72,3 +72,25 @@ def test_fused_htrg_matches_einsum(rng):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(am), np.asarray(bm), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_int8_quantize_roundtrip(rng):
+    from rtdsd_tpu.ops.pallas.quant import (dequantize_int8, quantize_int8,
+                                            quantized_matmul)
+
+    w = rng.standard_normal((64, 32)).astype(np.float32) * 0.1
+    vals, scales = quantize_int8(jnp.asarray(w), interpret=True)
+    assert np.asarray(vals).dtype == np.int8
+    assert scales.shape == (1, 32)
+    back = np.asarray(dequantize_int8(vals, scales))
+    # round-to-nearest error bound: half a quantization step per element
+    # (tiny slack for float32 divide/round at the half-step boundary)
+    assert np.all(np.abs(back - w) <= np.asarray(scales) / 2 * 1.01 + 1e-6)
+
+    x = rng.standard_normal((4, 64)).astype(np.float32)
+    got = np.asarray(quantized_matmul(jnp.asarray(x), vals, scales))
+    want = x @ back
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # and close to the unquantized matmul
+    rel = np.abs(got - x @ w).max() / (np.abs(x @ w).max() + 1e-9)
+    assert rel < 0.05

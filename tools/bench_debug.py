@@ -4,10 +4,11 @@ slow remote-compile environments). Not part of the public API."""
 import sys
 import time
 
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 t0 = time.time()
 
-import sys as _s, os as _o
-_s.path.insert(0, _o.path.dirname(_o.path.dirname(_o.path.abspath(__file__))))
 
 def log(msg):
     print(f"[{time.time() - t0:7.1f}s] {msg}", file=sys.stderr, flush=True)
