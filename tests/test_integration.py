@@ -82,3 +82,55 @@ def test_remat_matches_no_remat(waves):
     b = model_b.apply(variables, waves, train=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_parallel_modes_numerically_equivalent(waves):
+    """One train step of the tiny flagship under single-device, dp, and
+    fsdp+tp shardings must produce the same loss and params."""
+    import optax
+    from rtdsd_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                         sharding_for_tree)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    model = XLSR_AASIST(w2v_cfg=TINY)
+    tx = optax.sgd(1e-3)  # sgd: updates proportional to grads
+    labels = jnp.asarray([0, 1, 0, 1] * 2)
+    waves8 = jnp.concatenate([waves, waves])
+    state0 = create_train_state(model, jax.random.key(0), waves, tx)
+    step = make_train_step(model, tx, preemph=0.97, donate=False)
+
+    results = {}
+    # single device
+    s, m = step(state0, waves8, labels, jax.random.key(1))
+    results["single"] = (float(m["loss"]), s.params)
+
+    # dp over 8
+    mesh = make_mesh(data=8)
+    bsh = batch_sharding(mesh)
+    s, m = step(state0, jax.device_put(waves8, bsh),
+                jax.device_put(labels, bsh), jax.random.key(1))
+    results["dp"] = (float(m["loss"]), s.params)
+
+    # fsdp+tp over 4x2
+    mesh = make_mesh(data=4, model=2)
+    psh = sharding_for_tree(state0.params, mesh, "fsdp+tp")
+    params = jax.tree_util.tree_map(jax.device_put, state0.params, psh)
+    state_sh = state0.replace(params=params, opt_state=tx.init(params))
+    bsh = batch_sharding(mesh)
+    s, m = step(state_sh, jax.device_put(waves8, bsh),
+                jax.device_put(labels, bsh), jax.random.key(1))
+    results["fsdp+tp"] = (float(m["loss"]), s.params)
+
+    base_loss, base_params = results["single"]
+    for mode in ["dp", "fsdp+tp"]:
+        loss, params = results[mode]
+        assert abs(loss - base_loss) < 1e-4, (mode, loss, base_loss)
+        # reductions reassociate across shardings (BN stats, grad sums), so
+        # equivalence is functional, not bitwise: updates are lr*grad ~ 1e-3
+        # and must agree to a few percent of that scale
+        for a, b in zip(jax.tree_util.tree_leaves(base_params),
+                        jax.tree_util.tree_leaves(params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-2, atol=5e-4,
+                                       err_msg=mode)
