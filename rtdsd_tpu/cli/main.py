@@ -57,6 +57,9 @@ def parse_args(argv=None):
                    help="comma list: LA19/LA21/DF21/InTheWild/ASVspoof5/FakeOrReal")
     p.add_argument("--max_epoch", type=int, default=None,
                    help="override ExpConfig.max_epoch")
+    p.add_argument("--w8", action="store_true", default=False,
+                   help="weight-only int8 scoring (overrides "
+                        "ExpConfig.w8_scoring)")
     return p.parse_args(argv)
 
 
@@ -166,6 +169,18 @@ def run_score(args, sys_config, exp_config, tracks):
     state = load_checkpoint_for_eval(args.ckpt, spec, state)
     print(f"Loaded checkpoint from {args.ckpt}")
 
+    if getattr(args, "w8", False) or exp_config.w8_scoring:
+        # serving mode: int8 transformer matmul weights (models/quantize.py)
+        from rtdsd_tpu.models.quantize import quantize_encoder_params
+
+        kwargs = dict(exp_config.kwargs)
+        w2v = dict(kwargs.get("w2v", {}) or {})
+        w2v["w8"] = True
+        kwargs["w2v"] = w2v
+        spec = build_model(sys_config, exp_config, train=False, kwargs=kwargs)
+        state = state.replace(params=quantize_encoder_params(state.params))
+        print("w8 scoring: XLSR transformer weights quantized to int8")
+
     for track in tracks:
         if track not in TRACK_DATASETS:
             raise ValueError(f"Invalid track {track!r}")
@@ -186,6 +201,11 @@ def run_score(args, sys_config, exp_config, tracks):
 def main(argv=None):
     args = parse_args(argv)
     tracks = args.tracks.split(",")
+    if args.is_eval and args.is_score:
+        for track in tracks:  # fail fast, before any checkpoint IO
+            if track not in TRACK_DATASETS:
+                raise ValueError(f"Invalid track {track!r}; "
+                                 f"have {sorted(TRACK_DATASETS)}")
     sys_config, exp_config = load_yaml_config(args.config)
 
     if args.is_eval:

@@ -79,6 +79,9 @@ class SysConfig:
     # XLSR front-end converter, and the converted pytree cache location.
     ssl_ckpt_path: str = ""
     ssl_pytree_path: str = ""
+    # Background-noise corpus dir for the mul_augment host chain (the
+    # reference hardcodes a private AudioSet dir, augmentation.py:93-94).
+    noise_path: str = ""
 
     @classmethod
     def from_dict(cls, cfg: Dict[str, Any]) -> "SysConfig":
@@ -122,6 +125,10 @@ class ExpConfig:
     # Whether the CE loss uses the reference's fixed class weights [0.9, 0.1]
     # (/root/reference/main.py:105-107 — index 0 = spoof, 1 = bonafide).
     ce_weight: List[float] = field(default_factory=lambda: [0.9, 0.1])
+    # Weight-only int8 scoring (serving): quantize the XLSR transformer
+    # matmuls after checkpoint load (models/quantize.py). Halves weight HBM
+    # traffic — a real-time small-batch latency knob; `--w8` overrides.
+    w8_scoring: bool = False
 
     @property
     def train_duration_samples(self) -> int:

@@ -72,11 +72,15 @@ class AudioDataset:
     """Trial list + decode + duration fit. ``get(i, rng)`` -> (utt_id, wave, label)."""
 
     def __init__(self, trials: Sequence[Trial], duration: int,
-                 is_random_start: bool = False, sample_rate: int = 16000):
+                 is_random_start: bool = False, sample_rate: int = 16000,
+                 host_augment=None):
         self.trials = list(trials)
         self.duration = int(duration)
         self.is_random_start = is_random_start
         self.sample_rate = sample_rate
+        # per-item host transform (corpus/codec augs, data/host_augment.py);
+        # applied after duration fit on both loader paths
+        self.host_augment = host_augment
 
     def __len__(self) -> int:
         return len(self.trials)
@@ -95,6 +99,8 @@ class AudioDataset:
             wave = adjust_duration_random_start(wave, self.duration, rng)
         else:
             wave = adjust_duration(wave, self.duration)
+        if self.host_augment is not None and rng is not None:
+            wave = self.host_augment(wave, rng)
         return t.utt_id, wave.astype(np.float32), t.label
 
 
@@ -117,10 +123,19 @@ class ASVspoof2019LA(AudioDataset):
             include_residual=exp_config.include_residual)
         self.num_of_spoof = n_spoof
         self.num_of_bonafide = n_bona
+        host_chain = None
+        if (is_train and exp_config.allow_data_augmentation
+                and "mul_augment" in (exp_config.data_augmentation or [])
+                and sys_config.noise_path):
+            from rtdsd_tpu.data.host_augment import build_host_chain
+
+            host_chain = build_host_chain(sys_config.noise_path,
+                                          exp_config.sample_rate)
         super().__init__(
             trials, exp_config.train_duration_samples,
             is_random_start=is_train and exp_config.is_random_start,
-            sample_rate=exp_config.sample_rate)
+            sample_rate=exp_config.sample_rate,
+            host_augment=host_chain)
 
 
 class ASVspoof2019LA_eval(AudioDataset):

@@ -116,6 +116,9 @@ class DataLoader:
         if failed:
             raise RuntimeError(
                 f"native decode failed for {failed} file(s) in batch")
+        aug = getattr(self.dataset, "host_augment", None)
+        if aug is not None:
+            waves = np.stack([aug(w, rng) for w in waves])
         return Batch([t.utt_id for t in trials], waves,
                      np.asarray([t.label for t in trials], np.int32), valid)
 

@@ -123,8 +123,9 @@ def pick_rawboost_algo(data_augmentation: Sequence[str]) -> Optional[int]:
 def device_augs(data_augmentation: Sequence[str]) -> Tuple[str, ...]:
     """Device-executable augmentation codes. "mul_augment" (the reference's
     CPU audiomentations chain, augmentation.py:92-108) maps to its device
-    equivalents: time-stretch, gain, air absorption, time mask (background
-    noise needs a corpus and MP3 a codec -- host-side, out of scope)."""
+    equivalents: time-stretch, gain, air absorption, time mask. Background
+    noise (needs a corpus) and MP3 (needs a codec) run host-side per item
+    via data/host_augment.py when SysConfig.noise_path is set."""
     out = []
     for a in data_augmentation:
         if a in ("ACN", "HPF", "LPF", "GAN", "TMK", "TST", "AIR"):

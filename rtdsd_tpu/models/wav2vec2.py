@@ -69,6 +69,13 @@ class Wav2Vec2Config:
     # compilation cache). "dots": strided convs decomposed into k
     # strided-slice MXU matmuls (~6x faster cold compile, ~30% slower run).
     conv_impl: str = "conv"
+    # Weight-only int8 transformer matmuls (serving mode): q/k/v/out/fc1/fc2
+    # kernels are stored as int8 values + per-output-column float scales
+    # (produced by models/quantize.py from a trained f32 tree), dequantized
+    # on the fly inside the matmul. Halves the ~600 MB weight HBM traffic per
+    # forward vs bf16 — a small-batch / real-time latency knob; at large
+    # batch the model is MXU-bound and w8 is neutral.
+    w8: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -205,6 +212,30 @@ class PositionalConv(nn.Module):
         return jax.nn.gelu(pos, approximate=False)
 
 
+class W8Dense(nn.Module):
+    """Dense with weight-only int8 storage: ``y = (x @ vals) * scales + b``.
+
+    ``vals`` (in, out) int8 and ``scales`` (1, out) float32 come from
+    :func:`rtdsd_tpu.models.quantize.quantize_encoder_params`; the per-column
+    scale commutes out of the matmul, so dequantization is a fused epilogue
+    and the kernel bytes read from HBM stay int8.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        vals = self.param("vals", nn.initializers.zeros_init(),
+                          (x.shape[-1], self.features), jnp.int8)
+        scales = self.param("scales", nn.initializers.ones_init(),
+                            (1, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        y = jnp.dot(x.astype(self.dtype), vals.astype(self.dtype))
+        return y * scales[0].astype(self.dtype) + bias.astype(self.dtype)
+
+
 class TransformerLayer(nn.Module):
     """Pre-LN transformer layer (fairseq TransformerSentenceEncoderLayer,
     layer_norm_first=True)."""
@@ -218,8 +249,13 @@ class TransformerLayer(nn.Module):
         residual = x
         h = nn.LayerNorm(name="self_attn_layer_norm", dtype=self.dtype)(x)
 
+        def dense(features, name):
+            if cfg.w8:
+                return W8Dense(features, name=name, dtype=self.dtype)
+            return nn.Dense(features, name=name, dtype=self.dtype)
+
         def proj(name):
-            return nn.Dense(cfg.encoder_embed_dim, name=name, dtype=self.dtype)
+            return dense(cfg.encoder_embed_dim, name)
 
         b, t, d = h.shape
         shape_h = (b, t, cfg.encoder_heads, cfg.head_dim)
@@ -234,10 +270,10 @@ class TransformerLayer(nn.Module):
 
         residual = x
         h = nn.LayerNorm(name="final_layer_norm", dtype=self.dtype)(x)
-        h = nn.Dense(cfg.encoder_ffn_dim, name="fc1", dtype=self.dtype)(h)
+        h = dense(cfg.encoder_ffn_dim, "fc1")(h)
         h = jax.nn.gelu(h, approximate=False)
         h = nn.Dropout(cfg.activation_dropout, deterministic=not train)(h)
-        h = nn.Dense(cfg.encoder_embed_dim, name="fc2", dtype=self.dtype)(h)
+        h = dense(cfg.encoder_embed_dim, "fc2")(h)
         h = nn.Dropout(cfg.dropout, deterministic=not train)(h)
         return residual + h
 

@@ -22,10 +22,10 @@ Bernoulli application masks use ``jnp.where`` so every example costs the same
 
 The reference's CPU-side ``process_audiomentations`` chain
 (augmentation.py:92-108: background noise from a private AudioSet dir,
-time-stretch, air absorption, time mask, MP3 compression) depends on local
-corpora/codecs; the in-framework equivalents here are gain / noise / filters /
-time-mask; codec-based augmentation is host-side and out of scope for the
-device pipeline (SURVEY.md §2.4).
+time-stretch, air absorption, time mask, MP3 compression) splits across the
+pipeline: the math-only transforms run here on device (TST/GAN/AIR/TMK); the
+corpus/codec transforms (AddBackgroundNoise, Mp3Compression) run host-side
+per item in :mod:`rtdsd_tpu.data.host_augment`.
 """
 
 from __future__ import annotations

@@ -31,7 +31,8 @@ except Exception:  # pragma: no cover
 
 
 def _quant_kernel(seed_ref, x_ref, val_ref, scale_ref):
-    pltpu.prng_seed(seed_ref[0])
+    # per-column-block grid: decorrelate the PRNG stream across blocks
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     x = x_ref[:]
     # per-column scale: max |x| / 127
     absmax = jnp.max(jnp.abs(x), axis=0, keepdims=True)
@@ -54,8 +55,13 @@ def quantize_int8(x: jax.Array, seed: int | jax.Array = 0,
         interpret = jax.default_backend() != "tpu"
     x = x.astype(jnp.float32)
     r, c = x.shape
-    if interpret or pltpu is None:
-        # portable path: deterministic round-to-nearest
+    # Column-block grid: per-column scales make columns independent, so
+    # blocks are (all rows, bc cols) sized to fit scoped VMEM. Full-matrix
+    # blocks OOM on real layer shapes ((4096, 1024) f32 = 16.8 MB > the
+    # 16 MB scoped-vmem stack).
+    bc = _col_block(r, c)
+    if interpret or pltpu is None or bc is None:
+        # portable path (also the odd-shape fallback): round-to-nearest
         absmax = jnp.max(jnp.abs(x), axis=0, keepdims=True)
         scale = jnp.maximum(absmax, 1e-12) / 127.0
         vals = jnp.clip(jnp.round(x / scale), -128, 127).astype(jnp.int8)
@@ -64,16 +70,33 @@ def quantize_int8(x: jax.Array, seed: int | jax.Array = 0,
     seed_arr = jnp.asarray([seed], jnp.int32)
     vals, scales = pl.pallas_call(
         _quant_kernel,
+        grid=(c // bc,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=_VMEM),
+            pl.BlockSpec((r, bc), lambda i: (0, i)),
         ],
-        out_specs=(pl.BlockSpec(memory_space=_VMEM),
-                   pl.BlockSpec(memory_space=_VMEM)),
+        out_specs=(pl.BlockSpec((r, bc), lambda i: (0, i)),
+                   pl.BlockSpec((1, bc), lambda i: (0, i))),
         out_shape=(jax.ShapeDtypeStruct((r, c), jnp.int8),
                    jax.ShapeDtypeStruct((1, c), jnp.float32)),
     )(seed_arr, x)
     return vals, scales
+
+
+# ~4 MB of f32 input per block leaves room for the int8 output, the random
+# bits, and the f32 intermediates inside the 16 MB scoped-VMEM stack.
+_BLOCK_BYTES = 4 * 1024 * 1024
+
+
+def _col_block(r: int, c: int) -> int | None:
+    """Largest 128-multiple column-block width that divides c and fits VMEM;
+    None -> shapes unsuited to the TPU kernel (caller falls back to jnp)."""
+    if c % 128 != 0:
+        return None
+    bc = min(c, max(128, _BLOCK_BYTES // (4 * r) // 128 * 128))
+    while c % bc != 0:
+        bc -= 128
+    return bc
 
 
 def dequantize_int8(vals: jax.Array, scales: jax.Array,

@@ -164,3 +164,71 @@ def test_loader_threaded_matches_sync(wav_dataset):
     a = [b.utt_ids for b in DataLoader(wav_dataset, 2, num_workers=1)]
     b = [b.utt_ids for b in DataLoader(wav_dataset, 2, num_workers=3)]
     assert a == b
+
+
+# ------------------------------------------------ host corpus augmentation
+
+def _noise_dir(tmp_path, rng, n=3, length=1200):
+    d = tmp_path / "noises"
+    d.mkdir()
+    for i in range(n):
+        write_wav(str(d / f"n{i}.wav"),
+                  (rng.standard_normal(length) * 0.1).astype(np.float32),
+                  16000)
+    return str(d)
+
+
+def test_background_noise_snr(tmp_path, rng):
+    from rtdsd_tpu.data.host_augment import BackgroundNoiseCorpus
+
+    corpus = BackgroundNoiseCorpus(_noise_dir(tmp_path, rng), p=1.0,
+                                   min_snr_db=10.0, max_snr_db=10.0)
+    wave = (rng.standard_normal(800) * 0.3).astype(np.float32)
+    out = corpus(wave, np.random.default_rng(0))
+    added = out - wave
+    assert added.any()  # noise was mixed in
+    snr_db = 20 * np.log10(np.sqrt(np.mean(wave ** 2))
+                           / np.sqrt(np.mean(added ** 2)))
+    assert abs(snr_db - 10.0) < 0.1  # exact SNR scaling
+
+
+def test_background_noise_probability_gate(tmp_path, rng):
+    from rtdsd_tpu.data.host_augment import BackgroundNoiseCorpus
+
+    corpus = BackgroundNoiseCorpus(_noise_dir(tmp_path, rng), p=0.0)
+    wave = rng.standard_normal(800).astype(np.float32)
+    out = corpus(wave, np.random.default_rng(0))
+    np.testing.assert_array_equal(out, wave)
+
+
+def test_host_chain_wired_into_dataset(tmp_path, rng):
+    from rtdsd_tpu.data.host_augment import (BackgroundNoiseCorpus,
+                                             HostAugmentChain)
+
+    trials = []
+    for i in range(3):
+        p = str(tmp_path / f"s{i}.wav")
+        write_wav(p, (rng.standard_normal(900) * 0.2).astype(np.float32),
+                  16000)
+        trials.append(Trial(p, f"s{i}", 1))
+    chain = HostAugmentChain([BackgroundNoiseCorpus(
+        _noise_dir(tmp_path, rng), p=1.0)])
+    ds_plain = AudioDataset(trials, duration=800)
+    ds_aug = AudioDataset(trials, duration=800, host_augment=chain)
+    g = np.random.default_rng(3)
+    _, plain, _ = ds_plain.get(0, g)
+    _, auged, _ = ds_aug.get(0, np.random.default_rng(3))
+    assert plain.shape == auged.shape == (800,)
+    assert not np.array_equal(plain, auged)
+    # eval path (no rng) stays augmentation-free
+    _, w, _ = ds_aug.get(0)
+    np.testing.assert_array_equal(w, plain)
+
+
+def test_mp3_compression_gated():
+    from rtdsd_tpu.data import host_augment as ha
+
+    if ha.mp3_codec_available():
+        pytest.skip("codec present; gating path not exercised")
+    with pytest.raises(ImportError):
+        ha.Mp3Compression()

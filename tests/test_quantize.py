@@ -1,0 +1,78 @@
+"""Weight-only int8 (w8) serving path: W8Dense math + full-tree conversion."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtdsd_tpu.models.quantize import (quantize_encoder_params,
+                                       quantize_variables, w8_bytes_saved)
+from rtdsd_tpu.models.wav2vec2 import W8Dense, Wav2Vec2Config, Wav2Vec2Encoder
+
+TINY = Wav2Vec2Config(
+    conv_layers=((64, 10, 5), (64, 3, 2), (64, 2, 2)),
+    encoder_embed_dim=64, encoder_ffn_dim=128, encoder_heads=4,
+    encoder_layers=3, conv_pos=16, conv_pos_groups=4)
+
+
+def test_w8dense_matches_dequant_oracle():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((5, 16)), jnp.float32)
+    vals = jnp.asarray(rng.integers(-128, 128, (16, 8)), jnp.int8)
+    scales = jnp.asarray(rng.uniform(0.01, 0.1, (1, 8)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(8), jnp.float32)
+    out = W8Dense(8).apply(
+        {"params": {"vals": vals, "scales": scales, "bias": bias}}, x)
+    oracle = x @ (vals.astype(jnp.float32) * scales) + bias
+    np.testing.assert_allclose(np.asarray(out), np.asarray(oracle),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_w8_encoder_close_to_f32():
+    wave = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 3200)) * 0.2,
+        jnp.float32)
+    f32 = Wav2Vec2Encoder(TINY)
+    variables = f32.init(jax.random.key(0), wave)
+    ref = f32.apply(variables, wave)
+
+    w8_model = Wav2Vec2Encoder(dataclasses.replace(TINY, w8=True))
+    qvars = quantize_variables(variables)
+    out = w8_model.apply(qvars, wave)
+
+    assert out.shape == ref.shape
+    ref_n, out_n = np.asarray(ref), np.asarray(out)
+    # weight-only per-column int8 keeps activations close; compare rel error
+    rel = np.linalg.norm(out_n - ref_n) / np.linalg.norm(ref_n)
+    assert rel < 0.05, f"w8 rel error {rel:.4f}"
+    # and the quantized tree actually stores int8 stacked kernels
+    lyr = qvars["params"]["layers"]["layer"]
+    assert lyr["fc1"]["vals"].dtype == jnp.int8
+    assert lyr["fc1"]["vals"].shape == (3, 64, 128)
+    assert lyr["fc1"]["scales"].shape == (3, 1, 128)
+    assert "kernel" not in lyr["fc1"]
+
+
+def test_w8_param_structure_matches_model_init():
+    """The converted tree must be apply-able: same structure as w8 init."""
+    wave = jnp.zeros((1, 3200), jnp.float32)
+    f32 = Wav2Vec2Encoder(TINY)
+    variables = f32.init(jax.random.key(0), wave)
+    qparams = quantize_encoder_params(variables["params"])
+
+    w8_model = Wav2Vec2Encoder(dataclasses.replace(TINY, w8=True))
+    w8_init = w8_model.init(jax.random.key(0), wave)["params"]
+    paths_q = {jax.tree_util.keystr(p)
+               for p, _ in jax.tree_util.tree_flatten_with_path(qparams)[0]}
+    paths_i = {jax.tree_util.keystr(p)
+               for p, _ in jax.tree_util.tree_flatten_with_path(w8_init)[0]}
+    assert paths_q == paths_i
+
+
+def test_w8_bytes_saved_counts_only_transformer_matmuls():
+    wave = jnp.zeros((1, 3200), jnp.float32)
+    variables = Wav2Vec2Encoder(TINY).init(jax.random.key(0), wave)
+    saved = w8_bytes_saved(variables["params"])
+    # 3 layers x (4 * 64*64 + 2 * 64*128) params
+    assert saved == 3 * (4 * 64 * 64 + 2 * 64 * 128)
