@@ -100,6 +100,24 @@ def load_checkpoint_for_eval(ckpt: str, spec: ModelSpec,
     return state.replace(params=params, batch_stats=stats)
 
 
+def apply_w8(sys_config: SysConfig, exp_config: ExpConfig, state: TrainState,
+             name: Optional[str] = None, kwargs: Optional[dict] = None
+             ) -> Tuple[ModelSpec, TrainState]:
+    """Serving mode: rebuild the spec with int8 transformer matmuls and
+    quantize the loaded params (models/quantize.py)."""
+    from rtdsd_tpu.models.quantize import quantize_encoder_params
+
+    kwargs = dict(kwargs if kwargs is not None else exp_config.kwargs)
+    w2v = dict(kwargs.get("w2v", {}) or {})
+    w2v["w8"] = True
+    kwargs["w2v"] = w2v
+    spec = build_model(sys_config, exp_config, name=name, train=False,
+                       kwargs=kwargs)
+    state = state.replace(params=quantize_encoder_params(state.params))
+    print("w8 scoring: XLSR transformer weights quantized to int8")
+    return spec, state
+
+
 def setup_mesh(exp_config: ExpConfig):
     mesh = make_mesh(exp_config.mesh_data_axis, exp_config.mesh_model_axis)
     return mesh, batch_sharding(mesh)

@@ -170,16 +170,9 @@ def run_score(args, sys_config, exp_config, tracks):
     print(f"Loaded checkpoint from {args.ckpt}")
 
     if getattr(args, "w8", False) or exp_config.w8_scoring:
-        # serving mode: int8 transformer matmul weights (models/quantize.py)
-        from rtdsd_tpu.models.quantize import quantize_encoder_params
+        from rtdsd_tpu.cli.common import apply_w8
 
-        kwargs = dict(exp_config.kwargs)
-        w2v = dict(kwargs.get("w2v", {}) or {})
-        w2v["w8"] = True
-        kwargs["w2v"] = w2v
-        spec = build_model(sys_config, exp_config, train=False, kwargs=kwargs)
-        state = state.replace(params=quantize_encoder_params(state.params))
-        print("w8 scoring: XLSR transformer weights quantized to int8")
+        spec, state = apply_w8(sys_config, exp_config, state)
 
     for track in tracks:
         if track not in TRACK_DATASETS:
