@@ -36,6 +36,7 @@ import dataclasses
 from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -69,6 +70,12 @@ class Wav2Vec2Config:
     # compilation cache). "dots": strided convs decomposed into k
     # strided-slice MXU matmuls (~6x faster cold compile, ~30% slower run).
     conv_impl: str = "conv"
+    # Rematerialization policy when the encoder is built with remat=True:
+    # "full" recomputes the whole layer in backward (lowest memory);
+    # "hidden" saves the two largest per-layer intermediates (post-GELU FFN
+    # hidden + attention output, tagged via checkpoint_name) and recomputes
+    # only the rest — ~1.6 GB extra at batch 32 for less backward recompute.
+    remat_policy: str = "full"
     # Weight-only int8 transformer matmuls (serving mode): q/k/v/out/fc1/fc2
     # kernels are stored as int8 values + per-output-column float scales
     # (produced by models/quantize.py from a trained f32 tree), dequantized
@@ -265,6 +272,7 @@ class TransformerLayer(nn.Module):
         attn = jax.nn.dot_product_attention(q, kk, v)
         attn = attn.reshape(b, t, d)
         h = proj("out_proj")(attn)
+        h = jax.ad_checkpoint.checkpoint_name(h, "attn_out")
         h = nn.Dropout(cfg.dropout, deterministic=not train)(h)
         x = residual + h
 
@@ -272,6 +280,7 @@ class TransformerLayer(nn.Module):
         h = nn.LayerNorm(name="final_layer_norm", dtype=self.dtype)(x)
         h = dense(cfg.encoder_ffn_dim, "fc1")(h)
         h = jax.nn.gelu(h, approximate=False)
+        h = jax.ad_checkpoint.checkpoint_name(h, "ffn_hidden")
         h = nn.Dropout(cfg.activation_dropout, deterministic=not train)(h)
         h = dense(cfg.encoder_embed_dim, "fc2")(h)
         h = nn.Dropout(cfg.dropout, deterministic=not train)(h)
@@ -321,8 +330,13 @@ class Wav2Vec2Encoder(nn.Module):
 
         layer_cls = _ScanLayer
         if self.remat:
+            policy = None
+            if cfg.remat_policy == "hidden":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "attn_out", "ffn_hidden")
             layer_cls = nn.remat(
-                _ScanLayer, static_argnums=(), prevent_cse=False)
+                _ScanLayer, static_argnums=(), prevent_cse=False,
+                policy=policy)
         stack = nn.scan(
             layer_cls,
             variable_axes={"params": 0},

@@ -134,3 +134,30 @@ def test_parallel_modes_numerically_equivalent(waves):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-2, atol=5e-4,
                                        err_msg=mode)
+
+
+def test_remat_hidden_policy_gradients_match_full(waves):
+    """remat_policy="hidden" (save attn_out/ffn_hidden) is a scheduling
+    choice only — gradients must equal the full-recompute policy."""
+    import dataclasses
+
+    cfg_h = dataclasses.replace(TINY, remat_policy="hidden")
+    model_full = XLSR_AASIST(w2v_cfg=TINY, remat=True)
+    model_hid = XLSR_AASIST(w2v_cfg=cfg_h, remat=True)
+    variables = model_full.init(jax.random.key(0), waves, train=False)
+
+    def loss_fn(model):
+        def f(params):
+            logits = model.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                waves, train=False)
+            return jnp.sum(logits ** 2)
+        return f
+
+    g_full = jax.grad(loss_fn(model_full))(variables["params"])
+    g_hid = jax.grad(loss_fn(model_hid))(variables["params"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5),
+        g_full, g_hid)

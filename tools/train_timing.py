@@ -24,10 +24,12 @@ from rtdsd_tpu.models.registry import get_model
 from rtdsd_tpu.utils.init_host import init_variables_host
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-remat = len(sys.argv) > 2 and sys.argv[2] == "remat"
-spec = get_model("XLSR_AASIST", dtype=jnp.bfloat16, remat=remat)
+mode = sys.argv[2] if len(sys.argv) > 2 else ""
+remat = mode.startswith("remat")
+w2v = {"remat_policy": "hidden"} if mode == "remat_hidden" else {}
+spec = get_model("XLSR_AASIST", dtype=jnp.bfloat16, remat=remat, w2v=w2v)
 model = spec.module
-log(f"batch={B} remat={remat}")
+log(f"batch={B} mode={mode or 'none'}")
 
 waves_np = (np.random.default_rng(0).standard_normal((B, 64000)) * 0.1
             ).astype(np.float32)
