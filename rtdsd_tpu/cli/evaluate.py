@@ -10,8 +10,10 @@ tool computes EER in-framework from the same artifacts:
         --file-field 1 --label-field 5
 
 Score file format: ``utt_id score`` per line (bonafide logit, higher =
-more bonafide). Prints EER% and counts. (min t-DCF additionally needs ASV
-scores, which only the official package distributes — out of scope.)
+more bonafide). Prints EER% and counts; ``--tdcf`` adds normalized min
+t-DCF (pass the official ASV operating point via --pmiss-asv / --pfa-asv /
+--pmiss-spoof-asv; the ASV scores themselves only ship with the official
+package, the cost math is in utils/metrics.py::compute_min_tdcf).
 """
 
 from __future__ import annotations
@@ -67,6 +69,14 @@ def main(argv=None):
     p.add_argument("--track", default=None, choices=list(TRACK_FIELDS))
     p.add_argument("--file-field", type=int, default=None)
     p.add_argument("--label-field", type=int, default=None)
+    p.add_argument("--tdcf", action="store_true", default=False,
+                   help="also print normalized min t-DCF")
+    p.add_argument("--pmiss-asv", type=float, default=0.0,
+                   help="ASV miss rate at its operating point")
+    p.add_argument("--pfa-asv", type=float, default=0.0,
+                   help="ASV false-accept rate on nontargets")
+    p.add_argument("--pmiss-spoof-asv", type=float, default=0.0,
+                   help="fraction of spoof trials the ASV rejects")
     args = p.parse_args(argv)
 
     protocol = args.protocol
@@ -105,6 +115,13 @@ def main(argv=None):
           f"{len(common) - n_bona}; {len(scores) - len(common)} scores "
           f"unmatched)")
     print(f"EER: {eer:.4f} %")
+    if args.tdcf:
+        from rtdsd_tpu.utils.metrics import compute_min_tdcf
+
+        tdcf = compute_min_tdcf(s, y, pmiss_asv=args.pmiss_asv,
+                                pfa_asv=args.pfa_asv,
+                                pmiss_spoof_asv=args.pmiss_spoof_asv)
+        print(f"min t-DCF: {tdcf:.5f}")
     return 0
 
 

@@ -59,6 +59,61 @@ def compute_eer(scores: np.ndarray, labels: np.ndarray, pos_label: int = 1) -> f
     return float(eer * 100.0)
 
 
+def compute_min_tdcf(cm_scores: np.ndarray, labels: np.ndarray, *,
+                     p_tar: float = 0.9405, p_non: float = 0.0095,
+                     p_spoof: float = 0.05, c_miss: float = 1.0,
+                     c_fa: float = 10.0, c_fa_spoof: float = 10.0,
+                     pmiss_asv: float = 0.0, pfa_asv: float = 0.0,
+                     pmiss_spoof_asv: float = 0.0) -> float:
+    """Normalized minimum tandem detection cost (min t-DCF).
+
+    The reference delegates this to the official external ASVspoof package
+    (``/root/reference/README.md:10-11``); here the CM-constrained t-DCF is
+    computed in-framework from first principles (tandem ASV->CM gating,
+    Kinnunen et al. 2020). With the ASV fixed at its operating point
+    (``pmiss_asv``/``pfa_asv`` on target/non-target trials,
+    ``pmiss_spoof_asv`` = fraction of spoof trials the ASV rejects — take
+    these three numbers from the official ASV scores), a CM threshold s
+    yields:
+
+      target missed   : Pmiss_asv + (1 - Pmiss_asv) * Pmiss_cm(s)
+      nontarget passed: Pfa_asv * (1 - Pmiss_cm(s))
+      spoof passed    : (1 - Pmiss_spoof_asv) * Pfa_cm(s)
+
+    so t-DCF(s) = C0 + C1*Pmiss_cm(s) + C2*Pfa_cm(s) with
+
+      C0 = p_tar*c_miss*Pmiss_asv + p_non*c_fa*Pfa_asv
+      C1 = p_tar*c_miss*(1 - Pmiss_asv) - p_non*c_fa*Pfa_asv
+      C2 = p_spoof*c_fa_spoof*(1 - Pmiss_spoof_asv)
+
+    normalized by the best trivial CM, C0 + min(C1, C2) (accept-all costs
+    C0+C2, reject-all C0+C1). Priors/costs default to the ASVspoof LA cost
+    model (p_tar = 0.99*0.95, p_non = 0.01*0.95, p_spoof = 0.05). With a
+    perfect ASV (the all-zero default) this reduces to the pure-CM DCF.
+    """
+    scores = np.asarray(cm_scores, np.float64).ravel()
+    labels = np.asarray(labels).ravel()
+    bona = np.sort(scores[labels == 1])
+    spoof = np.sort(scores[labels == 0])
+    if len(bona) == 0 or len(spoof) == 0:
+        raise ValueError("min t-DCF needs both bonafide and spoof trials")
+
+    c0 = p_tar * c_miss * pmiss_asv + p_non * c_fa * pfa_asv
+    c1 = p_tar * c_miss * (1.0 - pmiss_asv) - p_non * c_fa * pfa_asv
+    c2 = p_spoof * c_fa_spoof * (1.0 - pmiss_spoof_asv)
+    norm = c0 + min(c1, c2)
+    if norm <= 0:
+        raise ValueError("degenerate cost model: C0 + min(C1, C2) <= 0")
+
+    # Sweep thresholds at every distinct score: Pmiss_cm = fraction of
+    # bonafide below s, Pfa_cm = fraction of spoof at/above s.
+    thresholds = np.concatenate([[-np.inf], np.unique(scores), [np.inf]])
+    pmiss_cm = np.searchsorted(bona, thresholds, side="left") / len(bona)
+    pfa_cm = 1.0 - np.searchsorted(spoof, thresholds, side="left") / len(spoof)
+    tdcf = c0 + c1 * pmiss_cm + c2 * pfa_cm
+    return float(np.min(tdcf) / norm)
+
+
 class AverageMeter:
     """Running weighted average (reference: ``/root/reference/utils.py:117-133``)."""
 

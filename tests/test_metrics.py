@@ -56,3 +56,57 @@ def test_early_stopping(tmp_path):
     assert es.early_stop
     assert len(saved) == 2
     assert os.path.basename(es.best_path) == "best_checkpoint_1"
+
+
+# ------------------------------------------------------------- min t-DCF
+
+def _tdcf_bruteforce(scores, labels, **kw):
+    """Oracle: evaluate the raw tandem cost at every candidate threshold."""
+    from rtdsd_tpu.utils.metrics import compute_min_tdcf  # constants below
+
+    p_tar, p_non, p_spoof = 0.9405, 0.0095, 0.05
+    c_miss, c_fa, c_fa_spoof = 1.0, 10.0, 10.0
+    pm_asv = kw.get("pmiss_asv", 0.0)
+    pf_asv = kw.get("pfa_asv", 0.0)
+    pms_asv = kw.get("pmiss_spoof_asv", 0.0)
+    bona = scores[labels == 1]
+    spoof = scores[labels == 0]
+    c0 = p_tar * c_miss * pm_asv + p_non * c_fa * pf_asv
+    c1 = p_tar * c_miss * (1 - pm_asv) - p_non * c_fa * pf_asv
+    c2 = p_spoof * c_fa_spoof * (1 - pms_asv)
+    best = np.inf
+    for t in np.concatenate([[-np.inf], np.unique(scores), [np.inf]]):
+        pmiss = np.mean(bona < t)
+        pfa = np.mean(spoof >= t)
+        best = min(best, c0 + c1 * pmiss + c2 * pfa)
+    return best / (c0 + min(c1, c2))
+
+
+def test_min_tdcf_matches_bruteforce_oracle():
+    from rtdsd_tpu.utils.metrics import compute_min_tdcf
+
+    rng = np.random.default_rng(5)
+    for pm, pf, pms in [(0.0, 0.0, 0.0), (0.02, 0.01, 0.95),
+                        (0.05, 0.05, 0.5)]:
+        labels = (rng.random(400) < 0.4).astype(int)
+        scores = rng.standard_normal(400) + 1.2 * labels
+        kw = dict(pmiss_asv=pm, pfa_asv=pf, pmiss_spoof_asv=pms)
+        got = compute_min_tdcf(scores, labels, **kw)
+        want = _tdcf_bruteforce(scores, labels, **kw)
+        assert abs(got - want) < 1e-12
+        assert 0.0 <= got <= 1.0 + 1e-12  # normalized: trivial CM scores 1
+
+
+def test_min_tdcf_perfect_separation_is_zero_with_perfect_asv():
+    from rtdsd_tpu.utils.metrics import compute_min_tdcf
+
+    scores = np.asarray([-3.0, -2.0, 2.0, 3.0])
+    labels = np.asarray([0, 0, 1, 1])
+    assert compute_min_tdcf(scores, labels) == 0.0
+
+
+def test_min_tdcf_needs_both_classes():
+    from rtdsd_tpu.utils.metrics import compute_min_tdcf
+
+    with pytest.raises(ValueError):
+        compute_min_tdcf(np.ones(3), np.ones(3))
