@@ -194,7 +194,7 @@ def run_score(args, sys_config, exp_config, tracks):
 def main(argv=None):
     args = parse_args(argv)
     tracks = args.tracks.split(",")
-    if args.is_eval and args.is_score:
+    if args.is_eval and (args.is_score or args.score_all_folder_path):
         for track in tracks:  # fail fast, before any checkpoint IO
             if track not in TRACK_DATASETS:
                 raise ValueError(f"Invalid track {track!r}; "

@@ -144,6 +144,10 @@ def run_kd_train(args, sys_config, exp_config):
 
 
 def run_kd_score(args, sys_config, exp_config, tracks):
+    for track in tracks:  # fail fast, before any checkpoint IO
+        if track not in TRACK_DATASETS:
+            raise ValueError(f"Invalid track {track!r}; "
+                             f"have {sorted(TRACK_DATASETS)}")
     set_seed(exp_config.random_seed)
     _mesh, bsharding = setup_mesh(exp_config)
     if args.eval == "teacher":

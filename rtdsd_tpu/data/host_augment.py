@@ -91,6 +91,8 @@ class BackgroundNoiseCorpus:
         if rng.random() >= self.p:
             return wave
         noise = self._load(int(rng.integers(len(self.files))))
+        if len(noise) == 0:  # truncated/empty corpus file: skip, don't crash
+            return wave
         n = len(wave)
         if len(noise) < n:  # wrap-tile, then random phase
             reps = -(-n // len(noise))
@@ -106,13 +108,9 @@ class BackgroundNoiseCorpus:
 
 
 def mp3_codec_available() -> bool:
-    """True when an MP3 encoder usable by :class:`Mp3Compression` exists."""
-    try:
-        import lameenc  # noqa: F401
-
-        return True
-    except ImportError:
-        pass
+    """True when the full MP3 round-trip is possible. Decode always goes
+    through pydub+ffmpeg, so lameenc alone is NOT sufficient (it only
+    encodes) — gate on the decode side."""
     try:
         from pydub import AudioSegment  # noqa: F401
         from pydub.utils import which
@@ -204,13 +202,25 @@ class HostAugmentChain:
 
 
 def build_host_chain(noise_path: str, sample_rate: int,
-                     use_mp3: bool = False) -> Optional[HostAugmentChain]:
-    """Chain for the ``mul_augment`` host half: background noise (+ MP3 when
-    a codec exists and ``use_mp3``). Returns None when nothing applies."""
+                     use_mp3: bool = True) -> Optional[HostAugmentChain]:
+    """Chain for the ``mul_augment`` host half: background noise + MP3.
+
+    MP3 is part of the reference chain (p=0.3), so it is on by default but
+    warns loudly when no codec is installed instead of silently diverging
+    from the reference augmentation distribution. Returns None when nothing
+    applies.
+    """
     transforms: List[Callable] = []
     if noise_path:
         transforms.append(
             BackgroundNoiseCorpus(noise_path, sample_rate=sample_rate))
-    if use_mp3 and mp3_codec_available():
-        transforms.append(Mp3Compression(sample_rate=sample_rate))
+    if use_mp3:
+        if mp3_codec_available():
+            transforms.append(Mp3Compression(sample_rate=sample_rate))
+        else:
+            import warnings
+
+            warnings.warn(
+                "mul_augment: no MP3 codec (pydub+ffmpeg) installed — "
+                "training without the reference chain's Mp3Compression(p=0.3)")
     return HostAugmentChain(transforms) if transforms else None

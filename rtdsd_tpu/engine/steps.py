@@ -124,8 +124,8 @@ def device_augs(data_augmentation: Sequence[str]) -> Tuple[str, ...]:
     """Device-executable augmentation codes. "mul_augment" (the reference's
     CPU audiomentations chain, augmentation.py:92-108) maps to its device
     equivalents: time-stretch, gain, air absorption, time mask. Background
-    noise (needs a corpus) and MP3 (needs a codec) run host-side per item
-    via data/host_augment.py when SysConfig.noise_path is set."""
+    noise (needs a corpus; SysConfig.noise_path) and MP3 (needs a codec;
+    warns when absent) run host-side per item via data/host_augment.py."""
     out = []
     for a in data_augmentation:
         if a in ("ACN", "HPF", "LPF", "GAN", "TMK", "TST", "AIR"):

@@ -18,7 +18,7 @@ TPU-build addition for the real-time small-batch path (PERFORMANCE.md).
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Mapping
 
 import jax
 import numpy as np
@@ -38,22 +38,34 @@ def quantize_encoder_params(params: Dict[str, Any], seed: int = 0
 
     ``params`` is the plain/Frozen dict under the "params" collection. The
     returned tree has ``kernel`` replaced by ``vals``+``scales`` on the six
-    transformer matmuls; all other leaves pass through unchanged.
+    transformer matmuls; all other leaves pass through unchanged. Each
+    matmul (and each scanned layer) gets its own PRNG seed so stochastic
+    rounding stays decorrelated across identically-shaped matrices; inside
+    one matrix the kernel's grid offset decorrelates column blocks.
     """
+    counter = [0]
+
+    def next_seed() -> int:
+        counter[0] += 1
+        return seed + 7919 * counter[0]
 
     def rewrite(node: Any, path: tuple) -> Any:
-        if not isinstance(node, dict):
+        if not isinstance(node, Mapping):
             return node
         out = {}
         for key, child in node.items():
-            if (isinstance(child, dict) and "kernel" in child
+            if (isinstance(child, Mapping) and "kernel" in child
                     and _is_dense_kernel(path, key)):
                 kernel = jax.numpy.asarray(child["kernel"], jax.numpy.float32)
-                if kernel.ndim == 3:  # scan-stacked (L, in, out)
-                    vals, scales = jax.vmap(
-                        lambda k: quantize_int8(k, seed=seed))(kernel)
+                if kernel.ndim == 3:  # scan-stacked (L, in, out): loop, not
+                    # vmap — vmap would make the batch the leading grid dim
+                    # and defeat the kernel's per-block seed offset
+                    pairs = [quantize_int8(kernel[i], seed=next_seed())
+                             for i in range(kernel.shape[0])]
+                    vals = jax.numpy.stack([p[0] for p in pairs])
+                    scales = jax.numpy.stack([p[1] for p in pairs])
                 else:
-                    vals, scales = quantize_int8(kernel, seed=seed)
+                    vals, scales = quantize_int8(kernel, seed=next_seed())
                 new_child = {k: v for k, v in child.items() if k != "kernel"}
                 new_child["vals"] = vals
                 new_child["scales"] = scales
@@ -62,8 +74,13 @@ def quantize_encoder_params(params: Dict[str, Any], seed: int = 0
                 out[key] = rewrite(child, path + (key,))
         return out
 
-    plain = jax.tree_util.tree_map(lambda x: x, _to_plain(params))
-    return rewrite(plain, ())
+    out = rewrite(_to_plain(params), ())
+    if counter[0] == 0:
+        raise ValueError(
+            "quantize_encoder_params found no transformer matmul kernels — "
+            "is this a w2v param tree (expected .../layers/layer/{q,k,v,"
+            "out_proj,fc1,fc2}/kernel)?")
+    return out
 
 
 def quantize_variables(variables: Dict[str, Any], seed: int = 0
@@ -80,13 +97,13 @@ def w8_bytes_saved(params: Dict[str, Any]) -> int:
 
     def walk(node, path):
         nonlocal saved
-        if not isinstance(node, dict):
+        if not isinstance(node, Mapping):
             return
         for key, child in node.items():
-            if (isinstance(child, dict) and "kernel" in child
+            if (isinstance(child, Mapping) and "kernel" in child
                     and _is_dense_kernel(path, key)):
                 saved += int(np.prod(child["kernel"].shape))  # 2B -> 1B
-            elif isinstance(child, dict):
+            elif isinstance(child, Mapping):
                 walk(child, path + (key,))
 
     walk(_to_plain(params), ())
@@ -94,5 +111,6 @@ def w8_bytes_saved(params: Dict[str, Any]) -> int:
 
 
 def _to_plain(tree):
+    """FrozenDict (possibly nested) -> plain nested dict; dicts pass through."""
     unfreeze = getattr(tree, "unfreeze", None)
     return unfreeze() if callable(unfreeze) else tree

@@ -90,8 +90,9 @@ _BLOCK_BYTES = 4 * 1024 * 1024
 
 def _col_block(r: int, c: int) -> int | None:
     """Largest 128-multiple column-block width that divides c and fits VMEM;
-    None -> shapes unsuited to the TPU kernel (caller falls back to jnp)."""
-    if c % 128 != 0:
+    None -> shapes unsuited to the TPU kernel (caller falls back to jnp),
+    including matrices so tall that even a 128-wide block blows the budget."""
+    if c % 128 != 0 or 4 * r * 128 > _BLOCK_BYTES:
         return None
     bc = min(c, max(128, _BLOCK_BYTES // (4 * r) // 128 * 128))
     while c % bc != 0:

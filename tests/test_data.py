@@ -232,3 +232,15 @@ def test_mp3_compression_gated():
         pytest.skip("codec present; gating path not exercised")
     with pytest.raises(ImportError):
         ha.Mp3Compression()
+
+
+def test_background_noise_empty_file_skipped(tmp_path, rng):
+    from rtdsd_tpu.data.host_augment import BackgroundNoiseCorpus
+
+    d = tmp_path / "noises"
+    d.mkdir()
+    write_wav(str(d / "empty.wav"), np.zeros(0, np.float32), 16000)
+    corpus = BackgroundNoiseCorpus(str(d), p=1.0)
+    wave = rng.standard_normal(400).astype(np.float32)
+    out = corpus(wave, np.random.default_rng(0))  # must not crash
+    np.testing.assert_array_equal(out, wave)

@@ -76,3 +76,21 @@ def test_w8_bytes_saved_counts_only_transformer_matmuls():
     saved = w8_bytes_saved(variables["params"])
     # 3 layers x (4 * 64*64 + 2 * 64*128) params
     assert saved == 3 * (4 * 64 * 64 + 2 * 64 * 128)
+
+
+def test_quantize_rejects_tree_without_matmuls():
+    import pytest
+
+    with pytest.raises(ValueError):
+        quantize_encoder_params({"backend": {"fc1": {"kernel":
+                                 jnp.zeros((4, 4))}}})
+
+
+def test_quantize_handles_frozendict():
+    import flax.core
+
+    wave = jnp.zeros((1, 3200), jnp.float32)
+    variables = Wav2Vec2Encoder(TINY).init(jax.random.key(0), wave)
+    frozen = flax.core.freeze(variables["params"])
+    q = quantize_encoder_params(frozen)
+    assert q["layers"]["layer"]["fc1"]["vals"].dtype == jnp.int8
