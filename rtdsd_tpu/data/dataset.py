@@ -123,14 +123,19 @@ class ASVspoof2019LA(AudioDataset):
             include_residual=exp_config.include_residual)
         self.num_of_spoof = n_spoof
         self.num_of_bonafide = n_bona
+        # Dataset-side augmentation is UNGATED by allow_data_augmentation in
+        # the reference (train_set.py:112-124: the flag only gates the
+        # trainer-side chain, trainer.py:55-56), and mul_augment loses the
+        # if/elif dispatch to any RawBoost code.
+        da = list(exp_config.data_augmentation or [])
         host_chain = None
-        if (is_train and exp_config.allow_data_augmentation
-                and "mul_augment" in (exp_config.data_augmentation or [])
-                and sys_config.noise_path):
+        if (is_train and "mul_augment" in da and sys_config.noise_path):
             from rtdsd_tpu.data.host_augment import build_host_chain
+            from rtdsd_tpu.engine.steps import pick_rawboost_algo
 
-            host_chain = build_host_chain(sys_config.noise_path,
-                                          exp_config.sample_rate)
+            if pick_rawboost_algo(da) is None:
+                host_chain = build_host_chain(sys_config.noise_path,
+                                              exp_config.sample_rate)
         super().__init__(
             trials, exp_config.train_duration_samples,
             is_random_start=is_train and exp_config.is_random_start,

@@ -124,9 +124,11 @@ def parse_asvspoof5(label_path: str, audio_dir: str,
         label = 1 if f[2] == "bonafide" else 0
         if subset is not None and sub != subset:
             continue
-        trials.append(Trial(os.path.join(audio_dir, file),
-                            os.path.splitext(os.path.basename(file))[0],
-                            label, sub))
+        path = os.path.join(audio_dir, file)
+        # the reference returns the full path as the trial id (its
+        # basename-stripping lines are commented out, test_set.py:377-379),
+        # so score files key on the path — match it for score-file parity
+        trials.append(Trial(path, path, label, sub))
     return trials
 
 

@@ -19,6 +19,11 @@ optimizer here is built over the *student* params (the reference optimized
 the teacher's, ``main_kd.py:163-164``, so its ``step()`` never trained the
 student); criteria are instantiated once, not per batch; the torchdistill
 imports the reference forgot cannot be forgotten because there are none.
+One more documented divergence: the reference multiplies each criterion by
+its weight TWICE (``tmp_loss = loss*weight`` then ``tmp_loss*weight``,
+trainer.py:266-268 — effectively weight^2). Here the weight is applied
+once, as the ``kd_criterion_weights`` schema plainly means; to reproduce a
+reference run exactly, square the weights in the YAML.
 
 Module-path translation: tap paths accept both this framework's
 slash-paths (e.g. ``backend/LL``) and the reference's torch dotted paths
@@ -222,6 +227,7 @@ def make_kd_train_step(teacher_model, student_model,
                        preemph: Optional[float] = 0.97,
                        rawboost_algo: Optional[int] = None,
                        rawboost_args: RawBoostArgs = RawBoostArgs(),
+                       pre_aug_list: Tuple[str, ...] = (),
                        aug_list: Tuple[str, ...] = (),
                        sample_rate: float = 16000.0) -> Callable:
     """Build the fused KD step:
@@ -251,7 +257,8 @@ def make_kd_train_step(teacher_model, student_model,
         k_aug, k_drop = jax.random.split(jax.random.fold_in(key, state.step))
         waves = _preprocess_train(
             waves, k_aug, algo=rawboost_algo, rawboost_args=rawboost_args,
-            sample_rate=sample_rate, preemph=preemph, aug_list=aug_list)
+            sample_rate=sample_rate, preemph=preemph,
+            pre_aug_list=pre_aug_list, aug_list=aug_list)
 
         # teacher: eval mode, no grad (ref trainer.py:249-252)
         t_logits, t_mut = teacher_model.apply(
@@ -308,8 +315,9 @@ class KDTrainer:
                  state: TrainState, tx, kd_kwargs: dict, train_loader,
                  dev_loader, test_loader, logger, exp_config, sys_config,
                  batch_sharding=None, rng_seed: int = 1024):
-        from rtdsd_tpu.engine.steps import (device_augs, make_eval_step,
-                                            pick_rawboost_algo)
+        from rtdsd_tpu.engine.steps import (make_eval_step,
+                                            pick_rawboost_algo,
+                                            post_device_augs, pre_device_augs)
         from rtdsd_tpu.utils.metrics import AverageMeter
 
         self._AverageMeter = AverageMeter
@@ -333,8 +341,8 @@ class KDTrainer:
             teacher_model, student_model, tx, kd_kwargs,
             ce_weight=tuple(exp_config.ce_weight), preemph=preemph,
             rawboost_algo=pick_rawboost_algo(da),
-            aug_list=(device_augs(da)
-                      if exp_config.allow_data_augmentation else ()),
+            pre_aug_list=pre_device_augs(da),
+            aug_list=post_device_augs(da, exp_config.allow_data_augmentation),
             sample_rate=float(exp_config.sample_rate))
         self.eval_step = make_eval_step(
             student_model, ce_weight=tuple(exp_config.ce_weight),
@@ -396,7 +404,10 @@ class KDTrainer:
             out = self.eval_step(self.state.params, self.state.batch_stats,
                                  batch.waves, batch.labels)
             v = batch.valid
-            loss_sum += float(out["loss"]) * v
+            # real rows only (pad rows would bias the dev loss; see Trainer)
+            terms = np.asarray(out["loss_terms"])[:v]
+            wsum = float(np.asarray(out["loss_weights"])[:v].sum())
+            loss_sum += float(terms.sum()) / max(wsum, 1e-12) * v
             num_correct += int(np.asarray(out["correct"])[:v].sum())
             num_total += v
         eval_loss = loss_sum / max(num_total, 1)

@@ -92,21 +92,34 @@ def create_train_state(model, rng: jax.Array, sample_batch: jax.Array,
 
 def _preprocess_train(waves, key, *, algo: int, rawboost_args: RawBoostArgs,
                       sample_rate: float, preemph: Optional[float],
-                      aug_list: Tuple[str, ...]):
-    """RawBoost -> pre-emphasis -> waveform augmentation, batched on device.
+                      pre_aug_list: Tuple[str, ...] = (),
+                      aug_list: Tuple[str, ...] = ()):
+    """Dataset-side aug -> pre-emphasis -> trainer-side aug, on device.
 
-    Order matches the reference pipeline: RawBoost in the dataset worker
-    (train_set.py:113-122) runs before the trainer's PreEmphasis
-    (trainer.py:52) and torch_audiomentations (trainer.py:55-56)."""
-    k_rb, k_aug = jax.random.split(key)
+    Order matches the reference pipeline exactly: the dataset worker applies
+    RawBoost{k} OR (elif) the mul_augment chain to the wave
+    (train_set.py:112-124, mutually exclusive, RawBoost priority, ungated),
+    then the trainer applies PreEmphasis (trainer.py:52) and — only when
+    allow_data_augmentation — torch_audiomentations (trainer.py:55-56).
+
+    Documented divergence: the reference runs RawBoost on the FULL decoded
+    utterance and crops afterwards; here RawBoost runs on the static-shape
+    crop (moving it on-device requires fixed shapes). normWav's rescale
+    decision therefore sees the crop's peak, not the whole utterance's —
+    distributionally close, not sample-identical."""
+    k_rb, k_pre, k_post = jax.random.split(key, 3)
     if algo is not None and 1 <= algo <= 8:
         keys = jax.random.split(k_rb, waves.shape[0])
         waves = jax.vmap(lambda k, x: _rawboost_single(
             k, x, algo, rawboost_args, sample_rate))(keys, waves)
+    elif pre_aug_list:
+        keys = jax.random.split(k_pre, waves.shape[0])
+        waves = jax.vmap(lambda k, x: _augment_single(
+            k, x, pre_aug_list, sample_rate))(keys, waves)
     if preemph is not None:
         waves = pre_emphasis(waves, preemph)
     if aug_list:
-        keys = jax.random.split(k_aug, waves.shape[0])
+        keys = jax.random.split(k_post, waves.shape[0])
         waves = jax.vmap(lambda k, x: _augment_single(
             k, x, aug_list, sample_rate))(keys, waves)
     return waves
@@ -120,19 +133,33 @@ def pick_rawboost_algo(data_augmentation: Sequence[str]) -> Optional[int]:
     return None
 
 
-def device_augs(data_augmentation: Sequence[str]) -> Tuple[str, ...]:
-    """Device-executable augmentation codes. "mul_augment" (the reference's
-    CPU audiomentations chain, augmentation.py:92-108) maps to its device
-    equivalents: time-stretch, gain, air absorption, time mask. Background
-    noise (needs a corpus; SysConfig.noise_path) and MP3 (needs a codec;
-    warns when absent) run host-side per item via data/host_augment.py."""
-    out = []
-    for a in data_augmentation:
-        if a in ("ACN", "HPF", "LPF", "GAN", "TMK", "TST", "AIR"):
-            out.append(a)
-        elif a == "mul_augment":
-            out.extend(["TST", "GAN", "AIR", "TMK"])
-    return tuple(dict.fromkeys(out))
+def pre_device_augs(data_augmentation: Sequence[str]) -> Tuple[str, ...]:
+    """Dataset-side device augs: the math-only "mul_augment" equivalents in
+    the reference Compose order (TimeStretch -> Gain -> AirAbsorption ->
+    TimeMask, augmentation.py:97-107). Empty when a RawBoost code is present
+    — the reference dispatch is if/elif with RawBoost priority
+    (train_set.py:112-124) — and NOT gated by allow_data_augmentation (the
+    reference dataset always augments during training). Background noise
+    (corpus; SysConfig.noise_path) and MP3 (codec) run host-side per item
+    via data/host_augment.py."""
+    if pick_rawboost_algo(data_augmentation) is not None:
+        return ()
+    if "mul_augment" in data_augmentation:
+        return ("TST", "GAN", "AIR", "TMK")
+    return ()
+
+
+def post_device_augs(data_augmentation: Sequence[str],
+                     allow: bool) -> Tuple[str, ...]:
+    """Trainer-side augs (the reference's WaveformAugmetation Compose,
+    augmentation.py:16-45): applied AFTER pre-emphasis, gated by
+    allow_data_augmentation (trainer.py:55-56), in the chain's fixed
+    ACN -> HPF -> LPF -> GAN order filtered to the configured codes
+    (+ TMK time-mask extension)."""
+    if not allow:
+        return ()
+    return tuple(a for a in ("ACN", "HPF", "LPF", "GAN", "TMK")
+                 if a in data_augmentation)
 
 
 def make_train_step(model, tx: optax.GradientTransformation, *,
@@ -140,17 +167,23 @@ def make_train_step(model, tx: optax.GradientTransformation, *,
                     preemph: Optional[float] = 0.97,
                     rawboost_algo: Optional[int] = None,
                     rawboost_args: RawBoostArgs = RawBoostArgs(),
+                    pre_aug_list: Tuple[str, ...] = (),
                     aug_list: Tuple[str, ...] = (),
                     sample_rate: float = 16000.0,
                     donate: bool = True) -> Callable:
     """Build the jitted train step: (state, waves, labels, key) ->
-    (state, metrics) with metrics = {loss, num_correct}."""
+    (state, metrics) with metrics = {loss, num_correct}.
+
+    ``pre_aug_list`` = dataset-side augs before pre-emphasis (mul_augment
+    equivalents; ignored when rawboost_algo is set — reference if/elif);
+    ``aug_list`` = trainer-side augs after pre-emphasis."""
 
     def step(state: TrainState, waves, labels, key):
         k_aug, k_drop = jax.random.split(jax.random.fold_in(key, state.step))
         waves = _preprocess_train(
             waves, k_aug, algo=rawboost_algo, rawboost_args=rawboost_args,
-            sample_rate=sample_rate, preemph=preemph, aug_list=aug_list)
+            sample_rate=sample_rate, preemph=preemph,
+            pre_aug_list=pre_aug_list, aug_list=aug_list)
 
         def loss_fn(params):
             variables = {"params": params}
@@ -187,9 +220,17 @@ def make_eval_step(model, *, ce_weight: Optional[Sequence[float]] = (0.9, 0.1),
             variables["batch_stats"] = batch_stats
         logits = model.apply(variables, waves, train=False)
         loss = weighted_cross_entropy(logits, labels, ce_weight)
+        # per-row weighted CE terms so callers can exclude the loader's
+        # pad rows from the dev loss (the padded-batch mean in "loss" would
+        # bias best-checkpoint selection toward the duplicated last trial)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        w = (jnp.asarray(ce_weight, jnp.float32)[labels]
+             if ce_weight is not None else jnp.ones_like(nll))
         correct = jnp.argmax(logits, -1) == labels
         scores = logits[:, 1]
-        return {"loss": loss, "correct": correct, "scores": scores}
+        return {"loss": loss, "loss_terms": w * nll, "loss_weights": w,
+                "correct": correct, "scores": scores}
 
     return jax.jit(step)
 

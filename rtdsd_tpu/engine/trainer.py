@@ -24,7 +24,8 @@ import numpy as np
 
 from rtdsd_tpu.config import ExpConfig, SysConfig
 from rtdsd_tpu.data.loader import DataLoader, device_prefetch
-from rtdsd_tpu.engine.steps import (TrainState, device_augs, make_eval_step,
+from rtdsd_tpu.engine.steps import (TrainState, make_eval_step,
+                                    post_device_augs, pre_device_augs,
                                     make_train_step, pick_rawboost_algo)
 from rtdsd_tpu.utils.logging import Logger
 from rtdsd_tpu.utils.metrics import compute_eer
@@ -51,11 +52,11 @@ class Trainer:
 
         preemph = exp_config.pre_emphasis if exp_config.is_pre_emphasis else None
         da = list(exp_config.data_augmentation or [])
-        algo = pick_rawboost_algo(da)
-        augs = device_augs(da) if exp_config.allow_data_augmentation else ()
         self.train_step = make_train_step(
             model, tx, ce_weight=tuple(exp_config.ce_weight), preemph=preemph,
-            rawboost_algo=algo, aug_list=augs,
+            rawboost_algo=pick_rawboost_algo(da),
+            pre_aug_list=pre_device_augs(da),
+            aug_list=post_device_augs(da, exp_config.allow_data_augmentation),
             sample_rate=float(exp_config.sample_rate))
         self.eval_step = make_eval_step(
             model, ce_weight=tuple(exp_config.ce_weight), preemph=preemph)
@@ -128,7 +129,12 @@ class Trainer:
             out = self.eval_step(self.state.params, self.state.batch_stats,
                                  batch.waves, batch.labels)
             v = batch.valid
-            loss_sum += float(out["loss"]) * v
+            # weighted mean over the REAL rows only — the padded-batch mean
+            # would count the duplicated pad rows (ref trainer.py:335-337
+            # never sees pad rows)
+            terms = np.asarray(out["loss_terms"])[:v]
+            wsum = float(np.asarray(out["loss_weights"])[:v].sum())
+            loss_sum += float(terms.sum()) / max(wsum, 1e-12) * v
             num_correct += int(np.asarray(out["correct"])[:v].sum())
             num_total += v
             scores.append(np.asarray(out["scores"])[:v])

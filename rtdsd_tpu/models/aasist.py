@@ -351,9 +351,11 @@ class AASISTBackend(nn.Module):
         # ---- inference branch 2 (xlsr_aasist.py:141-151) ----
         out_t2, out_s2, m2 = hs_gal(g0, g1, "HtrgGAT_layer_ST21")(
             out_t, out_s, master2, train=train)
-        out_s2 = GraphPool(self.pool_ratios[3], 0.3, self.dtype,
+        # reference builds pool_hS2/pool_hT2 with pool_ratios[2] — index 3
+        # is unused there (xlsr_aasist.py:81-82)
+        out_s2 = GraphPool(self.pool_ratios[2], 0.3, self.dtype,
                            name="pool_hS2")(out_s2, train=train)
-        out_t2 = GraphPool(self.pool_ratios[3], 0.3, self.dtype,
+        out_t2 = GraphPool(self.pool_ratios[2], 0.3, self.dtype,
                            name="pool_hT2")(out_t2, train=train)
         out_t_aug, out_s_aug, m_aug = hs_gal(g1, g1, "HtrgGAT_layer_ST22")(
             out_t2, out_s2, m2, train=train)

@@ -170,38 +170,42 @@ def _maybe(key, p, fn, x):
 
 def _augment_single(key: jax.Array, x: jax.Array, aug_list: Tuple[str, ...],
                     sr: float) -> jax.Array:
+    """Apply the codes **in aug_list order** — the reference chains are
+    ordered Composes (ACN->HPF->LPF->GAN, augmentation.py:18-33; the
+    mul_augment chain TST->GAN->AIR->TMK, augmentation.py:97-107), and e.g.
+    a time mask placed before vs after a time-stretch produces a different
+    distribution."""
     p = DEFAULT_PARAMS
-    keys = jax.random.split(key, 7)
-    if "ACN" in aug_list:
-        a = p["ACN"]
-        x = _add_colored_noise(keys[0], x, a["p"], sr, a["min_snr_in_db"],
-                               a["max_snr_in_db"], a["min_f_decay"],
-                               a["max_f_decay"])
-    if "HPF" in aug_list:
-        a = p["HPF"]
-        x = _filter_aug(keys[1], x, a["p"], sr, a["min_cutoff_freq"],
-                        a["max_cutoff_freq"], highpass=True)
-    if "LPF" in aug_list:
-        a = p["LPF"]
-        x = _filter_aug(keys[2], x, a["p"], sr, a["min_cutoff_freq"],
-                        a["max_cutoff_freq"], highpass=False)
-    if "GAN" in aug_list:
-        a = p["GAN"]
-        x = _gain(keys[3], x, a["p"], a["min_gain_in_db"], a["max_gain_in_db"])
-    if "TMK" in aug_list:
-        a = p["TMK"]
-        x = _time_mask(keys[4], x, a["p"], a["min_band_part"],
-                       a["max_band_part"])
-    if "TST" in aug_list:
-        a = p["TST"]
-        x = _maybe(keys[5], a["p"],
-                   lambda k: time_stretch(k, x, a["min_rate"], a["max_rate"]),
-                   x)
-    if "AIR" in aug_list:
-        a = p["AIR"]
-        x = _maybe(keys[6], a["p"],
-                   lambda k: air_absorption(k, x, a["min_distance"],
-                                            a["max_distance"], sr), x)
+    keys = jax.random.split(key, max(len(aug_list), 1))
+    for kk, name in zip(keys, aug_list):
+        a = p[name]
+        if name == "ACN":
+            x = _add_colored_noise(kk, x, a["p"], sr, a["min_snr_in_db"],
+                                   a["max_snr_in_db"], a["min_f_decay"],
+                                   a["max_f_decay"])
+        elif name == "HPF":
+            x = _filter_aug(kk, x, a["p"], sr, a["min_cutoff_freq"],
+                            a["max_cutoff_freq"], highpass=True)
+        elif name == "LPF":
+            x = _filter_aug(kk, x, a["p"], sr, a["min_cutoff_freq"],
+                            a["max_cutoff_freq"], highpass=False)
+        elif name == "GAN":
+            x = _gain(kk, x, a["p"], a["min_gain_in_db"], a["max_gain_in_db"])
+        elif name == "TMK":
+            x = _time_mask(kk, x, a["p"], a["min_band_part"],
+                           a["max_band_part"])
+        elif name == "TST":
+            xi = x
+            x = _maybe(kk, a["p"],
+                       lambda k: time_stretch(k, xi, a["min_rate"],
+                                              a["max_rate"]), xi)
+        elif name == "AIR":
+            xi = x
+            x = _maybe(kk, a["p"],
+                       lambda k: air_absorption(k, xi, a["min_distance"],
+                                                a["max_distance"], sr), xi)
+        else:
+            raise ValueError(f"unknown augmentation code {name!r}")
     return x
 
 

@@ -24,7 +24,7 @@ PRNG keys:
   ``np.random.permutation``.
 
 Tap-design math is validated against scipy oracles in
-``tests/test_rawboost.py``.
+``tests/test_ops.py``.
 """
 
 from __future__ import annotations

@@ -15,10 +15,10 @@ from flax import linen as nn
 
 from rtdsd_tpu.engine.checkpoint import (restore_checkpoint, save_checkpoint,
                                          save_params_only, load_params_only)
-from rtdsd_tpu.engine.steps import (create_train_state, device_augs,
-                                    make_eval_step, make_optimizer,
-                                    make_score_step, make_train_step,
-                                    pick_rawboost_algo,
+from rtdsd_tpu.engine.steps import (create_train_state, make_eval_step,
+                                    make_optimizer, make_score_step,
+                                    make_train_step, pick_rawboost_algo,
+                                    post_device_augs,
                                     weighted_cross_entropy)
 
 
@@ -52,7 +52,8 @@ def test_rawboost_algo_selection():
     assert pick_rawboost_algo(["ACN", "RawBoost4"]) == 4
     assert pick_rawboost_algo(["RawBoost3", "RawBoost1"]) == 1
     assert pick_rawboost_algo(["ACN"]) is None
-    assert device_augs(["ACN", "RawBoost4", "HPF"]) == ("ACN", "HPF")
+    assert post_device_augs(["ACN", "RawBoost4", "HPF"], True) == \
+        ("ACN", "HPF")
 
 
 @pytest.fixture(scope="module")

@@ -168,8 +168,13 @@ def test_air_absorption_attenuates_highs(rng):
 
 
 def test_mul_augment_mapping():
-    from rtdsd_tpu.engine.steps import device_augs
+    from rtdsd_tpu.engine.steps import post_device_augs, pre_device_augs
 
-    assert device_augs(["mul_augment"]) == ("TST", "GAN", "AIR", "TMK")
-    assert device_augs(["ACN", "mul_augment", "RawBoost4"]) == \
-        ("ACN", "TST", "GAN", "AIR", "TMK")
+    # reference Compose order (augmentation.py:97-107)
+    assert pre_device_augs(["mul_augment"]) == ("TST", "GAN", "AIR", "TMK")
+    # RawBoost wins the if/elif dispatch (train_set.py:112-124)
+    assert pre_device_augs(["mul_augment", "RawBoost4"]) == ()
+    # trainer-side chain: fixed ACN->HPF->LPF->GAN order, gated
+    assert post_device_augs(["GAN", "ACN", "mul_augment"], True) == \
+        ("ACN", "GAN")
+    assert post_device_augs(["ACN"], False) == ()
