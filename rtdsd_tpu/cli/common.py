@@ -43,7 +43,7 @@ def init_state(spec: ModelSpec, sys_config: SysConfig, exp_config: ExpConfig,
     configured (replacing fairseq load at /root/reference/models/fe.py:11)."""
     sample = jnp.zeros((2, exp_config.train_duration_samples), jnp.float32)
     tx = tx or make_optimizer(exp_config.lr, exp_config.weight_decay,
-                              spec.freeze_patterns)
+                              spec.freeze_patterns, spec.unfreeze_patterns)
     state = create_train_state(spec.module, rng, sample, tx)
 
     ssl_src = sys_config.ssl_pytree_path or sys_config.ssl_ckpt_path
@@ -54,6 +54,14 @@ def init_state(spec: ModelSpec, sys_config: SysConfig, exp_config: ExpConfig,
         params["ssl_model"] = jax.tree_util.tree_map(
             lambda a, b: jnp.asarray(b, a.dtype), params["ssl_model"],
             ssl_params)
+        if spec.reinit_patterns:
+            # Xavier re-init of the configured SSL layers AFTER the
+            # checkpoint load (ref fe.py:36-40 + xlsr_aasist.py:13-21)
+            from rtdsd_tpu.engine.steps import reinit_params
+
+            params["ssl_model"] = reinit_params(
+                params["ssl_model"], spec.reinit_patterns,
+                jax.random.fold_in(rng, 0x5eed))
         state = state.replace(params=params, opt_state=tx.init(params))
     return state
 

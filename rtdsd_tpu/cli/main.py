@@ -99,7 +99,7 @@ def run_train(args, sys_config, exp_config):
 
     spec = build_model(sys_config, exp_config, train=True)
     tx = make_optimizer(exp_config.lr, exp_config.weight_decay,
-                        spec.freeze_patterns)
+                        spec.freeze_patterns, spec.unfreeze_patterns)
     state = init_state(spec, sys_config, exp_config, rng, tx)
 
     if exp_config.restore_checkpoint:

@@ -88,7 +88,8 @@ def run_kd_train(args, sys_config, exp_config):
     # student
     student_spec, student_kwargs = build_student(sys_config, exp_config)
     tx = make_optimizer(exp_config.lr, exp_config.weight_decay,
-                        student_spec.freeze_patterns)
+                        student_spec.freeze_patterns,
+                        student_spec.unfreeze_patterns)
     s_state = init_state(student_spec, sys_config, exp_config,
                          jax.random.fold_in(rng, 1), tx)
 

@@ -21,6 +21,7 @@ donated, sharded, jit-compiled function:
 
 from __future__ import annotations
 
+import re
 from functools import partial
 from typing import Any, Callable, Optional, Sequence, Tuple
 
@@ -53,29 +54,162 @@ def weighted_cross_entropy(logits: jax.Array, labels: jax.Array,
     return jnp.sum(w * nll) / jnp.sum(w)
 
 
-def _freeze_mask(params, patterns: Sequence[str]):
+def _path_str(path) -> str:
+    # accept torch dotted patterns too (the reference matches torch names)
+    return "/".join(str(getattr(p, "key", p)) for p in path)
+
+
+# The reference addresses individual transformer layers by torch name
+# substring ("encoder.layers.5", fe.py:26-40). Here those layers are
+# scan-STACKED (one leaf with a leading (L,) axis), so layer-indexed
+# patterns can't be leaf masks: they become per-slice masks on the stacked
+# axis instead. _split_layer_patterns separates the two kinds.
+_LAYER_IDX_RE = re.compile(r"layers[./](\d+)")
+
+
+def _split_layer_patterns(patterns: Sequence[str]):
+    """-> (plain leaf-substring patterns, [(layer_idx, rest-of-pattern)])."""
+    plain, indexed = [], []
+    for p in patterns:
+        m = _LAYER_IDX_RE.search(p)
+        if m:
+            rest = p[m.end():].strip("./").replace(".", "/")
+            indexed.append((int(m.group(1)), rest))
+        else:
+            plain.append(p)
+    return plain, indexed
+
+
+def _is_stacked_layer_leaf(ps: str) -> bool:
+    return "layers/" in ps or ps.startswith("layers")
+
+
+def _mask_stacked_layers(freeze_idx, unfreeze_idx, plain_freeze=(),
+                         plain_unfreeze=()) -> optax.GradientTransformation:
+    """Zero updates of frozen layer slices on scan-stacked leaves.
+
+    Also resolves the plain+indexed interaction: a stacked leaf caught by a
+    plain freeze pattern but carrying a layer-indexed unfreeze exception is
+    left trainable by the leaf-level mask, and here every slice EXCEPT the
+    excepted layers is zeroed."""
+    import numpy as np
+
+    def init_fn(_params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def f(path, u):
+            ps = _path_str(path)
+            if not _is_stacked_layer_leaf(ps) or u.ndim < 1:
+                return u
+            unfr = [i for i, r in unfreeze_idx if not r or r in ps]
+            froz = [i for i, r in freeze_idx if not r or r in ps]
+            plain_frozen = (any(p in ps for p in plain_freeze)
+                            and not any(p in ps for p in plain_unfreeze))
+            n = u.shape[0]
+            if plain_frozen and unfr:
+                m = np.zeros(n, np.float32)
+            elif froz:
+                m = np.ones(n, np.float32)
+                for i in froz:
+                    if i < n:
+                        m[i] = 0.0
+            else:
+                return u
+            for i in unfr:
+                if i < n:
+                    m[i] = 1.0
+            return u * jnp.asarray(m, u.dtype).reshape(
+                (n,) + (1,) * (u.ndim - 1))
+
+        return jax.tree_util.tree_map_with_path(f, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _freeze_mask(params, patterns: Sequence[str],
+                 unfreeze_patterns: Sequence[str] = (),
+                 layer_unfreeze_idx: Sequence = ()):
     """Param mask: True = trainable. Patterns are substring matches on the
-    '/'-joined path (reference freezes by name substring, fe.py:26-34)."""
+    '/'-joined path (reference freezes by name substring, fe.py:26-34);
+    a param also matching an unfreeze pattern stays trainable (the
+    reference's `and not non_target` clause, fe.py:29). A stacked-layer
+    leaf with a layer-indexed unfreeze exception stays trainable here; the
+    per-slice transform zeroes the rest of its slices."""
+    pats = [p.replace(".", "/") for p in patterns]
+    unpats = [p.replace(".", "/") for p in unfreeze_patterns]
+
     def trainable(path, _leaf):
-        ps = "/".join(str(getattr(p, "key", p)) for p in path)
-        return not any(pat in ps for pat in patterns)
+        ps = _path_str(path)
+        if any(pat in ps for pat in unpats):
+            return True
+        if _is_stacked_layer_leaf(ps) and any(
+                not r or r in ps for _i, r in layer_unfreeze_idx):
+            return True
+        return not any(pat in ps for pat in pats)
     return jax.tree_util.tree_map_with_path(trainable, params)
 
 
 def make_optimizer(lr: float, weight_decay: float,
-                   freeze_patterns: Sequence[str] = ()
+                   freeze_patterns: Sequence[str] = (),
+                   unfreeze_patterns: Sequence[str] = ()
                    ) -> optax.GradientTransformation:
     """AdamW matching torch defaults (betas 0.9/0.999, eps 1e-8; decay on all
     params, as torch AdamW does — /root/reference/main.py:125)."""
     tx = optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8,
                      weight_decay=weight_decay)
-    if freeze_patterns:
+    plain_f, idx_f = _split_layer_patterns(freeze_patterns or ())
+    plain_u, idx_u = _split_layer_patterns(unfreeze_patterns or ())
+    if plain_f:
         tx = optax.multi_transform(
             {"train": tx, "frozen": optax.set_to_zero()},
             lambda params: jax.tree_util.tree_map(
                 lambda t: "train" if t else "frozen",
-                _freeze_mask(params, freeze_patterns)))
+                _freeze_mask(params, plain_f, plain_u, idx_u)))
+    if idx_f or (plain_f and idx_u):
+        tx = optax.chain(tx, _mask_stacked_layers(
+            idx_f, idx_u, [p.replace(".", "/") for p in plain_f],
+            [p.replace(".", "/") for p in plain_u]))
     return tx
+
+
+def reinit_params(params, patterns: Sequence[str], key: jax.Array):
+    """Xavier-uniform re-init of >=2-D params whose path matches a pattern
+    (reference random_init_layers, fe.py:36-40 — runs AFTER the SSL
+    checkpoint load, so matched layers train from scratch). Layer-indexed
+    patterns ("encoder.layers.5[...]") re-init only that slice of the
+    scan-stacked leaf."""
+    if not patterns:
+        return params
+    plain, indexed = _split_layer_patterns(
+        [p.replace(".", "/") for p in patterns])
+    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    init = jax.nn.initializers.glorot_uniform()
+
+    replaced = {}
+    for i, (path, leaf) in enumerate(leaves):
+        ps = _path_str(path)
+        if getattr(leaf, "ndim", 0) >= 2 and any(p in ps for p in plain):
+            replaced[ps] = init(jax.random.fold_in(key, i), leaf.shape,
+                                leaf.dtype)
+            continue
+        if _is_stacked_layer_leaf(ps) and getattr(leaf, "ndim", 0) >= 3:
+            hits = [li for li, rest in indexed
+                    if (not rest or rest in ps) and li < leaf.shape[0]]
+            if hits:
+                new = jnp.asarray(leaf)
+                for li in hits:
+                    fresh = init(jax.random.fold_in(key, i * 1000 + li),
+                                 leaf.shape[1:], leaf.dtype)
+                    new = new.at[li].set(fresh)
+                replaced[ps] = new
+
+    def swap(path, leaf):
+        return replaced.get(_path_str(path), leaf)
+
+    return jax.tree_util.tree_map_with_path(swap, params)
 
 
 def create_train_state(model, rng: jax.Array, sample_batch: jax.Array,

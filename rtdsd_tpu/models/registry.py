@@ -29,9 +29,13 @@ class ModelSpec:
     layer_indices: List[int]             # which of the 24 XLSR layers it uses
     # Parameter-path substrings whose params should be frozen (optimizer
     # mask), mirroring the reference's requires_grad_=False partial freeze
-    # (/root/reference/models/fe.py:26-34).
+    # (/root/reference/models/fe.py:26-34). A param matching both freeze
+    # and unfreeze patterns stays trainable (the reference's `and not
+    # non_target` clause, fe.py:29); reinit_patterns are Xavier-re-inited
+    # after the SSL checkpoint load (fe.py:36-40 + xlsr_aasist.py:20-21).
     freeze_patterns: List[str] = dataclasses.field(default_factory=list)
     reinit_patterns: List[str] = dataclasses.field(default_factory=list)
+    unfreeze_patterns: List[str] = dataclasses.field(default_factory=list)
 
 
 _REGISTRY: Dict[str, Callable[..., ModelSpec]] = {}
@@ -63,23 +67,27 @@ def _layer_kwargs(kwargs) -> tuple[int, List[int]]:
     return len(indices), indices
 
 
-def _freeze_spec(kwargs) -> tuple[List[str], List[str]]:
+def _freeze_spec(kwargs) -> tuple[List[str], List[str], List[str]]:
+    """Reference schema (xlsr_aasist.py:10-21): partial_freeze_layers =
+    {target_layers, non_target_layers}; non-target layers stay trainable
+    AND get re-inited; partial_freeze_init_layers adds extra re-inits."""
     pf = kwargs.get("partial_freeze_layers") or {}
     freeze = list(pf.get("target_layers", []))
     non_target = list(pf.get("non_target_layers", []))
     reinit = list(kwargs.get("partial_freeze_init_layers", [])) + non_target
-    return freeze, reinit
+    return freeze, reinit, non_target
 
 
 @register_model("XLSR_AASIST")
 def _xlsr_aasist(dtype=jnp.float32, remat=False, **kwargs) -> ModelSpec:
-    freeze, reinit = _freeze_spec(kwargs)
+    freeze, reinit, unfreeze = _freeze_spec(kwargs)
     module = XLSR_AASIST(
         w2v_cfg=make_w2v_cfg(24, **kwargs.get("w2v", {})),
         fix_out_s1_bug=bool(kwargs.get("fix_out_s1_bug", False)),
         fused_gat=bool(kwargs.get("fused_gat", False)),
         dtype=dtype, remat=remat)
-    return ModelSpec("XLSR_AASIST", module, list(range(24)), freeze, reinit)
+    return ModelSpec("XLSR_AASIST", module, list(range(24)), freeze, reinit,
+                     unfreeze)
 
 
 @register_model("My_XLSR_AASIST")

@@ -218,3 +218,60 @@ def test_async_checkpoint_roundtrip(tmp_path, tiny_setup):
     for a, b in zip(jax.tree_util.tree_leaves(restored.params),
                     jax.tree_util.tree_leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ------------------------------------------- partial freeze / re-init (ref
+# fe.py:26-40 + xlsr_aasist.py:10-21: freeze target-not-nontarget, Xavier
+# re-init non_target + partial_freeze_init_layers after SSL load)
+
+def _sgd_with_masks(freeze, unfreeze):
+    from rtdsd_tpu.engine.steps import make_optimizer
+
+    return make_optimizer(1.0, 0.0, freeze, unfreeze)
+
+
+def test_partial_freeze_plain_and_exception():
+    params = {"feature_extractor": {"conv_0": {"kernel": jnp.ones((2, 2))}},
+              "post_extract_proj": {"kernel": jnp.ones((2, 2))}}
+    tx = _sgd_with_masks(["feature_extractor"], ["conv_0"])
+    st = tx.init(params)
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    up, _ = tx.update(g, st, params)
+    # conv_0 matches the freeze pattern but also the unfreeze exception
+    assert float(jnp.abs(up["feature_extractor"]["conv_0"]["kernel"]).sum()) > 0
+    assert float(jnp.abs(up["post_extract_proj"]["kernel"]).sum()) > 0
+
+
+def test_partial_freeze_layer_indexed_on_stacked_leaf():
+    # stacked (L=4, in, out) leaf like the scanned transformer params
+    params = {"layers": {"layer": {"fc1": {"kernel": jnp.ones((4, 3, 3))}}}}
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+
+    # freeze layers.1 and layers.3 only
+    tx = _sgd_with_masks(["layers.1", "layers.3"], [])
+    up, _ = tx.update(g, tx.init(params), params)
+    k = np.asarray(up["layers"]["layer"]["fc1"]["kernel"])
+    assert np.abs(k[0]).sum() > 0 and np.abs(k[2]).sum() > 0
+    assert np.abs(k[1]).sum() == 0 and np.abs(k[3]).sum() == 0
+
+    # freeze ALL layers except layers.2 (plain freeze + indexed unfreeze)
+    tx = _sgd_with_masks(["layers"], ["layers.2"])
+    up, _ = tx.update(g, tx.init(params), params)
+    k = np.asarray(up["layers"]["layer"]["fc1"]["kernel"])
+    assert np.abs(k[2]).sum() > 0
+    assert np.abs(k[0]).sum() == np.abs(k[1]).sum() == np.abs(k[3]).sum() == 0
+
+
+def test_reinit_params_plain_and_indexed():
+    from rtdsd_tpu.engine.steps import reinit_params
+
+    params = {"pos_conv": {"conv": {"kernel": jnp.zeros((2, 4)),
+                                    "bias": jnp.zeros((4,))}},
+              "layers": {"layer": {"fc1": {"kernel": jnp.zeros((4, 3, 3))}}}}
+    out = reinit_params(params, ["pos_conv", "layers.2"], jax.random.key(0))
+    # matched >=2-D param re-inited; 1-D bias untouched (ref dim>=2 guard)
+    assert float(jnp.abs(out["pos_conv"]["conv"]["kernel"]).sum()) > 0
+    assert float(jnp.abs(out["pos_conv"]["conv"]["bias"]).sum()) == 0
+    k = np.asarray(out["layers"]["layer"]["fc1"]["kernel"])
+    assert np.abs(k[2]).sum() > 0  # only the indexed slice
+    assert np.abs(k[0]).sum() == np.abs(k[1]).sum() == np.abs(k[3]).sum() == 0
