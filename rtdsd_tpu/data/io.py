@@ -40,14 +40,17 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         body = data[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             raw = body
         pos += 8 + size + (size & 1)
     if fmt is None or raw is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
     audio_fmt, channels, sr, _, _, bits = fmt
-    if audio_fmt == 0xFFFE and len(data) > 0:  # WAVE_FORMAT_EXTENSIBLE
-        audio_fmt = 1  # assume PCM subtype; float handled by bits==32 check below
+    if audio_fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: the SubFormat GUID's
+        # first two bytes carry the real format code (1=PCM, 3=IEEE float)
+        audio_fmt = (struct.unpack("<H", fmt_body[24:26])[0]
+                     if len(fmt_body) >= 26 else 1)
     if audio_fmt == 3:  # IEEE float
         dt = np.float32 if bits == 32 else np.float64
         x = np.frombuffer(raw, dtype=dt).astype(np.float32)

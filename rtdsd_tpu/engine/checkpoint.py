@@ -24,10 +24,6 @@ from flax import serialization
 from rtdsd_tpu.engine.steps import TrainState
 
 
-def _to_host(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
-
-
 def save_checkpoint(path: str, state: TrainState,
                     meta: Optional[dict] = None) -> None:
     os.makedirs(path, exist_ok=True)
@@ -70,11 +66,21 @@ def save_checkpoint_async(path: str, state: TrainState,
 
         if _ASYNC_CKPT is None:
             _ASYNC_CKPT = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        else:
+            # a prior in-flight save must commit before we move dirs around
+            _ASYNC_CKPT.wait_until_finished()
         target = os.path.abspath(os.path.join(path, "orbax"))
-        if os.path.exists(target):
-            import shutil
+        prev = target + ".prev"
+        import shutil
 
-            shutil.rmtree(target)
+        # Keep the last committed checkpoint as .prev until the new save
+        # commits (orbax renames its tmp dir into `target` atomically on
+        # commit): a crash mid-save leaves .prev restorable instead of
+        # nothing. .prev is reclaimed on the next call.
+        if os.path.exists(prev):
+            shutil.rmtree(prev)
+        if os.path.exists(target):
+            os.rename(target, prev)
         os.makedirs(path, exist_ok=True)
         _ASYNC_CKPT.save(target, tree)
         with open(os.path.join(path, "meta.json"), "w") as f:
@@ -91,8 +97,11 @@ def save_checkpoint_async(path: str, state: TrainState,
 
 
 def restore_checkpoint_any(path: str, target_state: TrainState) -> TrainState:
-    """Restore either format: orbax dir or msgpack."""
+    """Restore either format: orbax dir (falling back to the .prev kept
+    during an interrupted async save) or msgpack."""
     orbax_dir = os.path.join(path, "orbax")
+    if not os.path.exists(orbax_dir) and os.path.exists(orbax_dir + ".prev"):
+        orbax_dir = orbax_dir + ".prev"
     if os.path.exists(orbax_dir):
         import orbax.checkpoint as ocp
 

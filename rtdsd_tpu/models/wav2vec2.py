@@ -125,6 +125,12 @@ def resolve_layer_indices(total: int, num_layers: int, order: str = "first",
         raise ValueError("custom order requires custom_order list of ints")
     if not isinstance(custom_order, (list, tuple)):
         raise ValueError("custom_order must be a list of integers")
+    bad = [i for i in custom_order if not (0 <= int(i) < total)]
+    if bad:
+        # fail like the reference's ModuleList indexing would (fe.py:89-90)
+        # instead of letting jnp.take clamp silently to the wrong layers
+        raise ValueError(f"custom_order indices {bad} out of range "
+                         f"[0, {total})")
     return list(custom_order)
 
 
@@ -269,7 +275,18 @@ class TransformerLayer(nn.Module):
         q = proj("q_proj")(h).reshape(shape_h)
         kk = proj("k_proj")(h).reshape(shape_h)
         v = proj("v_proj")(h).reshape(shape_h)
-        attn = jax.nn.dot_product_attention(q, kk, v)
+        if cfg.attention_dropout > 0 and train:
+            # fairseq applies dropout to the attention probabilities; the
+            # fused jax.nn.dot_product_attention has no dropout hook, so
+            # take the explicit path only when it actually matters
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q * cfg.head_dim ** -0.5,
+                                kk)
+            probs = jax.nn.softmax(scores.astype(jnp.float32)).astype(h.dtype)
+            probs = nn.Dropout(cfg.attention_dropout,
+                               deterministic=not train)(probs)
+            attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        else:
+            attn = jax.nn.dot_product_attention(q, kk, v)
         attn = attn.reshape(b, t, d)
         h = proj("out_proj")(attn)
         h = jax.ad_checkpoint.checkpoint_name(h, "attn_out")
@@ -372,6 +389,11 @@ def select_layers(params, indices: Sequence[int]):
 
     def maybe_take(path, leaf):
         if any(getattr(p, "key", None) == "layers" for p in path):
+            if idx.size and (int(idx.min()) < 0
+                             or int(idx.max()) >= leaf.shape[0]):
+                raise ValueError(
+                    f"layer indices {list(indices)} out of range for "
+                    f"stacked axis of size {leaf.shape[0]}")
             return jnp.take(leaf, idx, axis=0)
         return leaf
 

@@ -3,7 +3,8 @@
 API:
   available() -> bool
   decode(path) -> (float32 (C, T) array, sample_rate)
-  load_batch(paths, duration, seed=0, threads=N) -> (B, duration) float32
+  load_batch(paths, duration, seed=0, threads=N, expected_sr=16000)
+      -> ((B, duration) float32 waves, n_failed)
 
 ``load_batch`` releases the GIL for the whole batch (decode + tile/crop run
 on a C++ thread pool), making it the host-side fast path the threaded Python

@@ -166,6 +166,9 @@ bool decode_subframe(BitReader& br, uint32_t block_size, int bps,
     for (uint32_t i = 0; i < block_size; ++i) out[i] = br.read_signed(ebps);
   } else if ((type & 0x38u) == 0x08u && (type & 0x07u) <= 4) {  // FIXED
     int order = (int)(type & 0x07u);
+    // warmup samples write out[0..order): a corrupt frame with
+    // block_size < order would overflow the block-sized buffer
+    if ((uint32_t)order > block_size) return false;
     for (int i = 0; i < order; ++i) out[i] = br.read_signed(ebps);
     if (!decode_residual(br, order, block_size, out)) return false;
     switch (order) {
@@ -189,6 +192,7 @@ bool decode_subframe(BitReader& br, uint32_t block_size, int bps,
     }
   } else if (type & 0x20u) {             // LPC
     int order = (int)(type & 0x1Fu) + 1;
+    if ((uint32_t)order > block_size) return false;  // see FIXED note
     for (int i = 0; i < order; ++i) out[i] = br.read_signed(ebps);
     int precision = (int)br.read_bits(4) + 1;
     if (precision == 16) return false;   // 1111 invalid
@@ -349,7 +353,7 @@ int64_t decode_wav(const uint8_t* data, size_t size, std::vector<float>* pcm,
       memcmp(data + 8, "WAVE", 4) != 0)
     return -1;
   size_t pos = 12;
-  uint16_t fmt = 0, channels = 0, bits = 0;
+  uint16_t fmt = 0, channels = 0, bits = 0, sub_fmt = 0;
   uint32_t sr = 0;
   const uint8_t* raw = nullptr;
   size_t raw_len = 0;
@@ -362,6 +366,9 @@ int64_t decode_wav(const uint8_t* data, size_t size, std::vector<float>* pcm,
       memcpy(&channels, body + 2, 2);
       memcpy(&sr, body + 4, 4);
       memcpy(&bits, body + 14, 2);
+      // WAVE_FORMAT_EXTENSIBLE: the real code is the SubFormat GUID's
+      // first two bytes (1 = PCM, 3 = IEEE float)
+      if (len >= 26) memcpy(&sub_fmt, body + 24, 2);
     } else if (memcmp(data + pos, "data", 4) == 0) {
       raw = body;
       raw_len = len < size - (pos + 8) ? len : size - (pos + 8);
@@ -369,7 +376,7 @@ int64_t decode_wav(const uint8_t* data, size_t size, std::vector<float>* pcm,
     pos += 8 + len + (len & 1);
   }
   if (!raw || channels == 0) return -1;
-  if (fmt == 0xFFFE) fmt = 1;
+  if (fmt == 0xFFFE) fmt = sub_fmt ? sub_fmt : 1;  // EXTENSIBLE: SubFormat
   info->sample_rate = sr;
   info->channels = channels;
   info->bps = bits;

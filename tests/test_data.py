@@ -244,3 +244,40 @@ def test_background_noise_empty_file_skipped(tmp_path, rng):
     wave = rng.standard_normal(400).astype(np.float32)
     out = corpus(wave, np.random.default_rng(0))  # must not crash
     np.testing.assert_array_equal(out, wave)
+
+
+def _write_extensible_float_wav(path, wave, sr=16000):
+    """WAVE_FORMAT_EXTENSIBLE container with IEEE-float SubFormat."""
+    import struct
+
+    pcm = np.asarray(wave, np.float32).tobytes()
+    guid = struct.pack("<H", 3) + b"\x00\x00" + \
+        b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, sr, sr * 4, 4, 32) + \
+        struct.pack("<HHI", 22, 32, 0x4) + guid
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt +
+            b"data" + struct.pack("<I", len(pcm)) + pcm)
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_extensible_float_wav_decodes_correctly(tmp_path, rng):
+    wave = (rng.standard_normal(600) * 0.3).astype(np.float32)
+    path = str(tmp_path / "ext.wav")
+    _write_extensible_float_wav(path, wave)
+    got, sr = load_audio(path)
+    assert sr == 16000
+    np.testing.assert_allclose(np.squeeze(got), wave, rtol=0, atol=0)
+
+
+def test_extensible_float_wav_native_decoder(tmp_path, rng):
+    from rtdsd_tpu.native import flac as native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    wave = (rng.standard_normal(600) * 0.3).astype(np.float32)
+    path = str(tmp_path / "ext.wav")
+    _write_extensible_float_wav(path, wave)
+    got, sr = native.decode(path)
+    assert sr == 16000
+    np.testing.assert_allclose(np.squeeze(got), wave, rtol=0, atol=1e-7)

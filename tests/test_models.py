@@ -206,3 +206,10 @@ def test_conv_dots_matches_xla_conv():
     b = fe_dots.apply(variables, wave)  # identical param tree
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_custom_order_out_of_range_rejected():
+    with pytest.raises(ValueError):
+        resolve_layer_indices(24, 3, "custom", [0, 5, 24])
+    with pytest.raises(ValueError):
+        resolve_layer_indices(24, 2, "custom", [-1, 3])
