@@ -131,6 +131,38 @@ def setup_mesh(exp_config: ExpConfig):
     return mesh, batch_sharding(mesh)
 
 
+def shard_state(state: TrainState, mesh, tx=None,
+                mode: Optional[str] = None) -> TrainState:
+    """Place the train state onto the mesh before jit consumes it.
+
+    Without this, params stay committed to the default device while
+    device_prefetch delivers batches sharded over the whole mesh, and the
+    first jitted step fails with "incompatible devices". dp replicates
+    everything; fsdp/tp/fsdp+tp shard params by the mesh rules and
+    re-initialize the optimizer so its moments inherit the layout.
+    No-op on 1-device meshes.
+    """
+    import math
+
+    if math.prod(mesh.shape.values()) == 1:
+        return state
+    rep = replicated_sharding(mesh)
+    mode = mode or ("fsdp+tp" if mesh.shape.get("model", 1) > 1 else "dp")
+    if mode == "dp":
+        return jax.device_put(state, rep)
+    from rtdsd_tpu.parallel.mesh import sharding_for_tree
+
+    params = jax.tree_util.tree_map(
+        jax.device_put, state.params,
+        sharding_for_tree(state.params, mesh, mode))
+    opt_state = (tx.init(params) if tx is not None
+                 else jax.device_put(state.opt_state, rep))
+    return state.replace(
+        params=params, opt_state=opt_state,
+        step=jax.device_put(state.step, rep),
+        batch_stats=jax.device_put(state.batch_stats, rep))
+
+
 def produce_evaluation_file(dataset, spec: ModelSpec, state: TrainState,
                             save_path: str, batch_size: int,
                             sharding=None, num_workers: int = 4) -> None:

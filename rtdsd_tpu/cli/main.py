@@ -31,7 +31,8 @@ import jax
 from rtdsd_tpu.config import load_yaml_config
 from rtdsd_tpu.cli.common import (build_model, init_state,
                                   load_checkpoint_for_eval,
-                                  produce_evaluation_file, setup_mesh)
+                                  produce_evaluation_file, setup_mesh,
+                                  shard_state)
 from rtdsd_tpu.data.dataset import (ASVspoof2019LA, ASVspoof2019LA_eval,
                                     ASVspoof2021DF_eval, ASVspoof2021LA_eval,
                                     ASVSpoof5, FakeOrReal, InTheWild)
@@ -109,13 +110,21 @@ def run_train(args, sys_config, exp_config):
     elif args.ckpt:
         state = load_checkpoint_for_eval(args.ckpt, spec, state)
         logger.print(f"loaded ckpt {args.ckpt}")
+    state = shard_state(state, mesh, tx, exp_config.parallel_mode or None)
 
+    # reference test loader is the DF21 eval set (main.py:70); fall back to
+    # dev when its paths aren't configured
+    test_loader = dev_loader
+    if args.accuracy and sys_config.path_label_asv_spoof_2021_df_eval:
+        test_loader = mk_loader(ASVspoof2021DF_eval(sys_config, exp_config),
+                                exp_config.batch_size_test, False)
     trainer = Trainer(spec.module, state, tx, train_loader, dev_loader,
-                      dev_loader, logger, exp_config, sys_config, mesh,
+                      test_loader, logger, exp_config, sys_config, mesh,
                       bsharding, rng_seed=exp_config.random_seed)
 
-    if args.accuracy:  # reference --accuracy mode (main.py:190-194)
-        loss, acc = trainer.test(is_dev=True)
+    if args.accuracy:  # reference --accuracy mode (main.py:190-194: the
+        # DF21 eval set, not the dev set)
+        loss, acc = trainer.test(is_dev=test_loader is dev_loader)
         logger.print(f"Test acc: {acc}, Test loss: {loss}")
         return
 
@@ -131,13 +140,22 @@ def run_train(args, sys_config, exp_config):
         if patience > 0 else None
 
     best_loss = float("inf")
+    best_acc, best_loss_epoch, best_acc_epoch = 0.0, -1, -2
     max_epoch = args.max_epoch or exp_config.max_epoch
     for epoch in range(max_epoch):
         trainer.train()
         dev_loss, dev_acc = trainer.test(is_dev=True)
         logger.print(f"epoch {epoch}: dev loss {dev_loss:.5f} acc {dev_acc:.2f}")
-        if dev_loss < best_loss and dev_acc > 95 and jax.process_index() == 0:
-            best_loss = dev_loss
+        # both reference save triggers (main.py:155-168): dev-loss improved
+        # with acc > 95, OR a new best accuracy > 95 in a different epoch
+        save = False
+        if dev_loss < best_loss and dev_acc > 95:
+            best_loss, best_loss_epoch, save = dev_loss, epoch, True
+        if dev_acc > best_acc:
+            best_acc, best_acc_epoch = dev_acc, epoch
+            if best_acc_epoch != best_loss_epoch and best_acc > 95:
+                save = True
+        if save and jax.process_index() == 0:
             name = f"best_LA_epoch{epoch}_{dev_loss:.5f}_{dev_acc:.2f}"
             path = os.path.join(sys_config.path_to_save_model, name)
             save_checkpoint(path, trainer.state,
@@ -163,7 +181,7 @@ def run_train(args, sys_config, exp_config):
 
 def run_score(args, sys_config, exp_config, tracks):
     set_seed(exp_config.random_seed)
-    _mesh, bsharding = setup_mesh(exp_config)
+    mesh, bsharding = setup_mesh(exp_config)
     spec = build_model(sys_config, exp_config, train=False)
     state = init_state(spec, sys_config, exp_config, jax.random.key(0))
     state = load_checkpoint_for_eval(args.ckpt, spec, state)
@@ -173,6 +191,7 @@ def run_score(args, sys_config, exp_config, tracks):
         from rtdsd_tpu.cli.common import apply_w8
 
         spec, state = apply_w8(sys_config, exp_config, state)
+    state = shard_state(state, mesh, mode="dp")
 
     for track in tracks:
         if track not in TRACK_DATASETS:

@@ -31,7 +31,8 @@ import jax
 from rtdsd_tpu.config import load_yaml_config
 from rtdsd_tpu.cli.common import (build_model, init_state,
                                   load_checkpoint_for_eval,
-                                  produce_evaluation_file, setup_mesh)
+                                  produce_evaluation_file, setup_mesh,
+                                  shard_state)
 from rtdsd_tpu.cli.main import TRACK_DATASETS
 from rtdsd_tpu.data.dataset import ASVspoof2019LA
 from rtdsd_tpu.data.loader import DataLoader
@@ -47,7 +48,8 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="./configs/kd.yaml", type=str)
     p.add_argument("--is_eval", action="store_true", default=False)
-    p.add_argument("--eval", default="student", choices=["teacher", "student"])
+    p.add_argument("--eval", default="teacher",  # ref main_kd.py:275-276
+                   choices=["teacher", "student"])
     p.add_argument("--ckpt", default=None, type=str)
     p.add_argument("--comment", default=None, type=str)
     p.add_argument("--is_score", action="store_true", default=False)
@@ -81,6 +83,7 @@ def run_kd_train(args, sys_config, exp_config):
     if args.ckpt:
         t_state = load_checkpoint_for_eval(args.ckpt, teacher_spec, t_state)
         logger.print(f"Load Teacher checkpoint from {args.ckpt}")
+    t_state = shard_state(t_state, mesh, mode="dp")
     teacher_variables = {"params": t_state.params}
     if t_state.batch_stats:
         teacher_variables["batch_stats"] = t_state.batch_stats
@@ -99,7 +102,7 @@ def run_kd_train(args, sys_config, exp_config):
     logger.print(f"Number of student model parameters: {n_s}")
 
     # teacher -> student weight copy (ref main_kd.py:127-141)
-    if kd.get("copy_weights", True):
+    if kd.get("copy_weights", False):  # ref default False, main_kd.py:90
         order = student_kwargs.get("order", "first")
         custom = kd.get("custom_order_copy_weights",
                         student_kwargs.get("custom_order"))
@@ -109,6 +112,7 @@ def run_kd_train(args, sys_config, exp_config):
         s_state = s_state.replace(params=params, opt_state=tx.init(params))
         logger.print("Copied teacher weights to student "
                      f"(layer map {indices})")
+    s_state = shard_state(s_state, mesh, tx, exp_config.parallel_mode or None)
 
     train_set = ASVspoof2019LA(sys_config, exp_config, is_train=True)
     dev_set = ASVspoof2019LA(sys_config, exp_config, is_train=False)
@@ -150,7 +154,7 @@ def run_kd_score(args, sys_config, exp_config, tracks):
             raise ValueError(f"Invalid track {track!r}; "
                              f"have {sorted(TRACK_DATASETS)}")
     set_seed(exp_config.random_seed)
-    _mesh, bsharding = setup_mesh(exp_config)
+    mesh, bsharding = setup_mesh(exp_config)
     if args.eval == "teacher":
         spec = build_model(sys_config, exp_config, train=False)
         kwargs = None
@@ -165,6 +169,7 @@ def run_kd_score(args, sys_config, exp_config, tracks):
             sys_config, exp_config, state,
             name=None if kwargs is None else sys_config.student_model,
             kwargs=kwargs)
+    state = shard_state(state, mesh, mode="dp")
     for track in tracks:
         ds_cls, path_attr = TRACK_DATASETS[track]
         save_path = getattr(sys_config, path_attr)

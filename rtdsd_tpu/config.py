@@ -122,6 +122,9 @@ class ExpConfig:
     # Mesh axis sizes; data axis -1 = all local devices.
     mesh_data_axis: int = -1
     mesh_model_axis: int = 1
+    # Parameter placement over the mesh: "" = auto (dp when model axis is 1,
+    # fsdp+tp otherwise); or explicitly "dp" / "fsdp" / "tp" / "fsdp+tp".
+    parallel_mode: str = ""
     # Whether the CE loss uses the reference's fixed class weights [0.9, 0.1]
     # (/root/reference/main.py:105-107 — index 0 = spoof, 1 = bonafide).
     ce_weight: List[float] = field(default_factory=lambda: [0.9, 0.1])

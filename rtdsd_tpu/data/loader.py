@@ -137,16 +137,30 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.num_workers * 2)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # bounded put that re-checks stop: a consumer that abandons
+            # iteration mid-epoch must not leave the producer parked
+            # forever inside q.put on a full queue
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for s in starts:
                     if stop.is_set():
                         return
-                    q.put(self._make_batch(idx[s:s + self.batch_size], rng))
+                    if not put(self._make_batch(idx[s:s + self.batch_size],
+                                                rng)):
+                        return
             except BaseException as e:  # surface decode errors to consumer
-                q.put(e)
+                put(e)
             finally:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -167,9 +181,12 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
 
     With a ``NamedSharding``, waves/labels land pre-sharded across the mesh
     data axis (jit then consumes them with no layout transfer).
+    ``size <= 0`` degrades to depth-1 (prefetch disabled, batches still
+    flow — a zero fill would silently yield nothing).
     """
     import jax
 
+    size = max(int(size), 1)
     buf: "queue.Queue" = queue.Queue()
     it = iter(iterator)
 

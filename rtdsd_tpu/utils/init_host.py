@@ -22,7 +22,7 @@ def init_variables_host(model, sample, seed: int = 0, **apply_kwargs):
     def fill(path, sds):
         name = str(getattr(path[-1], "key", "")) if path else ""
         shape, dtype = sds.shape, sds.dtype
-        if name in ("bias", "mean") or (name == "embedding" and False):
+        if name in ("bias", "mean"):
             return np.zeros(shape, dtype)
         if name in ("scale", "var"):
             return np.ones(shape, dtype)
