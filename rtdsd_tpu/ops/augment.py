@@ -133,20 +133,80 @@ def _time_mask(key, x, p, min_part, max_part):
     return jnp.where(apply, x * gain, x)
 
 
+_TST_NFFT = 1024
+_TST_HOP = 256
+
+
+def _stft_frames(x: jax.Array, n_fft: int, hop: int) -> jax.Array:
+    """(T,) -> complex (frames, n_fft//2+1) with a centered hann window."""
+    pad = n_fft // 2
+    xp = jnp.pad(x, (pad, pad), mode="reflect")
+    n_frames = 1 + (xp.shape[-1] - n_fft) // hop
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    win = jnp.hanning(n_fft).astype(x.dtype)
+    return jnp.fft.rfft(xp[idx] * win, axis=-1)
+
+
+def _istft_frames(frames: jax.Array, n_fft: int, hop: int,
+                  length: int) -> jax.Array:
+    """Overlap-add inverse of :func:`_stft_frames` with window-square
+    normalization."""
+    win = jnp.hanning(n_fft)
+    y_frames = jnp.fft.irfft(frames, n_fft, axis=-1) * win[None, :]
+    n_frames = y_frames.shape[0]
+    total = n_fft + hop * (n_frames - 1)
+    starts = jnp.arange(n_frames) * hop
+    y = jnp.zeros(total).at[
+        starts[:, None] + jnp.arange(n_fft)[None, :]].add(y_frames)
+    norm = jnp.zeros(total).at[
+        starts[:, None] + jnp.arange(n_fft)[None, :]].add(win ** 2)
+    y = y / jnp.maximum(norm, 1e-8)
+    pad = n_fft // 2
+    return y[pad:pad + length]
+
+
 def time_stretch(key, x, rate_min: float, rate_max: float):
-    """Length-preserving linear-interpolation resample (audiomentations
-    TimeStretch with leave_length_unchanged=True): rate>1 speeds up (signal
-    ends early, zero tail), rate<1 slows down (tail cropped)."""
+    """Length-preserving pitch-preserving time stretch (phase vocoder).
+
+    Matches the semantics of audiomentations ``TimeStretch`` with
+    ``leave_length_unchanged=True`` (librosa.effects.time_stretch under the
+    hood): tempo scales by ``rate`` at constant pitch; rate>1 ends early
+    (zero tail), rate<1 is cropped. Implemented as a jit-compatible phase
+    vocoder — output frame t reads input position t*rate with magnitude
+    interpolation and accumulated phase advanced by the measured per-bin
+    phase increment (static shapes; ``rate`` stays a traced scalar)."""
     t = x.shape[-1]
     rate = jax.random.uniform(key, (), minval=rate_min, maxval=rate_max)
-    src = jnp.arange(t, dtype=jnp.float32) * rate
-    lo = jnp.floor(src).astype(jnp.int32)
-    frac = src - lo
-    hi = jnp.clip(lo + 1, 0, t - 1)
-    valid = lo < t
-    lo = jnp.clip(lo, 0, t - 1)
-    y = x[lo] * (1.0 - frac) + x[hi] * frac
-    return jnp.where(valid, y, 0.0)
+    spec = _stft_frames(x.astype(jnp.float32), _TST_NFFT, _TST_HOP)
+    n_in = spec.shape[0]
+    n_bins = spec.shape[1]
+    omega = (2.0 * jnp.pi * jnp.arange(n_bins) / _TST_NFFT) * _TST_HOP
+
+    mag = jnp.abs(spec)
+    phase = jnp.angle(spec)
+    # measured per-hop phase advance, deviation wrapped to (-pi, pi]
+    dphi = jnp.diff(phase, axis=0) - omega[None, :]
+    dphi = dphi - 2.0 * jnp.pi * jnp.round(dphi / (2.0 * jnp.pi))
+    dphi = dphi + omega[None, :]
+
+    # output frame t samples input position t*rate (clamped)
+    pos = jnp.arange(n_in, dtype=jnp.float32) * rate
+    p0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 1)
+    frac = jnp.clip(pos - p0, 0.0, 1.0)
+    m0 = jnp.take(mag, p0, axis=0)
+    m1 = jnp.take(mag, jnp.clip(p0 + 1, 0, n_in - 1), axis=0)
+    mags = (1.0 - frac[:, None]) * m0 + frac[:, None] * m1
+    # zero-pad past the stretched end (audiomentations zero tail for rate>1)
+    mags = jnp.where((pos <= n_in - 1)[:, None], mags, 0.0)
+    steps = jnp.take(dphi, jnp.clip(p0, 0, n_in - 2), axis=0)
+
+    def body(acc, inp):
+        mag_t, step_t = inp
+        return acc + step_t, mag_t * jnp.exp(1j * acc)
+
+    _, out = jax.lax.scan(body, phase[0], (mags, steps))
+    y = _istft_frames(out, _TST_NFFT, _TST_HOP, t)
+    return y.astype(x.dtype)
 
 
 def air_absorption(key, x, d_min: float, d_max: float, sr: float):
