@@ -196,9 +196,21 @@ def export_conformer_backend(params: Dict, stats: Dict
     return out
 
 
-def export_reference_model(variables: Dict[str, Any], model_name: str
+def export_reference_model(variables: Dict[str, Any], model_name: str,
+                           source_sd: Dict[str, np.ndarray] | None = None
                            ) -> Dict[str, np.ndarray]:
-    """{'params', 'batch_stats'} of a zoo model -> reference state dict."""
+    """{'params', 'batch_stats'} of a zoo model -> reference state dict.
+
+    The features-only inference path covers every parameter this framework
+    trains, but fairseq's full Wav2Vec2Model also carries pretraining-only
+    parameters (``mask_emb``, ``quantizer.*``, ``project_q.*``,
+    ``final_proj.*``) that a ``strict=True`` torch load of the reference
+    expects. Pass ``source_sd`` (e.g. the original fairseq/reference state
+    dict the run started from, via ``load_torch_state_dict``) and any key it
+    has that the export does not is carried through verbatim — making the
+    roundtrip strict-load complete. Without it, load with ``strict=False``
+    (only inference-irrelevant keys are missing).
+    """
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     out = export_w2v(params["ssl_model"], prefix="ssl_model.model.")
@@ -208,4 +220,8 @@ def export_reference_model(variables: Dict[str, Any], model_name: str
     else:
         out.update(export_conformer_backend(params["backend"],
                                             stats["backend"]))
+    if source_sd:
+        for k, v in source_sd.items():
+            if k not in out:
+                out[k] = np.asarray(v)
     return out

@@ -109,3 +109,30 @@ def test_conformer_export_convert_roundtrip():
                      "batch_stats": back["batch_stats"]}, wave, train=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_export_carries_pretraining_only_keys():
+    """source_sd pass-through makes the export strict-load complete even for
+    fairseq pretraining-only params absent from the inference pytree."""
+    import numpy as np
+
+    from rtdsd_tpu.models.export_reference import export_reference_model
+    from rtdsd_tpu.models.zoo import XLSR_AASIST
+
+    import jax
+
+    model = XLSR_AASIST(w2v_cfg=TINY)
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, 3200), jnp.float32), train=False)
+    extras = {"ssl_model.model.mask_emb": np.ones(16, np.float32),
+              "ssl_model.model.quantizer.vars": np.ones((1, 4, 2),
+                                                        np.float32)}
+    out = export_reference_model(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]}, "XLSR_AASIST",
+        source_sd=extras)
+    for k, v in extras.items():
+        np.testing.assert_array_equal(out[k], v)
+    # converted keys win over source keys of the same name
+    assert out["ssl_model.model.post_extract_proj.weight"].shape[0] == \
+        variables["params"]["ssl_model"]["post_extract_proj"]["kernel"].shape[1]
