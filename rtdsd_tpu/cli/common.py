@@ -144,6 +144,8 @@ def shard_state(state: TrainState, mesh, tx=None,
     """
     import math
 
+    import optax
+
     if math.prod(mesh.shape.values()) == 1:
         return state
     rep = replicated_sharding(mesh)
@@ -152,11 +154,18 @@ def shard_state(state: TrainState, mesh, tx=None,
         return jax.device_put(state, rep)
     from rtdsd_tpu.parallel.mesh import sharding_for_tree
 
-    params = jax.tree_util.tree_map(
-        jax.device_put, state.params,
-        sharding_for_tree(state.params, mesh, mode))
-    opt_state = (tx.init(params) if tx is not None
-                 else jax.device_put(state.opt_state, rep))
+    shardings = sharding_for_tree(state.params, mesh, mode)
+    params = jax.tree_util.tree_map(jax.device_put, state.params, shardings)
+    if tx is not None:
+        # place the EXISTING optimizer state (param-shaped moments get the
+        # param shardings; count etc. replicated) — re-initializing here
+        # would silently zero restored Adam moments and break exact resume
+        opt_state = optax.tree_map_params(
+            tx, lambda leaf, sh: jax.device_put(leaf, sh), state.opt_state,
+            shardings,
+            transform_non_params=lambda x: jax.device_put(x, rep))
+    else:
+        opt_state = jax.device_put(state.opt_state, rep)
     return state.replace(
         params=params, opt_state=opt_state,
         step=jax.device_put(state.step, rep),

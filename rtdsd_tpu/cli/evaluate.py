@@ -98,10 +98,13 @@ def main(argv=None):
 
     scores = read_scores(args.scores)
     labels = labels_from_protocol(protocol, ff, lf)
-    # strip extensions from protocol keys if score keys are extension-free
     if not set(scores) & set(labels):
-        labels = {k.rsplit(".", 1)[0].rsplit("/", 1)[-1]: v
-                  for k, v in labels.items()}
+        # normalize BOTH sides to basename-sans-extension: score files may
+        # key on full paths (ASVspoof5 matches the reference's path ids)
+        # while protocols key on bare names, or vice versa
+        norm = lambda k: k.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+        scores = {norm(k): v for k, v in scores.items()}
+        labels = {norm(k): v for k, v in labels.items()}
     common = sorted(set(scores) & set(labels))
     if not common:
         print("ERROR: no utterances in common between scores and protocol",

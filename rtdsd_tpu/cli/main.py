@@ -74,6 +74,13 @@ TRACK_DATASETS = {
 }
 
 
+def validate_tracks(tracks) -> None:
+    for track in tracks:
+        if track not in TRACK_DATASETS:
+            raise ValueError(f"Invalid track {track!r}; "
+                             f"have {sorted(TRACK_DATASETS)}")
+
+
 def run_train(args, sys_config, exp_config):
     from rtdsd_tpu.parallel.distributed import maybe_initialize_distributed
 
@@ -180,6 +187,7 @@ def run_train(args, sys_config, exp_config):
 
 
 def run_score(args, sys_config, exp_config, tracks):
+    validate_tracks(tracks)
     set_seed(exp_config.random_seed)
     mesh, bsharding = setup_mesh(exp_config)
     spec = build_model(sys_config, exp_config, train=False)
@@ -194,8 +202,6 @@ def run_score(args, sys_config, exp_config, tracks):
     state = shard_state(state, mesh, mode="dp")
 
     for track in tracks:
-        if track not in TRACK_DATASETS:
-            raise ValueError(f"Invalid track {track!r}")
         ds_cls, path_attr = TRACK_DATASETS[track]
         save_path = getattr(sys_config, path_attr)
         if args.comment:
@@ -214,10 +220,7 @@ def main(argv=None):
     args = parse_args(argv)
     tracks = args.tracks.split(",")
     if args.is_eval and (args.is_score or args.score_all_folder_path):
-        for track in tracks:  # fail fast, before any checkpoint IO
-            if track not in TRACK_DATASETS:
-                raise ValueError(f"Invalid track {track!r}; "
-                                 f"have {sorted(TRACK_DATASETS)}")
+        validate_tracks(tracks)  # fail fast, before any checkpoint IO
     sys_config, exp_config = load_yaml_config(args.config)
 
     if args.is_eval:

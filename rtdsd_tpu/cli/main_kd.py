@@ -33,7 +33,7 @@ from rtdsd_tpu.cli.common import (build_model, init_state,
                                   load_checkpoint_for_eval,
                                   produce_evaluation_file, setup_mesh,
                                   shard_state)
-from rtdsd_tpu.cli.main import TRACK_DATASETS
+from rtdsd_tpu.cli.main import TRACK_DATASETS, validate_tracks
 from rtdsd_tpu.data.dataset import ASVspoof2019LA
 from rtdsd_tpu.data.loader import DataLoader
 from rtdsd_tpu.engine.checkpoint import save_checkpoint
@@ -149,10 +149,7 @@ def run_kd_train(args, sys_config, exp_config):
 
 
 def run_kd_score(args, sys_config, exp_config, tracks):
-    for track in tracks:  # fail fast, before any checkpoint IO
-        if track not in TRACK_DATASETS:
-            raise ValueError(f"Invalid track {track!r}; "
-                             f"have {sorted(TRACK_DATASETS)}")
+    validate_tracks(tracks)  # fail fast, before any checkpoint IO
     set_seed(exp_config.random_seed)
     mesh, bsharding = setup_mesh(exp_config)
     if args.eval == "teacher":

@@ -129,11 +129,14 @@ class ASVspoof2019LA(AudioDataset):
         # if/elif dispatch to any RawBoost code.
         da = list(exp_config.data_augmentation or [])
         host_chain = None
-        if (is_train and "mul_augment" in da and sys_config.noise_path):
+        if is_train and "mul_augment" in da:
             from rtdsd_tpu.data.host_augment import build_host_chain
             from rtdsd_tpu.engine.steps import pick_rawboost_algo
 
             if pick_rawboost_algo(da) is None:
+                # build even without a noise corpus: the chain then carries
+                # only MP3 (or warns loudly about the missing codec) instead
+                # of silently dropping the reference's Mp3Compression
                 host_chain = build_host_chain(sys_config.noise_path,
                                               exp_config.sample_rate)
         super().__init__(

@@ -187,8 +187,12 @@ class HostAugmentChain:
     """Ordered per-item host transforms, applied after duration fit.
 
     Mirrors the corpus/codec part of the reference chain; the math-only
-    transforms run on device afterwards (ops/augment.py), so the full
-    composition matches augmentation.py:92-108 distributionally.
+    transforms run on device afterwards (ops/augment.py). Documented
+    divergence: the reference Compose puts Mp3Compression LAST
+    (augmentation.py:107), but a host transform cannot run after the
+    in-jit device chain, so here the codec round-trip precedes
+    TST/GAN/AIR/TMK and its artifacts get stretched/masked along with the
+    signal — distributionally close, not identical.
     """
 
     def __init__(self, transforms: Sequence[Callable]):

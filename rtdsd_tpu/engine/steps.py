@@ -192,8 +192,16 @@ def reinit_params(params, patterns: Sequence[str], key: jax.Array):
     for i, (path, leaf) in enumerate(leaves):
         ps = _path_str(path)
         if getattr(leaf, "ndim", 0) >= 2 and any(p in ps for p in plain):
-            replaced[ps] = init(jax.random.fold_in(key, i), leaf.shape,
-                                leaf.dtype)
+            if _is_stacked_layer_leaf(ps) and leaf.ndim >= 3:
+                # per-slice Xavier: gloroting the whole (L, in, out) stack
+                # would fold L into fan-in/out and shrink the bound ~sqrt(L)
+                ks = jax.random.split(jax.random.fold_in(key, i),
+                                      leaf.shape[0])
+                replaced[ps] = jax.vmap(
+                    lambda k: init(k, leaf.shape[1:], leaf.dtype))(ks)
+            else:
+                replaced[ps] = init(jax.random.fold_in(key, i), leaf.shape,
+                                    leaf.dtype)
             continue
         if _is_stacked_layer_leaf(ps) and getattr(leaf, "ndim", 0) >= 3:
             hits = [li for li, rest in indexed

@@ -361,17 +361,21 @@ int64_t decode_wav(const uint8_t* data, size_t size, std::vector<float>* pcm,
     uint32_t len;
     memcpy(&len, data + pos + 4, 4);
     const uint8_t* body = data + pos + 8;
-    if (memcmp(data + pos, "fmt ", 4) == 0 && len >= 16) {
+    // never trust the declared chunk length past the file end (a
+    // truncated/corrupt header must not cause over-reads)
+    size_t avail = size - (pos + 8);
+    uint32_t blen = len < avail ? len : (uint32_t)avail;
+    if (memcmp(data + pos, "fmt ", 4) == 0 && blen >= 16) {
       memcpy(&fmt, body, 2);
       memcpy(&channels, body + 2, 2);
       memcpy(&sr, body + 4, 4);
       memcpy(&bits, body + 14, 2);
       // WAVE_FORMAT_EXTENSIBLE: the real code is the SubFormat GUID's
       // first two bytes (1 = PCM, 3 = IEEE float)
-      if (len >= 26) memcpy(&sub_fmt, body + 24, 2);
+      if (blen >= 26) memcpy(&sub_fmt, body + 24, 2);
     } else if (memcmp(data + pos, "data", 4) == 0) {
       raw = body;
-      raw_len = len < size - (pos + 8) ? len : size - (pos + 8);
+      raw_len = blen;
     }
     pos += 8 + len + (len & 1);
   }
