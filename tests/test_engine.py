@@ -301,3 +301,30 @@ def test_async_checkpoint_prev_fallback(tmp_path, tiny_setup):
     fresh = create_train_state(model, jax.random.key(9), waves, tx)
     restored = restore_checkpoint_any(path, fresh)
     assert int(restored.step) == int(state.step)  # epoch-1 state recovered
+
+
+def test_shard_state_preserves_optimizer_moments():
+    """fsdp/tp placement must NOT reset restored Adam moments (exact
+    resume); moments get the param shardings, count stays replicated."""
+    import optax
+
+    from rtdsd_tpu.cli.common import shard_state
+    from rtdsd_tpu.engine.steps import TrainState, make_optimizer
+    from rtdsd_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    params = {"big": {"kernel": jnp.ones((1024, 256))}, "b": jnp.ones((3,))}
+    tx = make_optimizer(1e-3, 1e-4)
+    opt = optax.tree_map_params(tx, lambda x: x + 1.0, tx.init(params))
+    st = TrainState(step=jnp.int32(5), params=params, batch_stats={},
+                    opt_state=opt)
+    mesh = make_mesh(data=8)
+    out = shard_state(st, mesh, tx, "fsdp")
+    mu = out.opt_state[0].mu
+    assert float(mu["big"]["kernel"][0, 0]) == 1.0  # warm moment kept
+    assert mu["big"]["kernel"].sharding.spec == \
+        out.params["big"]["kernel"].sharding.spec
+    # dp mode: fully replicated, state values unchanged
+    out_dp = shard_state(st, mesh, tx, "dp")
+    assert float(out_dp.opt_state[0].mu["big"]["kernel"][0, 0]) == 1.0
