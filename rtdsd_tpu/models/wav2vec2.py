@@ -40,6 +40,8 @@ import jax.ad_checkpoint
 import jax.numpy as jnp
 from flax import linen as nn
 
+from rtdsd_tpu.ops import fastgelu
+
 Dtype = Any
 
 
@@ -83,6 +85,11 @@ class Wav2Vec2Config:
     # forward vs bf16 — a small-batch / real-time latency knob; at large
     # batch the model is MXU-bound and w8 is neutral.
     w8: bool = False
+    # Rational-minimax erf GELU (ops/fastgelu.py): ~5x fewer VPU ops than
+    # XLA's exact erf and fusable into matmul epilogues; accurate below bf16
+    # resolution (see the fastgelu module docstring). Set False for
+    # bit-exact-vs-XLA float32 numerics (e.g. torch-oracle parity tests).
+    fast_gelu: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -203,7 +210,7 @@ class ConvFeatureExtractor(nn.Module):
                 # fairseq "default" mode: GroupNorm(512, 512) on layer 0 only
                 x = nn.GroupNorm(num_groups=dim, name="gn_0",
                                  dtype=self.dtype)(x)
-            x = jax.nn.gelu(x, approximate=False)
+            x = fastgelu.gelu(x, fast=self.cfg.fast_gelu)
         return x  # (B, frames, 512)
 
 
@@ -222,7 +229,7 @@ class PositionalConv(nn.Module):
                       name="conv", dtype=self.dtype)(x)
         if k % 2 == 0:
             pos = pos[:, :-1, :]  # fairseq SamePad trims one step for even k
-        return jax.nn.gelu(pos, approximate=False)
+        return fastgelu.gelu(pos, fast=self.cfg.fast_gelu)
 
 
 class W8Dense(nn.Module):
@@ -296,7 +303,7 @@ class TransformerLayer(nn.Module):
         residual = x
         h = nn.LayerNorm(name="final_layer_norm", dtype=self.dtype)(x)
         h = dense(cfg.encoder_ffn_dim, "fc1")(h)
-        h = jax.nn.gelu(h, approximate=False)
+        h = fastgelu.gelu(h, fast=cfg.fast_gelu)
         h = jax.ad_checkpoint.checkpoint_name(h, "ffn_hidden")
         h = nn.Dropout(cfg.activation_dropout, deterministic=not train)(h)
         h = dense(cfg.encoder_embed_dim, "fc2")(h)

@@ -185,3 +185,71 @@ def test_mul_augment_mapping():
     assert post_device_augs(["GAN", "ACN", "mul_augment"], True) == \
         ("ACN", "GAN")
     assert post_device_augs(["ACN"], False) == ()
+
+
+class TestFastGelu:
+    """ops/fastgelu.py: rational-erf GELU must be bf16-faithful."""
+
+    def _all_bf16(self, lo=-16.0, hi=16.0):
+        bits = np.arange(1 << 16, dtype=np.uint32)
+        f = (bits << 16).view(np.float32)
+        return f[np.isfinite(f) & (f >= lo) & (f <= hi)].astype(np.float32)
+
+    def test_bf16_faithful_vs_exact_erf(self):
+        from rtdsd_tpu.ops.fastgelu import gelu_fast
+
+        x = self._all_bf16()
+        exact = jax.nn.gelu(jnp.asarray(x), approximate=False)
+        fast = gelu_fast(jnp.asarray(x))
+        eb = np.asarray(exact.astype(jnp.bfloat16), np.float32)
+        fb = np.asarray(fast.astype(jnp.bfloat16), np.float32)
+        mismatch = eb != fb
+        # bitwise identical except the near-zero negative tail
+        assert mismatch.mean() < 0.01
+        assert x[mismatch].max() < -2.8
+        # tail obeys the 0.5*|x|*erfc(2.92) saturation bound
+        d = np.abs(np.asarray(exact, np.float32) - np.asarray(fast,
+                                                              np.float32))
+        assert d.max() <= 2.1e-5 * np.abs(x).max()
+        assert np.all(d <= 2.1e-5 * np.maximum(np.abs(x), 0.25))
+
+    def test_bf16_io_path(self):
+        from rtdsd_tpu.ops.fastgelu import gelu_fast
+
+        x = jnp.asarray(self._all_bf16(), jnp.bfloat16)
+        y = gelu_fast(x)
+        assert y.dtype == jnp.bfloat16
+        want = jax.nn.gelu(x.astype(jnp.float32), approximate=False)
+        np.testing.assert_allclose(
+            np.asarray(y, np.float32), np.asarray(want, np.float32),
+            rtol=1e-2, atol=4e-3)
+
+    def test_gradient_close_to_exact(self):
+        from rtdsd_tpu.ops.fastgelu import gelu_fast
+
+        x = jnp.linspace(-4.0, 4.0, 4001)
+        g_fast = jax.vmap(jax.grad(lambda v: gelu_fast(v)))(x)
+        g_ref = jax.vmap(jax.grad(
+            lambda v: jax.nn.gelu(v, approximate=False)))(x)
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                                   atol=5e-5)
+
+    def test_encoder_fast_vs_exact_within_bf16_noise(self):
+        """Tiny f32 encoder: flipping fast_gelu moves features < 1e-4."""
+        import dataclasses
+
+        from rtdsd_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
+
+        cfg = Wav2Vec2Config(
+            conv_layers=((16, 10, 5), (16, 3, 2), (16, 2, 2)),
+            encoder_embed_dim=16, encoder_ffn_dim=32, encoder_heads=2,
+            encoder_layers=2, conv_pos=8, conv_pos_groups=2, fast_gelu=True)
+        wave = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (2, 1600)).astype(np.float32) * 0.1)
+        enc = Wav2Vec2Encoder(cfg)
+        params = enc.init(jax.random.key(0), wave)
+        out_fast = enc.apply(params, wave)
+        exact = Wav2Vec2Encoder(dataclasses.replace(cfg, fast_gelu=False))
+        out_exact = exact.apply(params, wave)
+        np.testing.assert_allclose(np.asarray(out_fast),
+                                   np.asarray(out_exact), atol=1e-4)

@@ -26,7 +26,8 @@ from rtdsd_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder  # noqa: E
 CFG = Wav2Vec2Config(
     conv_layers=((24, 10, 5), (24, 3, 2), (24, 2, 2)),
     encoder_embed_dim=32, encoder_ffn_dim=64, encoder_heads=4,
-    encoder_layers=3, conv_pos=8, conv_pos_groups=4)
+    encoder_layers=3, conv_pos=8, conv_pos_groups=4,
+    fast_gelu=False)  # oracle parity checks the exact-erf semantics
 
 
 def _fairseq_sd(cfg: Wav2Vec2Config, seed=0):
