@@ -22,6 +22,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 Dtype = Any
+
+# torch LayerNorm default eps, for parity with the lucidrains/torch stack
+LN_EPS = 1e-5
 _BN_KW = dict(momentum=0.9, epsilon=1e-5)
 
 
@@ -97,7 +100,7 @@ class ConformerConvModule(nn.Module):
         # lucidrains calc_same_padding: (k//2, k//2 - (k+1)%2)
         pad = (k // 2, k // 2 - (k + 1) % 2)
 
-        x = nn.LayerNorm(name="ln", dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=LN_EPS, name="ln", dtype=self.dtype)(x)
         x = nn.Dense(inner * 2, name="pw1", dtype=self.dtype)(x)  # 1x1 conv
         a, g = jnp.split(x, 2, axis=-1)
         x = a * jax.nn.sigmoid(g)                                 # GLU
@@ -122,12 +125,12 @@ class ConformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        h = nn.LayerNorm(name="ff1_norm", dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=LN_EPS, name="ff1_norm", dtype=self.dtype)(x)
         x = x + 0.5 * ConformerFeedForward(
             self.dim, self.ff_mult, self.dropout, self.dtype,
             name="ff1")(h, train=train)
 
-        h = nn.LayerNorm(name="attn_norm", dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=LN_EPS, name="attn_norm", dtype=self.dtype)(x)
         x = x + ConformerAttention(
             self.dim, self.heads, self.dim_head, self.dropout,
             dtype=self.dtype, name="attn")(h, train=train)
@@ -136,12 +139,12 @@ class ConformerBlock(nn.Module):
             self.dim, self.conv_expansion_factor, self.conv_kernel_size,
             self.dropout, self.dtype, name="conv")(x, train=train)
 
-        h = nn.LayerNorm(name="ff2_norm", dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=LN_EPS, name="ff2_norm", dtype=self.dtype)(x)
         x = x + 0.5 * ConformerFeedForward(
             self.dim, self.ff_mult, self.dropout, self.dtype,
             name="ff2")(h, train=train)
 
-        return nn.LayerNorm(name="post_norm", dtype=self.dtype)(x)
+        return nn.LayerNorm(epsilon=LN_EPS, name="post_norm", dtype=self.dtype)(x)
 
 
 class MyConformer(nn.Module):

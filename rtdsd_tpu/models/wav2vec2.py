@@ -44,6 +44,10 @@ from rtdsd_tpu.ops import fastgelu
 
 Dtype = Any
 
+# torch/fairseq LayerNorm & GroupNorm default eps (flax's default is 1e-6;
+# the reference stack normalizes with 1e-5, so use it everywhere for parity)
+LN_EPS = 1e-5
+
 
 @dataclasses.dataclass(frozen=True)
 class Wav2Vec2Config:
@@ -85,6 +89,12 @@ class Wav2Vec2Config:
     # forward vs bf16 — a small-batch / real-time latency knob; at large
     # batch the model is MXU-bound and w8 is neutral.
     w8: bool = False
+    # Dynamic int8 activations on top of w8 (w8a8 serving mode): per-token
+    # symmetric abs-max quantization feeds int8 x int8 MXU matmuls (v5e
+    # runs int8 at ~1.6-1.7x the bf16 rate; the dynamic-quant epilogue
+    # costs ~10% of that back). Same quantized weight tree as w8. Requires
+    # w8=True; scoring-path numerics shift more than w8 — validate scores.
+    a8: bool = False
     # Rational-minimax erf GELU (ops/fastgelu.py): ~5x fewer VPU ops than
     # XLA's exact erf and fusable into matmul epilogues; accurate below bf16
     # resolution (see the fastgelu module docstring). Set False for
@@ -205,10 +215,10 @@ class ConvFeatureExtractor(nn.Module):
                             use_bias=self.cfg.conv_bias, name=f"conv_{i}",
                             dtype=self.dtype)(x)
             if self.cfg.extractor_mode == "layer_norm":
-                x = nn.LayerNorm(name=f"ln_{i}", dtype=self.dtype)(x)
+                x = nn.LayerNorm(epsilon=LN_EPS, name=f"ln_{i}", dtype=self.dtype)(x)
             elif self.cfg.extractor_mode == "group_norm" and i == 0:
                 # fairseq "default" mode: GroupNorm(512, 512) on layer 0 only
-                x = nn.GroupNorm(num_groups=dim, name="gn_0",
+                x = nn.GroupNorm(epsilon=LN_EPS, num_groups=dim, name="gn_0",
                                  dtype=self.dtype)(x)
             x = fastgelu.gelu(x, fast=self.cfg.fast_gelu)
         return x  # (B, frames, 512)
@@ -256,6 +266,41 @@ class W8Dense(nn.Module):
         return y * scales[0].astype(self.dtype) + bias.astype(self.dtype)
 
 
+class W8A8Dense(nn.Module):
+    """Dense with int8 weights AND dynamically int8-quantized activations.
+
+    Same ``vals``/``scales``/``bias`` param tree as :class:`W8Dense` (one
+    quantized checkpoint serves both modes). Activations are quantized
+    per token (row-wise symmetric abs-max to [-127, 127]) at matmul entry,
+    the product runs int8 x int8 -> int32 on the MXU (~1.6-1.7x the bf16
+    rate on v5e), and both scales dequantize in the f32 epilogue:
+
+        y = (xq @ vals) * (amax / 127) * scales + b
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        vals = self.param("vals", nn.initializers.zeros_init(),
+                          (x.shape[-1], self.features), jnp.int8)
+        scales = self.param("scales", nn.initializers.ones_init(),
+                            (1, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        amax = jnp.maximum(
+            jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6)
+        xq = jnp.round(xf * (127.0 / amax)).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, vals, (((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * (amax * (1.0 / 127.0))
+        y = y * scales[0] + bias
+        return y.astype(self.dtype)
+
+
 class TransformerLayer(nn.Module):
     """Pre-LN transformer layer (fairseq TransformerSentenceEncoderLayer,
     layer_norm_first=True)."""
@@ -267,9 +312,11 @@ class TransformerLayer(nn.Module):
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         cfg = self.cfg
         residual = x
-        h = nn.LayerNorm(name="self_attn_layer_norm", dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=LN_EPS, name="self_attn_layer_norm", dtype=self.dtype)(x)
 
         def dense(features, name):
+            if cfg.w8 and cfg.a8:
+                return W8A8Dense(features, name=name, dtype=self.dtype)
             if cfg.w8:
                 return W8Dense(features, name=name, dtype=self.dtype)
             return nn.Dense(features, name=name, dtype=self.dtype)
@@ -301,7 +348,7 @@ class TransformerLayer(nn.Module):
         x = residual + h
 
         residual = x
-        h = nn.LayerNorm(name="final_layer_norm", dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=LN_EPS, name="final_layer_norm", dtype=self.dtype)(x)
         h = dense(cfg.encoder_ffn_dim, "fc1")(h)
         h = fastgelu.gelu(h, fast=cfg.fast_gelu)
         h = jax.ad_checkpoint.checkpoint_name(h, "ffn_hidden")
@@ -343,14 +390,14 @@ class Wav2Vec2Encoder(nn.Module):
         feats = ConvFeatureExtractor(cfg, self.dtype,
                                      name="feature_extractor")(wave)
         # float32 for the normalization, as fairseq does
-        x = nn.LayerNorm(name="layer_norm_pre", dtype=self.dtype)(feats)
+        x = nn.LayerNorm(epsilon=LN_EPS, name="layer_norm_pre", dtype=self.dtype)(feats)
         x = nn.Dense(cfg.encoder_embed_dim, name="post_extract_proj",
                      dtype=self.dtype)(x)
         x = nn.Dropout(cfg.dropout, deterministic=not train)(x)
 
         x = x + PositionalConv(cfg, self.dtype, name="pos_conv")(x)
         if not cfg.layer_norm_first:
-            x = nn.LayerNorm(name="encoder_layer_norm", dtype=self.dtype)(x)
+            x = nn.LayerNorm(epsilon=LN_EPS, name="encoder_layer_norm", dtype=self.dtype)(x)
 
         layer_cls = _ScanLayer
         if self.remat:
@@ -372,7 +419,7 @@ class Wav2Vec2Encoder(nn.Module):
         x, hiddens = stack(x, None)
 
         if cfg.layer_norm_first:
-            x = nn.LayerNorm(name="encoder_layer_norm", dtype=self.dtype)(x)
+            x = nn.LayerNorm(epsilon=LN_EPS, name="encoder_layer_norm", dtype=self.dtype)(x)
 
         # Expose per-layer hidden states (stacked (L, B, T, D)) for KD taps —
         # the functional replacement for the reference's forward hooks on

@@ -131,3 +131,63 @@ class TestSmallTAttention:
         got = mha_small_t(q, k, v, scale=0.5, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-6)
+
+
+class TestConvStack:
+    """ops/pallas/convstack.py — fused conv+LN+GELU (interpret mode).
+
+    TPU verdict: XLA wins at batch on this toolchain (see module
+    docstring); the kernels stay as a tested stencil reference and are
+    not wired into the encoder.
+    """
+
+    def _frontend(self, cfg, wave_n, seed=0):
+        from rtdsd_tpu.models.wav2vec2 import ConvFeatureExtractor
+
+        model = ConvFeatureExtractor(cfg, jnp.float32)
+        rng = np.random.default_rng(seed)
+        wave = jnp.asarray(rng.standard_normal((2, wave_n)) * 0.3,
+                           jnp.float32)
+        v = model.init(jax.random.key(0), wave)
+        lp = [{"conv": v["params"][f"conv_{i}"], "ln": v["params"][f"ln_{i}"]}
+              for i in range(len(cfg.conv_layers))]
+        return model, v, lp, wave
+
+    def test_full_xlsr_geometry_matches_module(self):
+        from rtdsd_tpu.models.wav2vec2 import Wav2Vec2Config
+        from rtdsd_tpu.ops.pallas.convstack import (fused_conv_frontend,
+                                                    supports_fused)
+
+        cfg = Wav2Vec2Config()
+        assert supports_fused(cfg.conv_layers, cfg.extractor_mode)
+        model, v, lp, wave = self._frontend(cfg, 8000)
+        want = model.apply(v, wave)
+        got = fused_conv_frontend(wave, lp, cfg.conv_layers,
+                                  dtype=jnp.float32, interpret=True)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_three_layer_geometry(self):
+        from rtdsd_tpu.models.wav2vec2 import Wav2Vec2Config
+        from rtdsd_tpu.ops.pallas.convstack import fused_conv_frontend
+
+        cfg = Wav2Vec2Config(
+            conv_layers=((128, 10, 5), (128, 3, 2), (128, 2, 2)))
+        model, v, lp, wave = self._frontend(cfg, 4000)
+        want = model.apply(v, wave)
+        got = fused_conv_frontend(wave, lp, cfg.conv_layers,
+                                  dtype=jnp.float32, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_supports_fused_gates(self):
+        from rtdsd_tpu.ops.pallas.convstack import supports_fused
+
+        ok = ((512, 10, 5), (512, 3, 2))
+        assert supports_fused(ok, "layer_norm")
+        assert not supports_fused(ok, "group_norm")
+        # k > 2s after layer 0
+        assert not supports_fused(((512, 10, 5), (512, 5, 2)), "layer_norm")
+        # cin not lane-aligned
+        assert not supports_fused(((100, 10, 5), (100, 3, 2)), "layer_norm")
