@@ -109,20 +109,23 @@ def load_checkpoint_for_eval(ckpt: str, spec: ModelSpec,
 
 
 def apply_w8(sys_config: SysConfig, exp_config: ExpConfig, state: TrainState,
-             name: Optional[str] = None, kwargs: Optional[dict] = None
-             ) -> Tuple[ModelSpec, TrainState]:
+             name: Optional[str] = None, kwargs: Optional[dict] = None,
+             a8: bool = False) -> Tuple[ModelSpec, TrainState]:
     """Serving mode: rebuild the spec with int8 transformer matmuls and
-    quantize the loaded params (models/quantize.py)."""
+    quantize the loaded params (models/quantize.py). ``a8=True`` adds
+    dynamic int8 activation quantization (w8a8 — int8 MXU matmuls)."""
     from rtdsd_tpu.models.quantize import quantize_encoder_params
 
     kwargs = dict(kwargs if kwargs is not None else exp_config.kwargs)
     w2v = dict(kwargs.get("w2v", {}) or {})
     w2v["w8"] = True
+    w2v["a8"] = bool(a8)
     kwargs["w2v"] = w2v
     spec = build_model(sys_config, exp_config, name=name, train=False,
                        kwargs=kwargs)
     state = state.replace(params=quantize_encoder_params(state.params))
-    print("w8 scoring: XLSR transformer weights quantized to int8")
+    print("w8 scoring: XLSR transformer weights quantized to int8"
+          + (" + dynamic int8 activations (w8a8)" if a8 else ""))
     return spec, state
 
 

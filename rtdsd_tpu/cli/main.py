@@ -61,6 +61,9 @@ def parse_args(argv=None):
     p.add_argument("--w8", action="store_true", default=False,
                    help="weight-only int8 scoring (overrides "
                         "ExpConfig.w8_scoring)")
+    p.add_argument("--w8a8", action="store_true", default=False,
+                   help="int8 weights + dynamic int8 activations (int8 MXU "
+                        "matmuls; overrides ExpConfig.w8a8_scoring)")
     return p.parse_args(argv)
 
 
@@ -195,10 +198,11 @@ def run_score(args, sys_config, exp_config, tracks):
     state = load_checkpoint_for_eval(args.ckpt, spec, state)
     print(f"Loaded checkpoint from {args.ckpt}")
 
-    if getattr(args, "w8", False) or exp_config.w8_scoring:
+    a8 = getattr(args, "w8a8", False) or exp_config.w8a8_scoring
+    if a8 or getattr(args, "w8", False) or exp_config.w8_scoring:
         from rtdsd_tpu.cli.common import apply_w8
 
-        spec, state = apply_w8(sys_config, exp_config, state)
+        spec, state = apply_w8(sys_config, exp_config, state, a8=a8)
     state = shard_state(state, mesh, mode="dp")
 
     for track in tracks:

@@ -56,6 +56,8 @@ def parse_args(argv=None):
     p.add_argument("--accuracy", action="store_true", default=False)
     p.add_argument("--tracks", type=str, default="DF21")
     p.add_argument("--max_epoch", type=int, default=None)
+    p.add_argument("--w8a8", action="store_true", default=False,
+                   help="int8 weights + dynamic int8 activations")
     p.add_argument("--w8", action="store_true", default=False,
                    help="weight-only int8 scoring (overrides "
                         "ExpConfig.w8_scoring)")
@@ -159,13 +161,14 @@ def run_kd_score(args, sys_config, exp_config, tracks):
         spec, kwargs = build_student(sys_config, exp_config)
     state = init_state(spec, sys_config, exp_config, jax.random.key(0))
     state = load_checkpoint_for_eval(args.ckpt, spec, state)
-    if getattr(args, "w8", False) or exp_config.w8_scoring:
+    a8 = getattr(args, "w8a8", False) or exp_config.w8a8_scoring
+    if a8 or getattr(args, "w8", False) or exp_config.w8_scoring:
         from rtdsd_tpu.cli.common import apply_w8
 
         spec, state = apply_w8(
             sys_config, exp_config, state,
             name=None if kwargs is None else sys_config.student_model,
-            kwargs=kwargs)
+            kwargs=kwargs, a8=a8)
     state = shard_state(state, mesh, mode="dp")
     for track in tracks:
         ds_cls, path_attr = TRACK_DATASETS[track]

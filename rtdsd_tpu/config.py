@@ -132,6 +132,11 @@ class ExpConfig:
     # matmuls after checkpoint load (models/quantize.py). Halves weight HBM
     # traffic — a real-time small-batch latency knob; `--w8` overrides.
     w8_scoring: bool = False
+    # w8 plus dynamic per-token int8 activations: matmuls run int8 on the
+    # MXU (~1.5x the bf16 rate net of quantization overhead). Larger
+    # numeric shift than w8 — validate scores on your track; `--w8a8`
+    # overrides.
+    w8a8_scoring: bool = False
 
     @property
     def train_duration_samples(self) -> int:

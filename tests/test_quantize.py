@@ -94,3 +94,50 @@ def test_quantize_handles_frozendict():
     frozen = flax.core.freeze(variables["params"])
     q = quantize_encoder_params(frozen)
     assert q["layers"]["layer"]["fc1"]["vals"].dtype == jnp.int8
+
+
+def test_w8a8dense_matches_dequant_oracle():
+    from rtdsd_tpu.models.wav2vec2 import W8A8Dense
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((5, 16)), jnp.float32)
+    vals = jnp.asarray(rng.integers(-128, 128, (16, 8)), jnp.int8)
+    scales = jnp.asarray(rng.uniform(0.01, 0.1, (1, 8)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(8), jnp.float32)
+    out = W8A8Dense(8).apply(
+        {"params": {"vals": vals, "scales": scales, "bias": bias}}, x)
+    amax = np.abs(np.asarray(x)).max(-1, keepdims=True)
+    xq = np.round(np.asarray(x) * 127.0 / amax)
+    oracle = (xq @ np.asarray(vals, np.float32)) * (amax / 127.0) \
+        * np.asarray(scales) + np.asarray(bias)
+    np.testing.assert_allclose(np.asarray(out), oracle, rtol=1e-5, atol=1e-5)
+
+
+def test_w8a8_encoder_close_to_f32():
+    """Full dynamic-quant path: output drift bounded and score-usable."""
+    wave = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 3200)) * 0.2,
+        jnp.float32)
+    model = Wav2Vec2Encoder(TINY)
+    variables = model.init(jax.random.key(0), wave)
+    ref = model.apply(variables, wave)
+    qvars = quantize_variables(variables)
+    a8_model = Wav2Vec2Encoder(dataclasses.replace(TINY, w8=True, a8=True))
+    out = a8_model.apply(qvars, wave)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.10, f"w8a8 rel error {rel:.4f}"
+
+
+def test_w8a8_uses_same_tree_as_w8():
+    wave = jnp.asarray(
+        np.random.default_rng(2).standard_normal((2, 1600)) * 0.2,
+        jnp.float32)
+    model = Wav2Vec2Encoder(TINY)
+    qvars = quantize_variables(model.init(jax.random.key(0), wave))
+    a8_init = Wav2Vec2Encoder(
+        dataclasses.replace(TINY, w8=True, a8=True)).init(
+        jax.random.key(0), wave)["params"]
+    got = {p for p, _ in
+           jax.tree_util.tree_flatten_with_path(qvars["params"])[0]}
+    want = {p for p, _ in jax.tree_util.tree_flatten_with_path(a8_init)[0]}
+    assert got == want

@@ -38,6 +38,9 @@ v32 = init_variables_host(model, jnp.zeros((2, T), jnp.float32), train=False)
 
 spec8 = get_model("XLSR_AASIST", dtype=jnp.bfloat16, w2v={"w8": True})
 model8 = spec8.module
+spec88 = get_model("XLSR_AASIST", dtype=jnp.bfloat16,
+                   w2v={"w8": True, "a8": True})
+model88 = spec88.module
 
 log("quantizing (Pallas kernel on device)...")
 t0 = time.time()
@@ -47,7 +50,7 @@ v8["params"] = jax.tree_util.tree_map(
 jax.block_until_ready(v8["params"])
 log(f"quantize: {time.time()-t0:.1f}s")
 
-for B in [1, 8, 32]:
+for B in [int(a) for a in (sys.argv[1:] or [1, 8, 32])]:
     x = jnp.asarray((np.random.default_rng(0).standard_normal((B, T)) * 0.1
                      ).astype(np.float32))
 
@@ -64,7 +67,8 @@ for B in [1, 8, 32]:
             return out
         return jax.jit(score_many)
 
-    for tag, mdl, vv in [("bf16", model, v32), ("w8", model8, v8)]:
+    for tag, mdl, vv in [("bf16", model, v32), ("w8", model8, v8),
+                         ("w8a8", model88, v8)]:
         vv_d = jax.device_put(vv)
         jax.block_until_ready(vv_d)
         f = run(mdl)
