@@ -40,7 +40,7 @@ import jax.ad_checkpoint
 import jax.numpy as jnp
 from flax import linen as nn
 
-from rtdsd_tpu.ops import fastgelu
+from rtdsd_tpu.ops import fastgelu, groupedconv
 
 Dtype = Any
 
@@ -225,7 +225,14 @@ class ConvFeatureExtractor(nn.Module):
 
 
 class PositionalConv(nn.Module):
-    """Grouped conv positional embedding (fairseq pos_conv + SamePad + GELU)."""
+    """Grouped conv positional embedding (fairseq pos_conv + SamePad + GELU).
+
+    The grouped conv runs through :func:`groupedconv.grouped_conv1d`
+    (per-group plain convolutions, same math and same param tree as
+    ``nn.Conv(feature_group_count=...)``) because XLA's SPMD partitioner
+    multiplies a feature-grouped conv's *kernel gradient* by the
+    model-axis size on multi-axis meshes — see ops/groupedconv.py.
+    """
 
     cfg: Wav2Vec2Config
     dtype: Dtype = jnp.float32
@@ -233,10 +240,14 @@ class PositionalConv(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         k = self.cfg.conv_pos
-        pos = nn.Conv(self.cfg.encoder_embed_dim, (k,),
-                      padding=((k // 2, k // 2),),
-                      feature_group_count=self.cfg.conv_pos_groups,
-                      name="conv", dtype=self.dtype)(x)
+        dim = self.cfg.encoder_embed_dim
+        groups = self.cfg.conv_pos_groups
+        conv = _ConvParams(dim, k, use_bias=True, name="conv")
+        kern, bias = conv(x.shape[-1] // groups)
+        pos = groupedconv.grouped_conv1d(
+            x, kern.astype(self.dtype),
+            None if bias is None else bias.astype(self.dtype),
+            groups=groups, padding=((k // 2, k // 2),))
         if k % 2 == 0:
             pos = pos[:, :-1, :]  # fairseq SamePad trims one step for even k
         return fastgelu.gelu(pos, fast=self.cfg.fast_gelu)

