@@ -227,27 +227,39 @@ class ConvFeatureExtractor(nn.Module):
 class PositionalConv(nn.Module):
     """Grouped conv positional embedding (fairseq pos_conv + SamePad + GELU).
 
-    The grouped conv runs through :func:`groupedconv.grouped_conv1d`
-    (per-group plain convolutions, same math and same param tree as
-    ``nn.Conv(feature_group_count=...)``) because XLA's SPMD partitioner
-    multiplies a feature-grouped conv's *kernel gradient* by the
-    model-axis size on multi-axis meshes — see ops/groupedconv.py.
+    In training mode the grouped conv runs through
+    :func:`groupedconv.grouped_conv1d` (per-group plain convolutions, same
+    math and same param tree as ``nn.Conv(feature_group_count=...)``)
+    because XLA's SPMD partitioner multiplies a feature-grouped conv's
+    *kernel gradient* by the model-axis size on multi-axis meshes — see
+    ops/groupedconv.py. Eval/scoring is never differentiated, so it keeps
+    the native grouped conv (one fused op; the per-group loop costs ~3%
+    of flagship scoring).
     """
 
     cfg: Wav2Vec2Config
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         k = self.cfg.conv_pos
         dim = self.cfg.encoder_embed_dim
         groups = self.cfg.conv_pos_groups
         conv = _ConvParams(dim, k, use_bias=True, name="conv")
         kern, bias = conv(x.shape[-1] // groups)
-        pos = groupedconv.grouped_conv1d(
-            x, kern.astype(self.dtype),
-            None if bias is None else bias.astype(self.dtype),
-            groups=groups, padding=((k // 2, k // 2),))
+        kern = kern.astype(self.dtype)
+        bias = None if bias is None else bias.astype(self.dtype)
+        if train:
+            pos = groupedconv.grouped_conv1d(
+                x, kern, bias, groups=groups, padding=((k // 2, k // 2),))
+        else:
+            pos = jax.lax.conv_general_dilated(
+                x, kern, (1,), ((k // 2, k // 2),),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                feature_group_count=groups,
+                preferred_element_type=x.dtype)
+            if bias is not None:
+                pos = pos + bias
         if k % 2 == 0:
             pos = pos[:, :-1, :]  # fairseq SamePad trims one step for even k
         return fastgelu.gelu(pos, fast=self.cfg.fast_gelu)
@@ -406,7 +418,8 @@ class Wav2Vec2Encoder(nn.Module):
                      dtype=self.dtype)(x)
         x = nn.Dropout(cfg.dropout, deterministic=not train)(x)
 
-        x = x + PositionalConv(cfg, self.dtype, name="pos_conv")(x)
+        x = x + PositionalConv(cfg, self.dtype, name="pos_conv")(
+            x, train=train)
         if not cfg.layer_norm_first:
             x = nn.LayerNorm(epsilon=LN_EPS, name="encoder_layer_norm", dtype=self.dtype)(x)
 

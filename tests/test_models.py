@@ -213,3 +213,20 @@ def test_custom_order_out_of_range_rejected():
         resolve_layer_indices(24, 3, "custom", [0, 5, 24])
     with pytest.raises(ValueError):
         resolve_layer_indices(24, 2, "custom", [-1, 3])
+
+
+def test_pos_conv_train_eval_paths_identical():
+    """PositionalConv uses the partitioner-safe per-group form in training
+    and the native grouped conv at eval — same math, same params
+    (ops/groupedconv.py). With all dropout at 0 the whole encoder must
+    produce identical features either way."""
+    cfg = TINY_W2V
+    enc = Wav2Vec2Encoder(cfg)
+    wave = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (2, 1600)).astype(np.float32) * 0.1)
+    v = enc.init(jax.random.key(0), wave)
+    out_eval = enc.apply(v, wave, train=False)
+    out_train = enc.apply(v, wave, train=True,
+                          rngs={"dropout": jax.random.key(1)})
+    np.testing.assert_allclose(np.asarray(out_train), np.asarray(out_eval),
+                               atol=2e-5)
