@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from rtdsd_tpu.models.wav2vec2 import _ConvParams
 from rtdsd_tpu.ops import groupedconv
 
 Dtype = Any
@@ -88,23 +89,6 @@ class ConformerAttention(nn.Module):
         return nn.Dropout(self.dropout, deterministic=not train)(out)
 
 
-class _DwParams(nn.Module):
-    """Depthwise-conv-compatible params (kernel (k, 1, C), bias (C,)) with
-    the same tree as ``nn.Conv(C, (k,), feature_group_count=C, name=...)``,
-    consumed by groupedconv.depthwise_conv1d."""
-
-    features: int
-    kernel_size: int
-
-    @nn.compact
-    def __call__(self):
-        k = self.param("kernel", nn.initializers.lecun_normal(),
-                       (self.kernel_size, 1, self.features))
-        b = self.param("bias", nn.initializers.zeros_init(),
-                       (self.features,))
-        return k, b
-
-
 class ConformerConvModule(nn.Module):
     dim: int
     expansion_factor: int = 2
@@ -123,15 +107,24 @@ class ConformerConvModule(nn.Module):
         x = nn.Dense(inner * 2, name="pw1", dtype=self.dtype)(x)  # 1x1 conv
         a, g = jnp.split(x, 2, axis=-1)
         x = a * jax.nn.sigmoid(g)                                 # GLU
-        # depthwise conv via the k-tap shift-multiply form (same math and
-        # param tree as nn.Conv(feature_group_count=inner)): XLA's SPMD
-        # partitioner corrupts grouped-conv kernel *gradients* on
-        # multi-axis meshes — see ops/groupedconv.py
-        dw = _DwParams(inner, k, name="dw")
-        dw_kernel, dw_bias = dw()
-        x = groupedconv.depthwise_conv1d(
-            x, dw_kernel.astype(self.dtype), dw_bias.astype(self.dtype),
-            padding=pad)
+        # Depthwise conv: in training the k-tap shift-multiply form (same
+        # math and param tree as nn.Conv(feature_group_count=inner)) works
+        # around XLA's SPMD grouped-conv *gradient* corruption on
+        # multi-axis meshes (ops/groupedconv.py); eval is never
+        # differentiated and keeps the native fused depthwise conv —
+        # mirroring PositionalConv in models/wav2vec2.py.
+        dw_kernel, dw_bias = _ConvParams(inner, k, name="dw")(1)
+        dw_kernel = dw_kernel.astype(self.dtype)
+        dw_bias = dw_bias.astype(self.dtype)
+        if train:
+            x = groupedconv.depthwise_conv1d(x, dw_kernel, dw_bias,
+                                             padding=pad)
+        else:
+            x = jax.lax.conv_general_dilated(
+                x, dw_kernel, (1,), (pad,),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                feature_group_count=inner,
+                preferred_element_type=x.dtype) + dw_bias
         x = nn.BatchNorm(use_running_average=not train, name="bn",
                          dtype=self.dtype, **_BN_KW)(x)
         x = jax.nn.silu(x)

@@ -52,10 +52,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from rtdsd_tpu.ops.fastgelu import _INV_SQRT2, erf_rational
-
-
-def _round_up(n: int, m: int) -> int:
-    return (n + m - 1) // m * m
+from rtdsd_tpu.ops.pallas.attention import _round_up
 
 
 def _ln_gelu_f32(acc, g_ref, beta_ref, eps):
@@ -181,7 +178,10 @@ def supports_fused(conv_layers, extractor_mode: str) -> bool:
         if i == 0:
             continue  # layer 0 conv stays XLA; only its LN+GELU is fused
         cin = conv_layers[i - 1][0]
-        if not (s <= k <= 2 * s and cin % 128 == 0):
+        # chained inter-layer array lengths are rounded up to multiples of
+        # 8 (n_blk * f_blk), so the grouped reshape's T % s == 0 holds only
+        # when s divides 8
+        if not (s <= k <= 2 * s and cin % 128 == 0 and 8 % s == 0):
             return False
     return True
 
@@ -201,7 +201,11 @@ def fused_conv_frontend(wave: jax.Array, layer_params, conv_layers,
     for i, (dim, k, s) in enumerate(conv_layers):
         p = layer_params[i]
         kern = p["conv"]["kernel"].astype(dtype)
-        bias = p["conv"]["bias"]
+        # conv_bias=False builds no bias param; the kernels take a dense
+        # (Cout,) operand, so substitute zeros
+        bias = p["conv"].get("bias")
+        if bias is None:
+            bias = jnp.zeros((kern.shape[-1],), jnp.float32)
         gamma, beta = p["ln"]["scale"], p["ln"]["bias"]
         f_out = (t_valid - k) // s + 1
         if i == 0:

@@ -151,10 +151,14 @@ def test_parallel_modes_numerically_equivalent(waves):
 
 
 def test_aasist_parallel_loss_equivalent(waves):
-    """Flagship under dp: loss and BN batch_stats are layout-invariant
-    (params are not elementwise-comparable — see the docstring above)."""
+    """Flagship under dp AND fsdp+tp: loss and BN batch_stats are
+    layout-invariant (params are not elementwise-comparable — see the
+    docstring above; the forward is smooth enough that these observables
+    still expose per-shard-BN or wrong-collective bugs in the
+    AASIST-only modules)."""
     import optax
-    from rtdsd_tpu.parallel.mesh import batch_sharding, make_mesh
+    from rtdsd_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                         sharding_for_tree)
 
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
@@ -166,14 +170,26 @@ def test_aasist_parallel_loss_equivalent(waves):
     step = make_train_step(model, tx, preemph=0.97, donate=False)
 
     s1, m1 = step(state0, waves8, labels, jax.random.key(1))
+
+    def check(s2, m2, tag):
+        assert abs(float(m2["loss"]) - float(m1["loss"])) < 1e-4, tag
+        for a, b in zip(jax.tree_util.tree_leaves(s1.batch_stats),
+                        jax.tree_util.tree_leaves(s2.batch_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, err_msg=tag)
+
     mesh = make_mesh(data=8)
     bsh = batch_sharding(mesh)
-    s2, m2 = step(state0, jax.device_put(waves8, bsh),
-                  jax.device_put(labels, bsh), jax.random.key(1))
-    assert abs(float(m2["loss"]) - float(m1["loss"])) < 1e-4
-    for a, b in zip(jax.tree_util.tree_leaves(s1.batch_stats),
-                    jax.tree_util.tree_leaves(s2.batch_stats)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    check(*step(state0, jax.device_put(waves8, bsh),
+                jax.device_put(labels, bsh), jax.random.key(1)), "dp")
+
+    mesh = make_mesh(data=4, model=2)
+    psh = sharding_for_tree(state0.params, mesh, "fsdp+tp")
+    params = jax.tree_util.tree_map(jax.device_put, state0.params, psh)
+    state_sh = state0.replace(params=params, opt_state=tx.init(params))
+    bsh = batch_sharding(mesh)
+    check(*step(state_sh, jax.device_put(waves8, bsh),
+                jax.device_put(labels, bsh), jax.random.key(1)), "fsdp+tp")
 
 
 def test_remat_hidden_policy_gradients_match_full(waves):

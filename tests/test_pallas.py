@@ -191,3 +191,32 @@ class TestConvStack:
         assert not supports_fused(((512, 10, 5), (512, 5, 2)), "layer_norm")
         # cin not lane-aligned
         assert not supports_fused(((100, 10, 5), (100, 3, 2)), "layer_norm")
+
+
+def test_convstack_supports_fused_gates_stride_and_bias():
+    """Geometry/feature gating of the fused front-end path."""
+    import dataclasses
+
+    from rtdsd_tpu.models.wav2vec2 import ConvFeatureExtractor, Wav2Vec2Config
+    from rtdsd_tpu.ops.pallas.convstack import (fused_conv_frontend,
+                                                supports_fused)
+
+    # mid-stack stride that does not divide 8 is rejected (chained array
+    # lengths are multiples of 8, so T % s would fail at runtime)
+    assert not supports_fused(((640, 10, 5), (640, 5, 5)), "layer_norm")
+    assert supports_fused(((512, 10, 5), (512, 3, 2)), "layer_norm")
+
+    # bias-less front-end runs (zeros substituted)
+    cfg = Wav2Vec2Config(
+        conv_layers=((128, 10, 5), (128, 3, 2)), conv_bias=False)
+    assert supports_fused(cfg.conv_layers, cfg.extractor_mode)
+    model = ConvFeatureExtractor(cfg, jnp.float32)
+    wave = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 2000)).astype(np.float32) * 0.3)
+    v = model.init(jax.random.key(0), wave)
+    lp = [{"conv": v["params"][f"conv_{i}"], "ln": v["params"][f"ln_{i}"]}
+          for i in range(2)]
+    want = model.apply(v, wave)
+    got = fused_conv_frontend(wave, lp, cfg.conv_layers, dtype=jnp.float32,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
