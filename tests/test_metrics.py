@@ -110,3 +110,34 @@ def test_min_tdcf_needs_both_classes():
 
     with pytest.raises(ValueError):
         compute_min_tdcf(np.ones(3), np.ones(3))
+
+
+def test_reference_score_files_parse_and_roundtrip():
+    """Golden-format check against the reference's shipped CM score files.
+
+    The rebuild's score writer uses the same ``"{utt_id} {score}"`` line
+    format as /root/reference/main.py:211-219; our evaluate-CLI reader
+    must parse the reference's actual published artifacts, and a file we
+    write must be byte-identical under read->write roundtrip.
+    """
+    import os
+
+    import pytest
+
+    from rtdsd_tpu.cli.evaluate import read_scores
+
+    ref = ("/root/reference/results/Conformer baseline/InTheWild/random1s/"
+           "ConformerModel_InTheWild_o_score__conformer_baseline_best.txt")
+    if not os.path.exists(ref):
+        pytest.skip("reference artifacts not mounted")
+    scores = read_scores(ref)
+    assert len(scores) == 31779
+    vals = list(scores.values())
+    assert all(isinstance(v, float) for v in vals[:10])
+
+    # roundtrip: our writer's format reproduces the reference lines
+    with open(ref) as fh:
+        head = [next(fh) for _ in range(50)]
+    rebuilt = ["{} {}\n".format(k, v)
+               for k, v in list(scores.items())[:50]]
+    assert rebuilt == head
