@@ -1,0 +1,115 @@
+"""Streaming / long-audio scoring CLI — the real-time deployment path.
+
+The reference has no long-audio entry point (it crops everything to a
+fixed window; SURVEY.md §5 long-context row). This CLI is the framework's
+deployment surface for the paper's "real-time detection" use case: slide
+fixed windows over arbitrarily long audio files (static shapes, one
+compiled program), emit per-window CM scores as they are produced, and an
+aggregated utterance verdict.
+
+    python -m rtdsd_tpu.cli.stream --config cfg.yaml --ckpt best \\
+        --audio long1.wav long2.flac --window_sec 4 --hop_sec 2 \\
+        [--aggregate mean|min|max|median] [--per_window] [--w8a8]
+
+Output: one ``"{path} {score}"`` line per file (reference CM score-file
+format; score = bonafide logit), plus per-window lines with ``--per_window``
+(``"{path}#{window_idx} {t_start_sec:.2f} {score}"``).
+"""
+
+import argparse
+import sys
+import time
+
+from rtdsd_tpu.utils.cache import enable_persistent_compile_cache
+
+enable_persistent_compile_cache()
+
+import jax
+import numpy as np
+
+from rtdsd_tpu.config import load_yaml_config
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True, type=str)
+    p.add_argument("--ckpt", required=True, type=str)
+    p.add_argument("--audio", required=True, nargs="+",
+                   help="WAV/FLAC file(s) of any length")
+    p.add_argument("--window_sec", type=float, default=None,
+                   help="window length (default: ExpConfig.test_duration_sec)")
+    p.add_argument("--hop_sec", type=float, default=None,
+                   help="hop between windows (default: window / 2)")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--aggregate", default="mean",
+                   choices=["mean", "min", "max", "median"])
+    p.add_argument("--per_window", action="store_true", default=False)
+    p.add_argument("--out", type=str, default=None,
+                   help="write '{path} {score}' lines here as well")
+    p.add_argument("--w8", action="store_true", default=False)
+    p.add_argument("--w8a8", action="store_true", default=False)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    sys_config, exp_config = load_yaml_config(args.config)
+
+    from rtdsd_tpu.cli.common import (build_model, init_state,
+                                      load_checkpoint_for_eval)
+    from rtdsd_tpu.data.dataset import resample
+    from rtdsd_tpu.data.io import load_audio
+    from rtdsd_tpu.engine.steps import make_score_step
+    from rtdsd_tpu.engine.streaming import StreamingScorer
+
+    sr = float(exp_config.sample_rate)
+    window_sec = args.window_sec or float(exp_config.test_duration_sec)
+    duration = int(round(window_sec * sr))
+    hop = int(round((args.hop_sec or window_sec / 2) * sr))
+
+    spec = build_model(sys_config, exp_config, train=False)
+    state = init_state(spec, sys_config, exp_config, jax.random.key(0))
+    state = load_checkpoint_for_eval(args.ckpt, spec, state)
+    if args.w8 or args.w8a8 or exp_config.w8_scoring or \
+            exp_config.w8a8_scoring:
+        from rtdsd_tpu.cli.common import apply_w8
+
+        spec, state = apply_w8(sys_config, exp_config, state,
+                               a8=args.w8a8 or exp_config.w8a8_scoring)
+
+    scorer = StreamingScorer(
+        make_score_step(spec.module), state.params, state.batch_stats,
+        duration=duration, hop=hop, batch_size=args.batch_size,
+        aggregate=args.aggregate)
+
+    out_fh = open(args.out, "w") if args.out else None
+    for path in args.audio:
+        wave, rate = load_audio(path)
+        if rate != int(sr):
+            wave = resample(wave, rate, int(sr))
+        t0 = time.perf_counter()
+        ws = scorer.window_scores(wave)
+        wall = time.perf_counter() - t0
+        if args.aggregate == "mean":
+            agg = float(ws.mean())
+        elif args.aggregate == "min":
+            agg = float(ws.min())
+        elif args.aggregate == "max":
+            agg = float(ws.max())
+        else:
+            agg = float(np.median(ws))
+        if args.per_window:
+            for i, s in enumerate(ws):
+                print(f"{path}#{i} {i * hop / sr:.2f} {s}")
+        audio_sec = len(wave) / sr
+        print(f"{path} {agg}")
+        print(f"  [{len(ws)} windows over {audio_sec:.1f}s in {wall:.3f}s "
+              f"-> xRT {wall / max(audio_sec, 1e-9):.4f}]", file=sys.stderr)
+        if out_fh:
+            out_fh.write(f"{path} {agg}\n")
+    if out_fh:
+        out_fh.close()
+
+
+if __name__ == "__main__":
+    main()

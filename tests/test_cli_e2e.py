@@ -112,3 +112,33 @@ def test_train_score_evaluate_roundtrip(tmp_path):
     assert "EER:" in out
     eer = float(out.split("EER:")[1].split("%")[0])
     assert eer < 10.0
+
+
+def test_streaming_cli(tmp_path):
+    """Long-audio streaming CLI: decode -> windows -> rolling scores."""
+    from rtdsd_tpu.data.io import write_wav
+
+    _make_dataset(tmp_path)
+    cfg = _config(tmp_path)
+    _run(["rtdsd_tpu.cli.main", "--config", cfg, "--max_epoch", "6"])
+    runs = [d for d in os.listdir(tmp_path / "runs") if d.startswith("best_")]
+    # BN running stats lag the high-lr toy training; fall back to the
+    # rolling last-checkpoint if no epoch cleared the acc>95 best gate
+    best = str(tmp_path / "runs" / (sorted(runs)[-1] if runs else "last"))
+
+    t = np.arange(16000 * 7) / 16000
+    bona = str(tmp_path / "long_bona.wav")
+    spoof = str(tmp_path / "long_spoof.wav")
+    write_wav(bona, (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32),
+              16000)
+    write_wav(spoof, (0.2 * np.random.default_rng(5).standard_normal(
+        len(t))).astype(np.float32), 16000)
+
+    out_file = str(tmp_path / "stream_scores.txt")
+    out = _run(["rtdsd_tpu.cli.stream", "--config", cfg, "--ckpt", best,
+                "--audio", bona, spoof, "--window_sec", "1",
+                "--hop_sec", "0.5", "--out", out_file])
+    lines = dict(ln.rsplit(" ", 1) for ln in
+                 open(out_file).read().strip().splitlines())
+    assert float(lines[bona]) > 0 > float(lines[spoof])
+    assert bona in out and spoof in out
