@@ -42,7 +42,7 @@ def main():
     spec = get_model("XLSR_AASIST", dtype=jnp.bfloat16, fused_gat=False)
     model = spec.module
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 768
     clips = np.random.default_rng(0).standard_normal(
         (batch, 64000)).astype(np.float32) * 0.1
     waves = jax.device_put(jnp.asarray(clips))
