@@ -230,3 +230,28 @@ def test_pos_conv_train_eval_paths_identical():
                           rngs={"dropout": jax.random.key(1)})
     np.testing.assert_allclose(np.asarray(out_train), np.asarray(out_eval),
                                atol=2e-5)
+
+
+def test_fast_softmax_bf16_close_to_f32_softmax():
+    """bf16-softmax attention (fast_softmax, bf16 models only) must track
+    the f32-softmax path within the bf16 compute dtype's noise; f32 models
+    must be unaffected by the flag."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY_W2V, fast_softmax=True)
+    wave = jnp.asarray(np.random.default_rng(4).standard_normal(
+        (2, 1600)).astype(np.float32) * 0.1)
+    v = Wav2Vec2Encoder(cfg).init(jax.random.key(0), wave)
+    # f32: flag is inert (same graph either way)
+    a = Wav2Vec2Encoder(cfg).apply(v, wave)
+    b = Wav2Vec2Encoder(dataclasses.replace(cfg, fast_softmax=False)).apply(
+        v, wave)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # bf16: fast vs exact softmax differ only at bf16-noise scale
+    fast = Wav2Vec2Encoder(dataclasses.replace(cfg), jnp.bfloat16).apply(
+        v, wave)
+    exact = Wav2Vec2Encoder(dataclasses.replace(cfg, fast_softmax=False),
+                            jnp.bfloat16).apply(v, wave)
+    d = np.abs(np.asarray(fast, np.float32) - np.asarray(exact, np.float32))
+    scale = np.abs(np.asarray(exact, np.float32)).max()
+    assert d.max() < 0.05 * max(scale, 1.0), (d.max(), scale)
