@@ -195,3 +195,20 @@ def produce_evaluation_file(dataset, spec: ModelSpec, state: TrainState,
         for f, cm in zip(names, scores):
             fh.write("{} {}\n".format(f, cm))
     print(f"Wrote {len(names)} scores -> {save_path}")
+
+
+def load_eval_model(sys_config: SysConfig, exp_config: ExpConfig, ckpt: str,
+                    w8: bool = False, w8a8: bool = False):
+    """Shared eval-path setup: build spec, restore checkpoint, optionally
+    quantize (w8/w8a8, config flags OR'd in), and place the state on the
+    mesh (dp). Returns (spec, state, mesh, batch_sharding)."""
+    mesh, bsharding = setup_mesh(exp_config)
+    spec = build_model(sys_config, exp_config, train=False)
+    state = init_state(spec, sys_config, exp_config, jax.random.key(0))
+    state = load_checkpoint_for_eval(ckpt, spec, state)
+    print(f"Loaded checkpoint from {ckpt}")
+    a8 = w8a8 or exp_config.w8a8_scoring
+    if a8 or w8 or exp_config.w8_scoring:
+        spec, state = apply_w8(sys_config, exp_config, state, a8=a8)
+    state = shard_state(state, mesh, mode="dp")
+    return spec, state, mesh, bsharding

@@ -190,20 +190,13 @@ def run_train(args, sys_config, exp_config):
 
 
 def run_score(args, sys_config, exp_config, tracks):
+    from rtdsd_tpu.cli.common import load_eval_model
+
     validate_tracks(tracks)
     set_seed(exp_config.random_seed)
-    mesh, bsharding = setup_mesh(exp_config)
-    spec = build_model(sys_config, exp_config, train=False)
-    state = init_state(spec, sys_config, exp_config, jax.random.key(0))
-    state = load_checkpoint_for_eval(args.ckpt, spec, state)
-    print(f"Loaded checkpoint from {args.ckpt}")
-
-    a8 = getattr(args, "w8a8", False) or exp_config.w8a8_scoring
-    if a8 or getattr(args, "w8", False) or exp_config.w8_scoring:
-        from rtdsd_tpu.cli.common import apply_w8
-
-        spec, state = apply_w8(sys_config, exp_config, state, a8=a8)
-    state = shard_state(state, mesh, mode="dp")
+    spec, state, mesh, bsharding = load_eval_model(
+        sys_config, exp_config, args.ckpt,
+        w8=getattr(args, "w8", False), w8a8=getattr(args, "w8a8", False))
 
     for track in tracks:
         ds_cls, path_attr = TRACK_DATASETS[track]

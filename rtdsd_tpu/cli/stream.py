@@ -24,8 +24,6 @@ from rtdsd_tpu.utils.cache import enable_persistent_compile_cache
 
 enable_persistent_compile_cache()
 
-import jax
-import numpy as np
 
 from rtdsd_tpu.config import load_yaml_config
 
@@ -55,27 +53,22 @@ def main(argv=None):
     args = parse_args(argv)
     sys_config, exp_config = load_yaml_config(args.config)
 
-    from rtdsd_tpu.cli.common import (build_model, init_state,
-                                      load_checkpoint_for_eval)
+    from rtdsd_tpu.cli.common import load_eval_model
     from rtdsd_tpu.data.dataset import resample
     from rtdsd_tpu.data.io import load_audio
     from rtdsd_tpu.engine.steps import make_score_step
-    from rtdsd_tpu.engine.streaming import StreamingScorer
+    from rtdsd_tpu.engine.streaming import StreamingScorer, frame_starts
 
     sr = float(exp_config.sample_rate)
     window_sec = args.window_sec or float(exp_config.test_duration_sec)
     duration = int(round(window_sec * sr))
     hop = int(round((args.hop_sec or window_sec / 2) * sr))
 
-    spec = build_model(sys_config, exp_config, train=False)
-    state = init_state(spec, sys_config, exp_config, jax.random.key(0))
-    state = load_checkpoint_for_eval(args.ckpt, spec, state)
-    if args.w8 or args.w8a8 or exp_config.w8_scoring or \
-            exp_config.w8a8_scoring:
-        from rtdsd_tpu.cli.common import apply_w8
-
-        spec, state = apply_w8(sys_config, exp_config, state,
-                               a8=args.w8a8 or exp_config.w8a8_scoring)
+    # shared eval setup (checkpoint restore, optional w8/w8a8 quantization,
+    # device placement — restored trees are host numpy; without this every
+    # window batch would re-upload the params)
+    spec, state, _mesh, _bsh = load_eval_model(
+        sys_config, exp_config, args.ckpt, w8=args.w8, w8a8=args.w8a8)
 
     scorer = StreamingScorer(
         make_score_step(spec.module), state.params, state.batch_stats,
@@ -90,17 +83,13 @@ def main(argv=None):
         t0 = time.perf_counter()
         ws = scorer.window_scores(wave)
         wall = time.perf_counter() - t0
-        if args.aggregate == "mean":
-            agg = float(ws.mean())
-        elif args.aggregate == "min":
-            agg = float(ws.min())
-        elif args.aggregate == "max":
-            agg = float(ws.max())
-        else:
-            agg = float(np.median(ws))
+        agg = scorer.aggregate_scores(ws)
         if args.per_window:
-            for i, s in enumerate(ws):
-                print(f"{path}#{i} {i * hop / sr:.2f} {s}")
+            # true window starts (the tail window sits at T - duration,
+            # not on the hop grid)
+            starts = frame_starts(len(wave), duration, hop)
+            for i, (s0, s) in enumerate(zip(starts, ws)):
+                print(f"{path}#{i} {s0 / sr:.2f} {s}")
         audio_sec = len(wave) / sr
         print(f"{path} {agg}")
         print(f"  [{len(ws)} windows over {audio_sec:.1f}s in {wall:.3f}s "

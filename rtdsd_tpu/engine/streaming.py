@@ -22,19 +22,29 @@ import numpy as np
 Aggregate = Literal["mean", "min", "max", "median"]
 
 
+def frame_starts(t: int, duration: int, hop: int) -> list:
+    """Window start samples for a length-t wave: hop-strided, plus a final
+    tail window at ``t - duration`` when the stride doesn't reach the end.
+    A short wave gets the single window [0]."""
+    if t <= duration:
+        return [0]
+    starts = list(range(0, t - duration + 1, hop))
+    if starts[-1] + duration < t:  # cover the tail
+        starts.append(t - duration)
+    return starts
+
+
 def frame_windows(wave: np.ndarray, duration: int, hop: int) -> np.ndarray:
-    """Slice a (T,) wave into (N, duration) windows; the tail window is
-    repeat-tiled like the dataset duration-fit (dataset.py adjust_duration).
-    Short inputs produce exactly one tiled window."""
+    """Slice a (T,) wave into (N, duration) windows at :func:`frame_starts`;
+    a short input is repeat-tiled like the dataset duration-fit
+    (dataset.py adjust_duration) into exactly one window."""
     wave = np.asarray(wave, np.float32).squeeze()
     t = wave.shape[-1]
     if t <= duration:
         reps = -(-duration // max(t, 1))
         return np.tile(wave, reps)[None, :duration]
-    starts = list(range(0, t - duration + 1, hop))
-    if starts[-1] + duration < t:  # cover the tail
-        starts.append(t - duration)
-    return np.stack([wave[s:s + duration] for s in starts])
+    return np.stack([wave[s:s + duration]
+                     for s in frame_starts(t, duration, hop)])
 
 
 class StreamingScorer:
@@ -71,9 +81,8 @@ class StreamingScorer:
             scores.append(out[:valid])
         return np.concatenate(scores)
 
-    def score(self, wave: np.ndarray) -> float:
-        """Utterance-level CM score from aggregated window scores."""
-        ws = self.window_scores(wave)
+    def aggregate_scores(self, ws: np.ndarray) -> float:
+        """Window scores -> utterance CM score per the configured policy."""
         if self.aggregate == "mean":
             return float(ws.mean())
         if self.aggregate == "min":
@@ -83,3 +92,7 @@ class StreamingScorer:
         if self.aggregate == "median":
             return float(np.median(ws))
         raise ValueError(f"unknown aggregate {self.aggregate!r}")
+
+    def score(self, wave: np.ndarray) -> float:
+        """Utterance-level CM score from aggregated window scores."""
+        return self.aggregate_scores(self.window_scores(wave))

@@ -105,8 +105,11 @@ class Wav2Vec2Config:
     # the f32-softmax attention at the flagship's shapes (12.5 vs 17.1
     # us/clip/layer). Output differs from the f32 softmax by ~7e-4 abs —
     # the bf16 compute dtype's own noise scale — so it only activates when
-    # the model computes in (b)f16; f32 models keep the f32 softmax
-    # regardless (parity paths unaffected).
+    # the model computes in (b)f16 AND runs in eval mode, the domain the
+    # drift was validated in (decision-identical CLI scoring). Training
+    # keeps the f32-softmax attention; enabling it there measured +7%
+    # train throughput (158 vs 147 utt/s) but its gradient-noise effect on
+    # convergence/EER is unvalidated — revisit with a convergence study.
     fast_softmax: bool = True
 
     @property
@@ -370,7 +373,8 @@ class TransformerLayer(nn.Module):
             probs = nn.Dropout(cfg.attention_dropout,
                                deterministic=not train)(probs)
             attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-        elif cfg.fast_softmax and self.dtype in (jnp.bfloat16, jnp.float16):
+        elif (cfg.fast_softmax and not train
+                and self.dtype in (jnp.bfloat16, jnp.float16)):
             s = jnp.einsum("bqhd,bkhd->bhqk", q * cfg.head_dim ** -0.5,
                            kk, preferred_element_type=self.dtype)
             mx = jnp.max(s, axis=-1, keepdims=True)

@@ -70,3 +70,17 @@ def test_measure_returns_sane_timing():
     per = t.per_item_ms(8)
     assert abs(per.p50_ms - t.p50_ms / 8) < 1e-9
     assert t.throughput(8) > 0
+
+
+def test_frame_starts_tail_window():
+    from rtdsd_tpu.engine.streaming import frame_starts, frame_windows
+
+    # 7.3 s at unit rate: hop grid 0..6 plus a tail window at T - duration
+    starts = frame_starts(7300, 1000, 500)
+    assert starts[-1] == 6300 and starts[-2] == 6000
+    assert frame_windows(np.arange(7300, dtype=np.float32),
+                         1000, 500).shape[0] == len(starts)
+    # exact cover: no extra tail
+    assert frame_starts(3000, 1000, 500)[-1] == 2000
+    # short input: single window
+    assert frame_starts(800, 1000, 500) == [0]

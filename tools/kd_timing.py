@@ -61,7 +61,10 @@ state = TrainState(step=jnp.zeros((), jnp.int32), params=s_vars["params"],
                    opt_state=tx.init(s_vars["params"]))
 state = jax.device_put(state)
 t_vars = jax.device_put(t_vars)
-jax.block_until_ready(state.params)
+# force the upload with a host readback — block_until_ready is a no-op
+# through the axon relay (CLAUDE.md)
+float(jnp.sum(jax.tree_util.tree_leaves(state.params)[0]
+              .astype(jnp.float32)))
 
 waves = jax.device_put(jnp.asarray(
     (np.random.default_rng(0).standard_normal((B, T)) * 0.1), jnp.float32))
