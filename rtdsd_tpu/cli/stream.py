@@ -46,6 +46,10 @@ def parse_args(argv=None):
                    help="write '{path} {score}' lines here as well")
     p.add_argument("--w8", action="store_true", default=False)
     p.add_argument("--w8a8", action="store_true", default=False)
+    p.add_argument("--incremental", action="store_true", default=False,
+                   help="cache conv features across overlapping windows "
+                        "(exact on the 20 ms frame grid; ~(window/hop)x "
+                        "fewer conv FLOPs)")
     return p.parse_args(argv)
 
 
@@ -57,12 +61,24 @@ def main(argv=None):
     from rtdsd_tpu.data.dataset import resample
     from rtdsd_tpu.data.io import load_audio
     from rtdsd_tpu.engine.steps import make_score_step
-    from rtdsd_tpu.engine.streaming import StreamingScorer, frame_starts
+    from rtdsd_tpu.engine.streaming import (IncrementalStreamingScorer,
+                                            StreamingScorer, frame_starts)
 
     sr = float(exp_config.sample_rate)
-    window_sec = args.window_sec or float(exp_config.test_duration_sec)
+    # compare against None, not falsiness: an explicit 0 must be rejected
+    # below, not silently replaced by the default
+    window_sec = (args.window_sec if args.window_sec is not None
+                  else float(exp_config.test_duration_sec))
+    hop_sec = args.hop_sec if args.hop_sec is not None else window_sec / 2
+    if window_sec <= 0:
+        raise SystemExit(f"--window_sec must be > 0 (got {window_sec})")
+    if hop_sec <= 0:
+        raise SystemExit(f"--hop_sec must be > 0 (got {hop_sec})")
     duration = int(round(window_sec * sr))
-    hop = int(round((args.hop_sec or window_sec / 2) * sr))
+    hop = int(round(hop_sec * sr))
+    if hop < 1:
+        raise SystemExit(f"--hop_sec {hop_sec} is under one sample at "
+                         f"sample_rate {sr:g}")
 
     # shared eval setup (checkpoint restore, optional w8/w8a8 quantization,
     # device placement — restored trees are host numpy; without this every
@@ -70,10 +86,21 @@ def main(argv=None):
     spec, state, _mesh, _bsh = load_eval_model(
         sys_config, exp_config, args.ckpt, w8=args.w8, w8a8=args.w8a8)
 
-    scorer = StreamingScorer(
-        make_score_step(spec.module), state.params, state.batch_stats,
-        duration=duration, hop=hop, batch_size=args.batch_size,
-        aggregate=args.aggregate)
+    if args.incremental:
+        scorer = IncrementalStreamingScorer(
+            spec.module, state.params, state.batch_stats, spec.module.w2v_cfg,
+            duration=duration, hop=hop, batch_size=args.batch_size,
+            aggregate=args.aggregate)
+    else:
+        scorer = StreamingScorer(
+            make_score_step(spec.module), state.params, state.batch_stats,
+            duration=duration, hop=hop, batch_size=args.batch_size,
+            aggregate=args.aggregate)
+
+    # warm the compiled score step once so the first file's wall clock (and
+    # the xRT printed below) measures steady state, not jit compilation
+    import numpy as np
+    scorer.window_scores(np.zeros(duration, np.float32))
 
     out_fh = open(args.out, "w") if args.out else None
     for path in args.audio:
@@ -86,8 +113,10 @@ def main(argv=None):
         agg = scorer.aggregate_scores(ws)
         if args.per_window:
             # true window starts (the tail window sits at T - duration,
-            # not on the hop grid)
-            starts = frame_starts(len(wave), duration, hop)
+            # not on the hop grid; the incremental scorer snaps starts to
+            # the conv frame grid)
+            starts = (scorer._grid_starts(len(wave)) if args.incremental
+                      else frame_starts(len(wave), duration, hop))
             for i, (s0, s) in enumerate(zip(starts, ws)):
                 print(f"{path}#{i} {s0 / sr:.2f} {s}")
         audio_sec = len(wave) / sr

@@ -111,6 +111,13 @@ class Wav2Vec2Config:
     # train throughput (158 vs 147 utt/s) but its gradient-noise effect on
     # convergence/EER is unvalidated — revisit with a convergence study.
     fast_softmax: bool = True
+    # Extend fast_softmax to TRAINING forwards (+7% train throughput
+    # measured). Default off pending broader convergence evidence; the
+    # synthetic-task study (tools/fast_softmax_study.py, results in
+    # PERFORMANCE.md) found no convergence/accuracy difference across
+    # seeds. Only active when fast_softmax is on, dtype is (b)f16, and
+    # attention_dropout == 0 (the dropout path needs explicit probs).
+    fast_softmax_train: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -204,6 +211,14 @@ class _ConvParams(nn.Module):
         return k, b
 
 
+def _use_fast_gelu(cfg: "Wav2Vec2Config", dtype) -> bool:
+    """Fast rational-erf GELU only where its ~4e-6 abs error sits below the
+    compute dtype's own resolution — (b)f16. float32 keeps XLA's exact erf so
+    scoring a converted reference checkpoint at compute_dtype float32 stays
+    bit-comparable to the torch oracle (same gating rule as fast_softmax)."""
+    return cfg.fast_gelu and dtype in (jnp.bfloat16, jnp.float16)
+
+
 class ConvFeatureExtractor(nn.Module):
     """Strided 1-D conv stack over the raw waveform (fairseq layer_norm mode)."""
 
@@ -231,7 +246,7 @@ class ConvFeatureExtractor(nn.Module):
                 # fairseq "default" mode: GroupNorm(512, 512) on layer 0 only
                 x = nn.GroupNorm(epsilon=LN_EPS, num_groups=dim, name="gn_0",
                                  dtype=self.dtype)(x)
-            x = fastgelu.gelu(x, fast=self.cfg.fast_gelu)
+            x = fastgelu.gelu(x, fast=_use_fast_gelu(self.cfg, self.dtype))
         return x  # (B, frames, 512)
 
 
@@ -273,7 +288,7 @@ class PositionalConv(nn.Module):
                 pos = pos + bias
         if k % 2 == 0:
             pos = pos[:, :-1, :]  # fairseq SamePad trims one step for even k
-        return fastgelu.gelu(pos, fast=self.cfg.fast_gelu)
+        return fastgelu.gelu(pos, fast=_use_fast_gelu(self.cfg, self.dtype))
 
 
 class W8Dense(nn.Module):
@@ -373,7 +388,7 @@ class TransformerLayer(nn.Module):
             probs = nn.Dropout(cfg.attention_dropout,
                                deterministic=not train)(probs)
             attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-        elif (cfg.fast_softmax and not train
+        elif (cfg.fast_softmax and (not train or cfg.fast_softmax_train)
                 and self.dtype in (jnp.bfloat16, jnp.float16)):
             s = jnp.einsum("bqhd,bkhd->bhqk", q * cfg.head_dim ** -0.5,
                            kk, preferred_element_type=self.dtype)
@@ -392,7 +407,7 @@ class TransformerLayer(nn.Module):
         residual = x
         h = nn.LayerNorm(epsilon=LN_EPS, name="final_layer_norm", dtype=self.dtype)(x)
         h = dense(cfg.encoder_ffn_dim, "fc1")(h)
-        h = fastgelu.gelu(h, fast=cfg.fast_gelu)
+        h = fastgelu.gelu(h, fast=_use_fast_gelu(cfg, self.dtype))
         h = jax.ad_checkpoint.checkpoint_name(h, "ffn_hidden")
         h = nn.Dropout(cfg.activation_dropout, deterministic=not train)(h)
         h = dense(cfg.encoder_embed_dim, "fc2")(h)
@@ -426,11 +441,18 @@ class Wav2Vec2Encoder(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, wave: jax.Array, *, train: bool = False,
-                 return_hiddens: bool = False):
+    def __call__(self, wave: Optional[jax.Array], *, train: bool = False,
+                 return_hiddens: bool = False,
+                 conv_feats: Optional[jax.Array] = None):
+        """``conv_feats`` (B, frames, C) bypasses the conv front-end — the
+        incremental streaming path (engine/streaming.py) computes conv
+        features once over long audio and re-enters here per window."""
         cfg = self.cfg
-        feats = ConvFeatureExtractor(cfg, self.dtype,
-                                     name="feature_extractor")(wave)
+        if conv_feats is not None:
+            feats = conv_feats
+        else:
+            feats = ConvFeatureExtractor(cfg, self.dtype,
+                                         name="feature_extractor")(wave)
         # float32 for the normalization, as fairseq does
         x = nn.LayerNorm(epsilon=LN_EPS, name="layer_norm_pre", dtype=self.dtype)(feats)
         x = nn.Dense(cfg.encoder_embed_dim, name="post_extract_proj",

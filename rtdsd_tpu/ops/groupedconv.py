@@ -72,10 +72,15 @@ def depthwise_conv1d(x: jax.Array, kernel: jax.Array,
     k = kernel.shape[0]
     xp = jnp.pad(x, ((0, 0), padding, (0, 0)))
     t_out = xp.shape[1] - k + 1
+    # Accumulate the k-tap sum in float32: term-by-term bf16 accumulation
+    # adds ~sqrt(k)*eps_bf16 rounding noise relative to XLA conv's f32
+    # accumulator (the eval path), a train/eval numerics gap that would
+    # feed the conv module's BatchNorm statistics.
     y = None
     for j in range(k):
-        term = xp[:, j:j + t_out, :] * kernel[j, 0].astype(x.dtype)
+        term = (xp[:, j:j + t_out, :].astype(jnp.float32)
+                * kernel[j, 0].astype(jnp.float32))
         y = term if y is None else y + term
     if bias is not None:
-        y = y + bias.astype(y.dtype)
-    return y
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)

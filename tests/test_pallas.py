@@ -165,8 +165,11 @@ class TestConvStack:
         got = fused_conv_frontend(wave, lp, cfg.conv_layers,
                                   dtype=jnp.float32, interpret=True)
         assert got.shape == want.shape
+        # the kernel keeps the rational-erf GELU (its point is speed) while
+        # the f32 module path now uses exact erf (fast GELU is gated to
+        # (b)f16, ADVICE r1); ~4e-6 per-GELU error compounds over 7 layers
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   atol=1e-5)
+                                   atol=5e-4)
 
     def test_three_layer_geometry(self):
         from rtdsd_tpu.models.wav2vec2 import Wav2Vec2Config
@@ -179,7 +182,7 @@ class TestConvStack:
         got = fused_conv_frontend(wave, lp, cfg.conv_layers,
                                   dtype=jnp.float32, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   atol=1e-5)
+                                   atol=5e-4)  # rational-erf vs exact erf
 
     def test_supports_fused_gates(self):
         from rtdsd_tpu.ops.pallas.convstack import supports_fused
@@ -219,4 +222,5 @@ def test_convstack_supports_fused_gates_stride_and_bias():
     want = model.apply(v, wave)
     got = fused_conv_frontend(wave, lp, cfg.conv_layers, dtype=jnp.float32,
                               interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    # rational-erf (kernel) vs exact erf (f32 module path, ADVICE r1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4)
