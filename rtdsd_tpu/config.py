@@ -50,6 +50,10 @@ class SysConfig:
     path_label_asv_spoof_2021_df_eval: str = ""
 
     num_workers: int = 4
+    # Loader policy for undecodable audio: "raise" aborts the epoch (the
+    # reference's torchaudio/librosa behavior); "skip" warns and substitutes
+    # a valid row so one corrupt file can't kill a long training run.
+    decode_error_policy: str = "raise"
 
     path_to_save_model: str = "./runs"
     df21_score_save_path: str = "./runs"
@@ -137,6 +141,12 @@ class ExpConfig:
     # numeric shift than w8 — validate scores on your track; `--w8a8`
     # overrides.
     w8a8_scoring: bool = False
+    # LA19-eval crop start. The reference's ASVspoof2019LA_eval ALWAYS
+    # random-starts — its adjustDuration IS the random variant and ignores
+    # is_random_start (/root/reference/data/test_set.py:120-136). Default
+    # None reproduces that. Set false explicitly for bit-stable,
+    # run-to-run-deterministic eval crops (first-N window).
+    la19_eval_random_start: Optional[bool] = None
 
     @property
     def train_duration_samples(self) -> int:

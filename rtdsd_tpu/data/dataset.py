@@ -153,11 +153,13 @@ class ASVspoof2019LA_eval(AudioDataset):
             sys_config.path_asv_spoof_2019_la_eval,
             include_non_speech=exp_config.include_non_speech,
             include_residual=exp_config.include_residual)
+        # The reference's ASVspoof2019LA_eval ALWAYS random-starts — its
+        # adjustDuration is the random-start variant and never consults
+        # is_random_start (test_set.py:120-136). Parity default; an explicit
+        # `la19_eval_random_start: false` gives bit-stable first-N crops.
+        rnd = exp_config.la19_eval_random_start
         super().__init__(trials, exp_config.test_duration_samples,
-                         # ref ASVspoof2019LA_eval always random-starts
-                         # (test_set.py:120-136 adjustDuration is the
-                         # random-start variant); we honor is_random_start
-                         is_random_start=exp_config.is_random_start,
+                         is_random_start=True if rnd is None else bool(rnd),
                          sample_rate=exp_config.sample_rate)
 
 

@@ -41,7 +41,11 @@ class DataLoader:
                  shuffle: bool = False, drop_last: bool = False,
                  seed: int = 1024, num_workers: int = 2,
                  process_index: int = 0, process_count: int = 1,
-                 pad_last: bool = True, use_native: bool = True):
+                 pad_last: bool = True, use_native: bool = True,
+                 on_decode_error: str = "raise"):
+        if on_decode_error not in ("raise", "skip"):
+            raise ValueError(f"on_decode_error must be 'raise' or 'skip', "
+                             f"got {on_decode_error!r}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -51,6 +55,11 @@ class DataLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.pad_last = pad_last
+        # "raise": any decode failure aborts the epoch (reference behavior —
+        # torchaudio/librosa raise too). "skip": warn, substitute the failed
+        # row with another valid row in the batch, keep going — a corrupt
+        # file should not kill a multi-day training run.
+        self.on_decode_error = on_decode_error
         self.epoch = 0
         # native C++ batch decode+crop (GIL-free thread pool) when built
         self._native = None
@@ -90,11 +99,29 @@ class DataLoader:
             return self._make_batch_native(batch_idx, rng)
         ids, waves, labels = [], [], []
         for i in batch_idx:
-            uid, wave, label = self.dataset.get(int(i), rng)
+            try:
+                uid, wave, label = self.dataset.get(int(i), rng)
+            except Exception as e:
+                if self.on_decode_error == "raise":
+                    raise
+                import warnings
+
+                warnings.warn(f"skipping undecodable item "
+                              f"{self.dataset.trials[int(i)].path}: {e}")
+                continue
             ids.append(uid)
             waves.append(wave)
             labels.append(label)
+        if not ids:
+            raise RuntimeError("every item in the batch failed to decode")
         valid = len(ids)
+        if valid < len(batch_idx) and not self.pad_last:
+            # keep the static batch shape: duplicate the last good row in
+            # place of skipped ones (labels follow, so loss stays sane)
+            while len(ids) < len(batch_idx):
+                ids.append(ids[-1])
+                waves.append(waves[-1])
+                labels.append(labels[-1])
         if self.pad_last and valid < self.batch_size:
             for _ in range(self.batch_size - valid):
                 ids.append(ids[-1])
@@ -109,13 +136,29 @@ class DataLoader:
             trials = trials + [trials[-1]] * (self.batch_size - valid)
         seed = (int(rng.integers(1, 2 ** 62))
                 if self.dataset.is_random_start else 0)
-        waves, failed = self._native.load_batch(
+        waves, failed_idx = self._native.load_batch_status(
             [t.path for t in trials], self.dataset.duration, seed=seed,
             threads=self.num_workers,
             expected_sr=self.dataset.sample_rate)
-        if failed:
-            raise RuntimeError(
-                f"native decode failed for {failed} file(s) in batch")
+        if len(failed_idx):
+            bad = [trials[int(i)].path for i in failed_idx]
+            if self.on_decode_error == "raise":
+                raise RuntimeError(
+                    f"native decode failed for {len(bad)} file(s) in batch: "
+                    f"{bad[:4]}{'...' if len(bad) > 4 else ''}")
+            if len(failed_idx) == len(trials):
+                raise RuntimeError("every item in the batch failed to decode")
+            import warnings
+
+            warnings.warn(f"skipping {len(bad)} undecodable item(s): "
+                          f"{bad[:4]}{'...' if len(bad) > 4 else ''}")
+            # substitute each failed (zero-filled) row with a valid row so
+            # the static batch shape and id->row mapping stay intact
+            bad_set = set(int(i) for i in failed_idx)
+            good = next(i for i in range(len(trials)) if i not in bad_set)
+            for i in bad_set:
+                waves[i] = waves[good]
+                trials[i] = trials[good]
         aug = getattr(self.dataset, "host_augment", None)
         if aug is not None:
             waves = np.stack([aug(w, rng) for w in waves])

@@ -43,6 +43,13 @@ def _load():
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int64,
             ctypes.c_uint64, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
             ctypes.c_int]
+        if hasattr(lib, "rtdsd_load_batch_status"):
+            lib.rtdsd_load_batch_status.restype = ctypes.c_int
+            lib.rtdsd_load_batch_status.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                ctypes.c_int64, ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int)]
         _lib = lib
     except OSError:
         _lib = None
@@ -103,3 +110,31 @@ def load_batch(paths: List[str], duration: int, seed: int = 0,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), threads,
         expected_sr)
     return out, int(failed)
+
+
+def load_batch_status(paths: List[str], duration: int, seed: int = 0,
+                      threads: int = 0, expected_sr: int = 16000
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Like :func:`load_batch` but returns per-file outcomes: ((B, duration)
+    float32, (B,) int32 failed-indices array). Failed rows are zero-filled;
+    the caller decides whether to raise, skip, or substitute them."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built")
+    if not hasattr(lib, "rtdsd_load_batch_status"):  # stale .so on disk
+        out, n_failed = load_batch(paths, duration, seed, threads, expected_sr)
+        if n_failed:
+            # no per-row info in the legacy ABI: report zero-filled rows
+            idx = np.where(~out.any(axis=1))[0][:n_failed]
+            return out, idx.astype(np.int32)
+        return out, np.empty((0,), np.int32)
+    if threads <= 0:
+        threads = min(len(paths), os.cpu_count() or 1)
+    out = np.empty((len(paths), duration), np.float32)
+    status = np.zeros((len(paths),), np.int32)
+    c_paths = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+    lib.rtdsd_load_batch_status(
+        c_paths, len(paths), duration, seed,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), threads,
+        expected_sr, status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    return out, np.where(status != 0)[0].astype(np.int32)

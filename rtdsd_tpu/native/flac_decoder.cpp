@@ -469,9 +469,12 @@ void rtdsd_free(float* p) { free(p); }
 // when seed != 0, deterministic per (seed, index)), write into
 // out[count][duration] (caller-allocated, C-contiguous). Returns number of
 // failed files.
-int rtdsd_load_batch_sr(const char** paths, int count, int64_t duration,
-                        uint64_t seed, float* out, int num_threads,
-                        int expected_sr) {
+// `status` (optional, count entries) records per-file outcome: 0 ok,
+// 1 decode failed (row zero-filled) — lets the caller skip/replace bad
+// rows instead of aborting the whole batch.
+static int load_batch_impl(const char** paths, int count, int64_t duration,
+                           uint64_t seed, float* out, int num_threads,
+                           int expected_sr, int* status) {
   std::atomic<int> next(0), failed(0);
   int nt = num_threads > 0 ? num_threads : 1;
   if (nt > count) nt = count;
@@ -487,9 +490,11 @@ int rtdsd_load_batch_sr(const char** paths, int count, int64_t duration,
       float* dst = out + (size_t)i * duration;
       if (n <= 0) {
         memset(dst, 0, (size_t)duration * sizeof(float));
+        if (status) status[i] = 1;
         failed.fetch_add(1);
         continue;
       }
+      if (status) status[i] = 0;
       uint32_t ch = info.channels ? info.channels : 1;
       // mono channel 0
       std::vector<float> mono((size_t)n);
@@ -529,6 +534,20 @@ int rtdsd_load_batch_sr(const char** paths, int count, int64_t duration,
   for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
   for (auto& th : threads) th.join();
   return failed.load();
+}
+
+int rtdsd_load_batch_sr(const char** paths, int count, int64_t duration,
+                        uint64_t seed, float* out, int num_threads,
+                        int expected_sr) {
+  return load_batch_impl(paths, count, duration, seed, out, num_threads,
+                         expected_sr, nullptr);
+}
+
+int rtdsd_load_batch_status(const char** paths, int count, int64_t duration,
+                            uint64_t seed, float* out, int num_threads,
+                            int expected_sr, int* status) {
+  return load_batch_impl(paths, count, duration, seed, out, num_threads,
+                         expected_sr, status);
 }
 
 // Back-compat entry point (no resampling).
