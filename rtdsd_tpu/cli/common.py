@@ -11,7 +11,8 @@ import numpy as np
 
 from rtdsd_tpu.config import ExpConfig, SysConfig
 from rtdsd_tpu.data.loader import DataLoader, device_prefetch
-from rtdsd_tpu.engine.checkpoint import (load_params_only, restore_checkpoint,
+from rtdsd_tpu.engine.checkpoint import (load_params_only,
+                                         restore_checkpoint_any,
                                          save_params_only)
 from rtdsd_tpu.engine.steps import (TrainState, create_train_state,
                                     make_optimizer, make_score_step)
@@ -92,8 +93,9 @@ def load_checkpoint_for_eval(ckpt: str, spec: ModelSpec,
     """Accepts: our full checkpoint dir, our weights-only dir, or a trained
     *reference* torch .pt (converted on the fly — the reference-user bridge)."""
     if os.path.isdir(ckpt):
-        if os.path.exists(os.path.join(ckpt, "state.msgpack")):
-            return restore_checkpoint(ckpt, state)
+        if any(os.path.exists(os.path.join(ckpt, n))
+               for n in ("state.msgpack", "orbax", "orbax.prev")):
+            return restore_checkpoint_any(ckpt, state)
         params, stats = load_params_only(ckpt, state.params, state.batch_stats)
         return state.replace(params=params, batch_stats=stats or state.batch_stats)
     sd = load_torch_state_dict(ckpt)

@@ -37,7 +37,7 @@ from rtdsd_tpu.data.dataset import (ASVspoof2019LA, ASVspoof2019LA_eval,
                                     ASVspoof2021DF_eval, ASVspoof2021LA_eval,
                                     ASVSpoof5, FakeOrReal, InTheWild)
 from rtdsd_tpu.data.loader import DataLoader
-from rtdsd_tpu.engine.checkpoint import save_checkpoint
+from rtdsd_tpu.engine.checkpoint import save_checkpoint, save_checkpoint_async
 from rtdsd_tpu.engine.steps import make_optimizer
 from rtdsd_tpu.engine.trainer import Trainer
 from rtdsd_tpu.utils.logging import Logger
@@ -104,7 +104,8 @@ def run_train(args, sys_config, exp_config):
         ds, bs, shuffle=sh, drop_last=sh, seed=exp_config.random_seed,
         num_workers=sys_config.num_workers,
         process_index=jax.process_index(),
-        process_count=jax.process_count())
+        process_count=jax.process_count(),
+        on_decode_error=sys_config.decode_error_policy)
     train_loader = mk_loader(train_set, exp_config.batch_size_train, True)
     dev_loader = mk_loader(dev_set, exp_config.batch_size_test, False)
 
@@ -152,6 +153,7 @@ def run_train(args, sys_config, exp_config):
     best_loss = float("inf")
     best_acc, best_loss_epoch, best_acc_epoch = 0.0, -1, -2
     max_epoch = args.max_epoch or exp_config.max_epoch
+    ckpt_handle = None
     for epoch in range(max_epoch):
         trainer.train()
         dev_loss, dev_acc = trainer.test(is_dev=True)
@@ -165,19 +167,21 @@ def run_train(args, sys_config, exp_config):
             best_acc, best_acc_epoch = dev_acc, epoch
             if best_acc_epoch != best_loss_epoch and best_acc > 95:
                 save = True
+        # epoch-loop saves are async (orbax AsyncCheckpointer) so a 315M
+        # full-state write streams to disk while the next epoch trains
         if save and jax.process_index() == 0:
             name = f"best_LA_epoch{epoch}_{dev_loss:.5f}_{dev_acc:.2f}"
             path = os.path.join(sys_config.path_to_save_model, name)
-            save_checkpoint(path, trainer.state,
-                            meta={"epoch": epoch, "dev_loss": dev_loss,
-                                  "dev_acc": dev_acc})
+            ckpt_handle = save_checkpoint_async(
+                path, trainer.state, meta={"epoch": epoch,
+                                           "dev_loss": dev_loss,
+                                           "dev_acc": dev_acc})
             logger.print(f"saved {path}")
         if jax.process_index() == 0:
             # rolling crash-resume checkpoint (full state incl. optimizer)
-            save_checkpoint(os.path.join(sys_config.path_to_save_model,
-                                         "last"),
-                            trainer.state, meta={"epoch": epoch,
-                                                 "dev_loss": dev_loss})
+            ckpt_handle = save_checkpoint_async(
+                os.path.join(sys_config.path_to_save_model, "last"),
+                trainer.state, meta={"epoch": epoch, "dev_loss": dev_loss})
         if stopper is not None:
             stopper(dev_loss, epoch,
                     lambda p: save_checkpoint(p, trainer.state,
@@ -186,6 +190,8 @@ def run_train(args, sys_config, exp_config):
                 logger.print(f"early stop at epoch {epoch} "
                              f"(patience {patience})")
                 break
+    if ckpt_handle is not None:  # commit the in-flight save before exit
+        ckpt_handle.wait_until_finished()
     logger.close()
 
 

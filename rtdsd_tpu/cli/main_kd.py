@@ -36,7 +36,7 @@ from rtdsd_tpu.cli.common import (build_model, init_state,
 from rtdsd_tpu.cli.main import TRACK_DATASETS, validate_tracks
 from rtdsd_tpu.data.dataset import ASVspoof2019LA
 from rtdsd_tpu.data.loader import DataLoader
-from rtdsd_tpu.engine.checkpoint import save_checkpoint
+from rtdsd_tpu.engine.checkpoint import save_checkpoint, save_checkpoint_async
 from rtdsd_tpu.engine.kd import KDTrainer, copy_teacher_weights
 from rtdsd_tpu.engine.steps import make_optimizer
 from rtdsd_tpu.models.wav2vec2 import resolve_layer_indices
@@ -114,6 +114,12 @@ def run_kd_train(args, sys_config, exp_config):
         s_state = s_state.replace(params=params, opt_state=tx.init(params))
         logger.print("Copied teacher weights to student "
                      f"(layer map {indices})")
+    if exp_config.restore_checkpoint:
+        # student crash-resume (full state incl. optimizer; pairs with the
+        # rolling `last_kd` checkpoint written each epoch below)
+        s_state = load_checkpoint_for_eval(exp_config.restore_checkpoint,
+                                           student_spec, s_state)
+        logger.print(f"restored student {exp_config.restore_checkpoint}")
     s_state = shard_state(s_state, mesh, tx, exp_config.parallel_mode or None)
 
     train_set = ASVspoof2019LA(sys_config, exp_config, is_train=True)
@@ -121,7 +127,8 @@ def run_kd_train(args, sys_config, exp_config):
     mk_loader = lambda ds, bs, sh: DataLoader(
         ds, bs, shuffle=sh, drop_last=sh, seed=exp_config.random_seed,
         num_workers=sys_config.num_workers,
-        process_index=jax.process_index(), process_count=jax.process_count())
+        process_index=jax.process_index(), process_count=jax.process_count(),
+        on_decode_error=sys_config.decode_error_policy)
     trainer = KDTrainer(
         teacher_spec.module, teacher_variables, student_spec.module, s_state,
         tx, kd, mk_loader(train_set, exp_config.batch_size_train, True),
@@ -133,7 +140,17 @@ def run_kd_train(args, sys_config, exp_config):
         logger.print(f"Student dev acc: {acc}, loss: {loss}")
         return
 
+    # same robustness surface as the main CLI epoch loop (cli/main.py):
+    # rolling crash-resume `last`, optional EER early stopping, async saves
+    from rtdsd_tpu.utils.metrics import EarlyStopping
+
+    patience = int(exp_config.kwargs.get("early_stop_patience", 0) or 0)
+    stopper = EarlyStopping(patience=patience,
+                            save_dir=sys_config.path_to_save_model) \
+        if patience > 0 else None
+
     best_loss = float("inf")
+    ckpt_handle = None
     for epoch in range(args.max_epoch or exp_config.max_epoch):
         trainer.train()
         dev_loss, dev_acc = trainer.test(is_dev=True)
@@ -143,10 +160,27 @@ def run_kd_train(args, sys_config, exp_config):
             best_loss = dev_loss
             name = f"student_best_epoch{epoch}_{dev_loss:.5f}_{dev_acc:.2f}"
             path = os.path.join(sys_config.path_to_save_model, name)
-            save_checkpoint(path, trainer.state,
-                            meta={"epoch": epoch, "dev_loss": dev_loss,
-                                  "dev_acc": dev_acc, "kind": "student"})
+            ckpt_handle = save_checkpoint_async(
+                path, trainer.state,
+                meta={"epoch": epoch, "dev_loss": dev_loss,
+                      "dev_acc": dev_acc, "kind": "student"})
             logger.print(f"saved {path}")
+        if jax.process_index() == 0:
+            ckpt_handle = save_checkpoint_async(
+                os.path.join(sys_config.path_to_save_model, "last_kd"),
+                trainer.state, meta={"epoch": epoch, "dev_loss": dev_loss,
+                                     "kind": "student"})
+        if stopper is not None:
+            stopper(dev_loss, epoch,
+                    lambda p: save_checkpoint(p, trainer.state,
+                                              meta={"epoch": epoch,
+                                                    "kind": "student"}))
+            if stopper.early_stop:
+                logger.print(f"early stop at epoch {epoch} "
+                             f"(patience {patience})")
+                break
+    if ckpt_handle is not None:  # commit the in-flight save before exit
+        ckpt_handle.wait_until_finished()
     logger.close()
 
 

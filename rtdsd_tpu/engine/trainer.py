@@ -71,6 +71,8 @@ class Trainer:
         loss_sum = 0.0
         iter_count = 0
         epoch_loss = 0.0
+        batches_seen = 0  # actual divisor for the epoch mean: robust to a
+        # loader yielding fewer batches than len() or a future early break
         num_correct = 0
         num_total = 0
         t0 = time.time()
@@ -88,6 +90,7 @@ class Trainer:
             pending.append(metrics)
             num_total += batch.waves.shape[0]
             iter_count += 1
+            batches_seen += 1
             if iter_count >= log_every:
                 losses = [float(m["loss"]) for m in pending]
                 num_correct += sum(int(m["num_correct"]) for m in pending)
@@ -105,11 +108,11 @@ class Trainer:
         acc = 100.0 * num_correct / max(num_total, 1)
         self.logger.wandbLog({"Train Acc": acc})
         self.logger.print(
-            f"epoch {self.epoch}: train loss {epoch_loss / max(num_batches, 1):.5f} "
+            f"epoch {self.epoch}: train loss {epoch_loss / max(batches_seen, 1):.5f} "
             f"acc {acc:.2f}% ({time.time() - t0:.1f}s, "
             f"{num_total / max(time.time() - t0, 1e-9):.1f} utt/s)")
         self.epoch += 1
-        return epoch_loss / max(num_batches, 1)
+        return epoch_loss / max(batches_seen, 1)
 
     # ------------------------------------------------------------------ eval
 
