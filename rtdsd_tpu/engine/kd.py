@@ -97,21 +97,60 @@ def get_mid_level_loss(criterion_config: dict) -> Tuple[Callable, dict]:
 # ----------------------------------------------------------- tap resolution
 
 _LAYER_RE = re.compile(r"(?:^|\.)(?:model\.)?encoder\.layers\.(\d+)$")
+_ENC_BLOCK_RE = re.compile(r"(?:^|\.)encoder_blocks\.(\d+)$")
+
+# Reference torch submodule names that live under our ``backend`` module —
+# the flax names intentionally match the torch attribute names
+# (/root/reference/models/xlsr_aasist.py:28-84 vs models/aasist.py;
+# conformer_baseline.py:45-51 vs models/conformer.py), so a reference KD
+# YAML's bare module path resolves by prefixing ``backend/``.
+_BACKEND_NAMES = frozenset({
+    "LL", "first_bn", "first_bn1",
+    "GAT_layer_S", "GAT_layer_T",
+    "HtrgGAT_layer_ST11", "HtrgGAT_layer_ST12",
+    "HtrgGAT_layer_ST21", "HtrgGAT_layer_ST22",
+    "pool_S", "pool_T", "pool_hS1", "pool_hT1", "pool_hS2", "pool_hT2",
+    "conformer",
+})
 
 
 def normalize_tap_path(path: str) -> str:
-    """Translate a reference torch module path to a framework tap path."""
+    """Translate a reference torch module path to a framework tap path.
+
+    Accepts the full hook schema of the reference KDTrainer
+    (/root/reference/trainer.py:176-195): SSL encoder layers, AASIST graph
+    modules (``GAT_layer_S``, ``pool_hT2``, ...), conformer blocks
+    (``conformer.encoder_blocks.N``), torch Sequential indices
+    (``encoder.3``), and this framework's native slash paths.
+    """
     p = path.replace("module.", "")
     m = _LAYER_RE.search(p)
     if m:
         return f"ssl_hidden:{m.group(1)}"
     if p in ("ssl_model", "ssl_model.model", "ssl_model.model.encoder"):
         return "ssl_model"
-    if p in ("", ".", "logits", "out_layer", "fc5", "output"):
+    if p in ("", ".", "logits", "out_layer", "fc5", "output",
+             "backend.out_layer", "conformer.fc5", "backend.conformer.fc5"):
+        # out_layer / fc5 are the final Dense producing the logits — their
+        # hooked output IS the model output
         return "logits"
-    # torch dots -> flax slashes; known head renames
-    p = p.replace("conformer", "backend/conformer")
-    return p.replace(".", "/")
+    m = _ENC_BLOCK_RE.search(p)
+    if m:  # MyConformer block list (conformer_baseline.py:16)
+        return f"backend/conformer/block_{m.group(1)}"
+    # AASIST residual encoder: torch nn.Sequential index -> flax block name
+    m = re.fullmatch(r"(?:backend\.)?encoder\.(\d+)", p)
+    if m:
+        return f"backend/encoder_{m.group(1)}"
+    if p in ("encoder", "backend.encoder"):
+        # output of the Sequential == output of its last residual block
+        return "backend/encoder_5"
+    if p in ("attention", "backend.attention"):
+        # output of the attention Sequential == its final 1x1 conv
+        return "backend/att_conv2"
+    parts = p.split(".")
+    if parts[0] in _BACKEND_NAMES:
+        parts = ["backend"] + parts
+    return "/".join(parts)
 
 
 def resolve_tap(tap_path: str, logits, intermediates) -> jax.Array:

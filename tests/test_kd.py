@@ -18,7 +18,21 @@ def test_normalize_tap_path():
         "ssl_hidden:11"
     assert normalize_tap_path("ssl_model.model") == "ssl_model"
     assert normalize_tap_path("logits") == "logits"
-    assert normalize_tap_path("LL") == "LL"
+    # bare reference AASIST/Conformer submodule names resolve under backend/
+    assert normalize_tap_path("LL") == "backend/LL"
+    assert normalize_tap_path("GAT_layer_S") == "backend/GAT_layer_S"
+    assert normalize_tap_path("pool_hT2") == "backend/pool_hT2"
+    assert normalize_tap_path("HtrgGAT_layer_ST21") == \
+        "backend/HtrgGAT_layer_ST21"
+    assert normalize_tap_path("out_layer") == "logits"
+    assert normalize_tap_path("conformer.fc5") == "logits"
+    assert normalize_tap_path("conformer.encoder_blocks.2") == \
+        "backend/conformer/block_2"
+    assert normalize_tap_path("encoder.3") == "backend/encoder_3"
+    assert normalize_tap_path("encoder") == "backend/encoder_5"
+    assert normalize_tap_path("attention") == "backend/att_conv2"
+    # framework-native slash paths pass through
+    assert normalize_tap_path("backend/pool_S") == "backend/pool_S"
 
 
 def test_kl_matches_torch():
@@ -149,3 +163,53 @@ def test_kd_ssl_hidden_tap_end_to_end():
     state, metrics = step(state, t_vars, waves, labels, jax.random.key(3))
     assert np.isfinite(float(metrics["total_loss"]))
     assert any(k.startswith("MSELoss_ssl_hidden:1") for k in metrics)
+
+
+def test_kd_aasist_submodule_taps_reference_paths():
+    """A reference-shaped kd_kwargs tapping AASIST graph modules by their
+    bare torch attribute names (the ref KDTrainer hook schema,
+    /root/reference/trainer.py:176-195) resolves and trains."""
+    from rtdsd_tpu.models.wav2vec2 import Wav2Vec2Config
+    from rtdsd_tpu.models.zoo import XLSR_AASIST
+
+    cfg = Wav2Vec2Config(conv_layers=((8, 10, 5), (8, 2, 2)),
+                         encoder_embed_dim=8, encoder_ffn_dim=16,
+                         encoder_heads=2, encoder_layers=2, conv_pos=4,
+                         conv_pos_groups=2)
+    teacher = XLSR_AASIST(w2v_cfg=cfg)
+    student = XLSR_AASIST(w2v_cfg=cfg)
+    # enough samples that the AASIST pools keep >= 1 node
+    waves = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 4000)).astype(np.float32))
+    labels = jnp.asarray([0, 1])
+
+    t_vars = teacher.init(jax.random.key(0), waves)
+    tx = make_optimizer(1e-3, 0.0)
+    state = create_train_state(student, jax.random.key(1), waves, tx)
+    s_before = jax.tree_util.tree_map(np.asarray, state.params)
+
+    kd_kwargs = {
+        "ce_loss_weight": 1.0,
+        "kd_criterions": [
+            {"key": "MSELoss", "kwargs": {
+                "student_module_path": "GAT_layer_S",
+                "teacher_module_path": "GAT_layer_S"}},
+            {"key": "L1Loss", "kwargs": {
+                "student_module_path": "pool_hT2",
+                "teacher_module_path": "pool_hT2"}},
+            {"key": "CosineLoss", "kwargs": {
+                "student_module_path": "LL",
+                "teacher_module_path": "LL"}},
+        ],
+        "kd_criterion_weights": [1.0, 0.5, 0.2],
+    }
+    step = make_kd_train_step(teacher, student, tx, kd_kwargs, preemph=None)
+    state, metrics = step(state, t_vars, waves, labels, jax.random.key(3))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert any(k.startswith("MSELoss_backend/GAT_layer_S") for k in metrics)
+    assert any(k.startswith("L1Loss_backend/pool_hT2") for k in metrics)
+    assert any(k.startswith("CosineLoss_backend/LL") for k in metrics)
+    # the KD gradient actually reached the student's graph modules
+    assert not np.allclose(
+        s_before["backend"]["GAT_layer_S"]["att_proj"]["kernel"],
+        np.asarray(state.params["backend"]["GAT_layer_S"]["att_proj"]["kernel"]))
