@@ -30,16 +30,25 @@ CFG = Wav2Vec2Config(
     fast_gelu=False)  # oracle parity checks the exact-erf semantics
 
 
-def _fairseq_sd(cfg: Wav2Vec2Config, seed=0):
+def _fairseq_sd(cfg: Wav2Vec2Config, seed=0, mode="layer_norm"):
     g = torch.Generator().manual_seed(seed)
     sd = {}
     rnd = lambda *shape: (torch.randn(*shape, generator=g) * 0.2)
     cin = 1
     for i, (dim, k, _s) in enumerate(cfg.conv_layers):
         sd[f"feature_extractor.conv_layers.{i}.0.weight"] = rnd(dim, cin, k)
-        sd[f"feature_extractor.conv_layers.{i}.0.bias"] = rnd(dim)
-        sd[f"feature_extractor.conv_layers.{i}.2.1.weight"] = 1 + rnd(dim) * 0.1
-        sd[f"feature_extractor.conv_layers.{i}.2.1.bias"] = rnd(dim) * 0.1
+        if mode == "layer_norm":
+            # fairseq layer_norm mode: conv bias + per-block LN (Sequential
+            # index .2.1 = LayerNorm inside TransposeLast wrapper)
+            sd[f"feature_extractor.conv_layers.{i}.0.bias"] = rnd(dim)
+            sd[f"feature_extractor.conv_layers.{i}.2.1.weight"] = \
+                1 + rnd(dim) * 0.1
+            sd[f"feature_extractor.conv_layers.{i}.2.1.bias"] = rnd(dim) * 0.1
+        elif i == 0:
+            # fairseq "default" mode: no conv bias; GroupNorm(dim, dim) on
+            # layer 0 only (Sequential index .2)
+            sd["feature_extractor.conv_layers.0.2.weight"] = 1 + rnd(dim) * 0.1
+            sd["feature_extractor.conv_layers.0.2.bias"] = rnd(dim) * 0.1
         cin = dim
     d = cfg.encoder_embed_dim
     sd["layer_norm.weight"] = 1 + rnd(cin) * 0.1
@@ -68,16 +77,24 @@ def _fairseq_sd(cfg: Wav2Vec2Config, seed=0):
     return {k: v.float() for k, v in sd.items()}
 
 
-def _torch_oracle(sd, wave: torch.Tensor, cfg: Wav2Vec2Config):
+def _torch_oracle(sd, wave: torch.Tensor, cfg: Wav2Vec2Config,
+                  mode="layer_norm"):
     """fairseq Wav2Vec2Model(..., features_only=True)['x'] semantics."""
     x = wave.unsqueeze(1)                                    # (B, 1, T)
     for i, (dim, _k, s) in enumerate(cfg.conv_layers):
         x = F.conv1d(x, sd[f"feature_extractor.conv_layers.{i}.0.weight"],
-                     sd[f"feature_extractor.conv_layers.{i}.0.bias"], stride=s)
-        x = F.layer_norm(x.transpose(1, 2), (dim,),
-                         sd[f"feature_extractor.conv_layers.{i}.2.1.weight"],
-                         sd[f"feature_extractor.conv_layers.{i}.2.1.bias"]
-                         ).transpose(1, 2)
+                     sd.get(f"feature_extractor.conv_layers.{i}.0.bias"),
+                     stride=s)
+        if mode == "layer_norm":
+            x = F.layer_norm(x.transpose(1, 2), (dim,),
+                             sd[f"feature_extractor.conv_layers.{i}.2.1.weight"],
+                             sd[f"feature_extractor.conv_layers.{i}.2.1.bias"]
+                             ).transpose(1, 2)
+        elif i == 0:  # fairseq default mode: GroupNorm(dim, dim), layer 0
+            x = F.group_norm(x, dim,
+                             sd["feature_extractor.conv_layers.0.2.weight"],
+                             sd["feature_extractor.conv_layers.0.2.bias"],
+                             eps=1e-5)
         x = F.gelu(x)
     x = x.transpose(1, 2)                                    # (B, T', C)
     c = x.shape[-1]
@@ -161,3 +178,55 @@ def test_layer_subset_matches_oracle_sliced():
     enc = Wav2Vec2Encoder(cfg2)
     got = enc.apply({"params": params}, jnp.asarray(wave.numpy()))
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=5e-5)
+
+
+def test_group_norm_extractor_matches_torch_oracle():
+    """fairseq "default" extractor mode (GroupNorm on conv layer 0, no conv
+    bias, no per-block LN) — the base-model family's front end
+    (wav2vec2.py:230-233 / convert_fairseq.py:141-142)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, extractor_mode="group_norm",
+                              conv_bias=False)
+    sd = _fairseq_sd(cfg, mode="group_norm")
+    wave = torch.randn(2, 800, generator=torch.Generator().manual_seed(13))
+    with torch.no_grad():
+        want = _torch_oracle(sd, wave, cfg, mode="group_norm").numpy()
+
+    np_sd = {k: v.numpy() for k, v in sd.items()}
+    params = convert_w2v_checkpoint(np_sd,
+                                    num_conv_layers=len(cfg.conv_layers),
+                                    extractor_mode="group_norm")
+    enc = Wav2Vec2Encoder(cfg)
+    got = enc.apply({"params": params}, jnp.asarray(wave.numpy()))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=5e-5)
+
+
+def test_convert_handles_fp16_and_extra_keys(tmp_path):
+    """Real fairseq checkpoints may store fp16 weights and carry extra
+    pretraining-only tensors (quantizer codebooks, label_embs_concat, ...);
+    conversion must upcast and ignore them (VERDICT r1 item 8)."""
+    from rtdsd_tpu.models.convert_fairseq import load_torch_state_dict
+
+    sd = _fairseq_sd(CFG)
+    wave = torch.randn(1, 800, generator=torch.Generator().manual_seed(3))
+    with torch.no_grad():
+        want = _torch_oracle(sd, wave, CFG).numpy()
+
+    # fp16-stored checkpoint with fairseq-style nesting + extra keys
+    half = {k: v.to(torch.float16) for k, v in sd.items()}
+    half["label_embs_concat"] = torch.randn(4, 8).half()
+    half["quantizer.vars"] = torch.randn(1, 8, 4).half()
+    half["_ema"] = 3  # non-tensor entries must be skipped
+    path = tmp_path / "ckpt_fp16.pt"
+    torch.save({"model": half}, str(path))
+
+    np_sd = load_torch_state_dict(str(path))
+    assert np_sd["layer_norm.weight"].dtype == np.float32
+    params = convert_w2v_checkpoint(np_sd,
+                                    num_conv_layers=len(CFG.conv_layers))
+    enc = Wav2Vec2Encoder(CFG)
+    got = enc.apply({"params": params}, jnp.asarray(wave.numpy()))
+    # fp16 storage quantizes the weights; parity is at half precision
+    np.testing.assert_allclose(np.asarray(got), want, rtol=0.05, atol=0.05)
