@@ -96,3 +96,142 @@ class StreamingScorer:
     def score(self, wave: np.ndarray) -> float:
         """Utterance-level CM score from aggregated window scores."""
         return self.aggregate_scores(self.window_scores(wave))
+
+
+def receptive_field(conv_layers) -> int:
+    """Conv-stack receptive field in samples (XLSR: 400)."""
+    rf = 1
+    for _dim, k, s in reversed(list(conv_layers)):
+        rf = (rf - 1) * s + k
+    return rf
+
+
+class IncrementalStreamingScorer:
+    """Streaming scorer that computes the conv front-end ONCE per audio.
+
+    At hop = window/2, :class:`StreamingScorer` recomputes half of every
+    window's conv features. The conv stack is strictly stride-aligned
+    (total stride 320 for XLSR, receptive field 400, VALID padding, and the
+    layer_norm extractor normalizes per frame), so the conv features of any
+    window starting on the 320-sample grid are an exact slice of the
+    full-audio conv features. This scorer:
+
+    1. runs the conv extractor over the whole wave in fixed-size segments
+       (``seg_frames`` frames each — static shapes, one compiled program,
+       segment hop = seg_frames * stride so frames line up exactly);
+    2. slices cached frames per window (window starts snapped DOWN to the
+       frame grid — at 16 kHz that moves a window by < 20 ms) and batches
+       them through the transformer + back-end.
+
+    Conv FLOPs drop from (window/hop)x realtime to ~1x realtime; scores are
+    numerically identical to :class:`StreamingScorer` for grid-aligned
+    window starts (tests/test_streaming.py).
+
+    ``model`` must accept ``conv_feats=`` (models/zoo.py);
+    ``cfg`` is its ``Wav2Vec2Config``. Requires ``extractor_mode ==
+    'layer_norm'`` (group_norm couples frames across the whole window).
+    """
+
+    def __init__(self, model, params, batch_stats, cfg,
+                 duration: int, hop: Optional[int] = None,
+                 batch_size: int = 8, aggregate: Aggregate = "mean",
+                 seg_frames: int = 256):
+        if cfg.extractor_mode != "layer_norm":
+            raise ValueError(
+                "incremental streaming requires the layer_norm extractor "
+                "(group_norm normalizes across the full window)")
+        import jax.numpy as jnp
+
+        from rtdsd_tpu.models.wav2vec2 import ConvFeatureExtractor
+
+        self.params = params
+        self.batch_stats = batch_stats
+        self.duration = duration
+        self.hop = hop or duration // 2
+        self.batch_size = batch_size
+        self.aggregate = aggregate
+        self.stride = cfg.total_stride
+        self.rf = receptive_field(cfg.conv_layers)
+        self.win_frames = cfg.num_frames(duration)
+        self.seg_frames = seg_frames
+        self.seg_samples = self.rf + (seg_frames - 1) * self.stride
+        self._num_frames = cfg.num_frames
+
+        conv = ConvFeatureExtractor(cfg, model.dtype)
+        self._conv_params = params["ssl_model"]["feature_extractor"]
+        # One batched dispatch over all segments; features stay ON DEVICE —
+        # per-segment B=1 calls + host readback would pay the dispatch
+        # latency (and, through the axon relay, ~30 ms) per segment.
+        self._conv_step = jax.jit(lambda p, segs: conv.apply(
+            {"params": p}, segs).reshape(-1, conv.cfg.conv_layers[-1][0]))
+
+        def feats_step(p, stats, feats_flat, idx):
+            variables = {"params": p}
+            if stats:
+                variables["batch_stats"] = stats
+            windows = feats_flat[idx]  # (B, win_frames, C) device gather
+            logits = model.apply(variables, None, train=False,
+                                 conv_feats=windows)
+            return logits[:, 1]
+
+        self._score_feats = jax.jit(feats_step)
+
+    # ------------------------------------------------------------ internals
+
+    def conv_features(self, wave: np.ndarray):
+        """(T,) wave -> (>= num_frames, C) conv features, ON DEVICE.
+
+        Segments are strided host views batched into one (S, seg_samples)
+        dispatch; rows beyond ``num_frames(T)`` are tail-padding garbage the
+        window gather never indexes."""
+        t = wave.shape[-1]
+        total = self._num_frames(t)
+        n_segs = -(-total // self.seg_frames)
+        # bucket the segment count so audio of similar lengths reuses the
+        # compiled programs (both the conv step and the gather+score step
+        # specialize on the feature-array length)
+        n_segs = -(-n_segs // 4) * 4
+        seg_hop = self.seg_frames * self.stride
+        pad_to = (n_segs - 1) * seg_hop + self.seg_samples
+        if t < pad_to:
+            wave = np.pad(wave, (0, pad_to - t))
+        segs = np.stack([wave[i * seg_hop: i * seg_hop + self.seg_samples]
+                         for i in range(n_segs)])
+        return self._conv_step(self._conv_params, segs), total
+
+    def _grid_starts(self, t: int):
+        starts = [s - (s % self.stride)  # snap DOWN to the conv frame grid
+                  for s in frame_starts(t, self.duration, self.hop)]
+        return sorted(dict.fromkeys(starts))  # dedup, keep order
+
+    # ------------------------------------------------------------------ api
+
+    def window_scores(self, wave: np.ndarray) -> np.ndarray:
+        wave = np.asarray(wave, np.float32).squeeze()
+        t = wave.shape[-1]
+        if t <= self.duration:  # short input: tile like the dataset fit
+            reps = -(-self.duration // max(t, 1))
+            wave = np.tile(wave, reps)[: self.duration]
+            t = self.duration
+        feats_flat, _total = self.conv_features(wave)
+        starts = self._grid_starts(t)
+        base = np.arange(self.win_frames, dtype=np.int32)
+        idx_all = np.stack([s // self.stride + base for s in starts])
+        n = idx_all.shape[0]
+        scores = []
+        for s in range(0, n, self.batch_size):
+            idx = idx_all[s: s + self.batch_size]
+            valid = idx.shape[0]
+            if valid < self.batch_size:
+                pad = np.repeat(idx[-1:], self.batch_size - valid, axis=0)
+                idx = np.concatenate([idx, pad])
+            out = np.asarray(self._score_feats(
+                self.params, self.batch_stats, feats_flat,
+                jax.numpy.asarray(idx)))
+            scores.append(out[:valid])
+        return np.concatenate(scores)
+
+    aggregate_scores = StreamingScorer.aggregate_scores
+
+    def score(self, wave: np.ndarray) -> float:
+        return self.aggregate_scores(self.window_scores(wave))

@@ -43,10 +43,12 @@ class XLSR_AASIST(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, wave: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(self, wave: jax.Array, *, train: bool = False,
+                 conv_feats: jax.Array = None) -> jax.Array:
         feats = Wav2Vec2Encoder(self.w2v_cfg, self.dtype, self.remat,
                                 name="ssl_model")(
-            _squeeze_wave(wave), train=train)
+            None if wave is None else _squeeze_wave(wave), train=train,
+            conv_feats=conv_feats)
         return AASISTBackend(fix_out_s1_bug=self.fix_out_s1_bug,
                              fused_gat=self.fused_gat,
                              dtype=self.dtype, name="backend")(
@@ -68,10 +70,12 @@ class XLSR_Conformer(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, wave: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(self, wave: jax.Array, *, train: bool = False,
+                 conv_feats: jax.Array = None) -> jax.Array:
         feats = Wav2Vec2Encoder(self.w2v_cfg, self.dtype, self.remat,
                                 name="ssl_model")(
-            _squeeze_wave(wave), train=train)
+            None if wave is None else _squeeze_wave(wave), train=train,
+            conv_feats=conv_feats)
         return ConformerBackend(
             emb_size=self.emb_size, heads=self.heads,
             kernel_size=self.kernel_size, n_encoders=self.n_encoders,

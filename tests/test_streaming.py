@@ -84,3 +84,65 @@ def test_frame_starts_tail_window():
     assert frame_starts(3000, 1000, 500)[-1] == 2000
     # short input: single window
     assert frame_starts(800, 1000, 500) == [0]
+
+
+def test_receptive_field_xlsr():
+    from rtdsd_tpu.engine.streaming import receptive_field
+    from rtdsd_tpu.models.wav2vec2 import Wav2Vec2Config
+
+    cfg = Wav2Vec2Config()
+    assert receptive_field(cfg.conv_layers) == 400
+    assert cfg.total_stride == 320
+
+
+def test_incremental_scorer_matches_naive():
+    """Conv-feature caching is exact: incremental == naive per-window scores
+    when every window start lies on the conv frame grid."""
+    from rtdsd_tpu.engine.streaming import IncrementalStreamingScorer
+    from rtdsd_tpu.models.wav2vec2 import Wav2Vec2Config
+    from rtdsd_tpu.models.zoo import XLSR_AASIST
+
+    cfg = Wav2Vec2Config(conv_layers=((8, 10, 5), (8, 4, 4), (8, 2, 2)),
+                         encoder_embed_dim=8, encoder_ffn_dim=16,
+                         encoder_heads=2, encoder_layers=2, conv_pos=4,
+                         conv_pos_groups=2)
+    stride = cfg.total_stride  # 40
+    model = XLSR_AASIST(w2v_cfg=cfg)
+    duration = 80 * stride          # 3200 samples
+    variables = model.init(jax.random.key(0), jnp.zeros((1, duration)))
+    params, stats = variables["params"], variables.get("batch_stats", {})
+
+    # duration and hop both multiples of the conv stride; length chosen so
+    # the tail window also lands on the grid
+    hop = 40 * stride
+    wave = np.random.default_rng(3).standard_normal(
+        (200 * stride,)).astype(np.float32)
+
+    naive = StreamingScorer(make_score_step(model), params, stats,
+                            duration=duration, hop=hop, batch_size=4)
+    inc = IncrementalStreamingScorer(model, params, stats, cfg,
+                                     duration=duration, hop=hop,
+                                     batch_size=4, seg_frames=50)
+    ws_naive = naive.window_scores(wave)
+    ws_inc = inc.window_scores(wave)
+    assert ws_naive.shape == ws_inc.shape
+    np.testing.assert_allclose(ws_inc, ws_naive, rtol=2e-4, atol=2e-5)
+
+    # short input (single tiled window) agrees too
+    short = wave[: duration // 2]
+    np.testing.assert_allclose(inc.window_scores(short),
+                               naive.window_scores(short),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_incremental_scorer_rejects_group_norm():
+    import pytest
+
+    from rtdsd_tpu.engine.streaming import IncrementalStreamingScorer
+    from rtdsd_tpu.models.wav2vec2 import Wav2Vec2Config
+    from rtdsd_tpu.models.zoo import XLSR_AASIST
+
+    cfg = Wav2Vec2Config(extractor_mode="group_norm")
+    with pytest.raises(ValueError, match="layer_norm"):
+        IncrementalStreamingScorer(XLSR_AASIST(w2v_cfg=cfg), {}, {}, cfg,
+                                   duration=64000)

@@ -42,24 +42,30 @@ v = jax.device_put(init_variables_host(
     model, jnp.zeros((2, DUR), jnp.float32), train=False))
 jax.block_until_ready(v)
 
-scorer = StreamingScorer(make_score_step(model), v["params"],
-                         v.get("batch_stats", {}), duration=DUR, hop=HOP,
-                         batch_size=BATCH)
+from rtdsd_tpu.engine.streaming import IncrementalStreamingScorer  # noqa: E402
+
+naive = StreamingScorer(make_score_step(model), v["params"],
+                        v.get("batch_stats", {}), duration=DUR, hop=HOP,
+                        batch_size=BATCH)
+inc = IncrementalStreamingScorer(model, v["params"],
+                                 v.get("batch_stats", {}),
+                                 model.w2v_cfg, duration=DUR, hop=HOP,
+                                 batch_size=BATCH)
 
 wave = (np.random.default_rng(0).standard_normal(AUDIO_SECONDS * SR) * 0.1
         ).astype(np.float32)
 
-t0 = time.time()
-s = scorer.score(wave)
-log(f"compile+first: {time.time() - t0:.1f}s (utt score {s:.3f})")
-
-times = []
-for _ in range(5):
-    t0 = time.perf_counter()
-    scorer.score(wave)
-    times.append(time.perf_counter() - t0)
-xrt = min(times) / AUDIO_SECONDS
-n_windows = 1 + max(0, (AUDIO_SECONDS * SR - DUR)) // HOP
-log(f"{AUDIO_SECONDS}s audio, {n_windows} windows (4s/2s hop), batch {BATCH}: "
-    f"{min(times)*1000:.0f} ms -> xRT {xrt:.5f} "
-    f"({1.0/xrt:.0f}x faster than real time)")
+for tag, scorer in [("naive", naive), ("incremental", inc)]:
+    t0 = time.time()
+    s = scorer.score(wave)
+    log(f"{tag}: compile+first {time.time() - t0:.1f}s (utt score {s:.3f})")
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        scorer.score(wave)
+        times.append(time.perf_counter() - t0)
+    xrt = min(times) / AUDIO_SECONDS
+    n_windows = 1 + max(0, (AUDIO_SECONDS * SR - DUR)) // HOP
+    log(f"{tag}: {AUDIO_SECONDS}s audio, {n_windows} windows (4s/2s hop), "
+        f"batch {BATCH}: {min(times)*1000:.0f} ms -> xRT {xrt:.5f} "
+        f"({1.0/xrt:.0f}x faster than real time)")
