@@ -119,9 +119,25 @@ class Wav2Vec2Config:
     # attention_dropout == 0 (the dropout path needs explicit probs).
     fast_softmax_train: bool = False
 
+    # Split the conv front-end into this many stride-aligned overlapping
+    # segments batched together (0/1 = off). At B=1 the 64k-sample conv
+    # chain is launch-bound; as 8 batched 8k segments it runs ~8% faster
+    # end-to-end (tools/b1_opt_probe.py: 3.32 -> 3.04 ms/clip; with
+    # scan_unroll=24 too, 2.84). Exact for the layer_norm extractor (per-
+    # frame normalization); neutral at large batch — a small-batch /
+    # real-time serving knob.
+    conv_segments: int = 0
+
     @property
     def head_dim(self) -> int:
         return self.encoder_embed_dim // self.encoder_heads
+
+    @property
+    def conv_receptive_field(self) -> int:
+        rf = 1
+        for _dim, k, s in reversed(self.conv_layers):
+            rf = (rf - 1) * s + k
+        return rf
 
     @property
     def total_stride(self) -> int:
@@ -415,6 +431,32 @@ class TransformerLayer(nn.Module):
         return residual + h
 
 
+def _segmented_conv_impl(extractor, wave: jax.Array, cfg: "Wav2Vec2Config"
+                         ) -> jax.Array:
+    """Conv front-end over ``cfg.conv_segments`` stride-aligned overlapping
+    segments batched along B. Exact for the layer_norm extractor: frames
+    are stride-aligned (VALID padding, total stride divides segment hops)
+    and normalization is per-frame. See tools/b1_opt_probe.py."""
+    if cfg.extractor_mode != "layer_norm":
+        raise ValueError("conv_segments requires the layer_norm extractor "
+                         "(group_norm normalizes across the whole window)")
+    b, t = wave.shape
+    stride = cfg.total_stride
+    rf = cfg.conv_receptive_field
+    total = cfg.num_frames(t)
+    nseg = cfg.conv_segments
+    seg_frames = -(-total // nseg)
+    seg_samples = rf + (seg_frames - 1) * stride
+    seg_hop = seg_frames * stride
+    pad_to = (nseg - 1) * seg_hop + seg_samples
+    wp = jnp.pad(wave, ((0, 0), (0, max(0, pad_to - t))))
+    segs = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(wp, i * seg_hop, seg_samples, axis=1)
+         for i in range(nseg)], axis=1)                # (B, nseg, seg_samples)
+    f = extractor(segs.reshape(b * nseg, seg_samples))
+    return f.reshape(b, nseg * seg_frames, f.shape[-1])[:, :total]
+
+
 class _ScanLayer(nn.Module):
     """Adapter giving TransformerLayer scan's (carry, x) -> (carry, y) shape.
 
@@ -448,11 +490,14 @@ class Wav2Vec2Encoder(nn.Module):
         incremental streaming path (engine/streaming.py) computes conv
         features once over long audio and re-enters here per window."""
         cfg = self.cfg
+        extractor = ConvFeatureExtractor(cfg, self.dtype,
+                                         name="feature_extractor")
         if conv_feats is not None:
             feats = conv_feats
+        elif cfg.conv_segments > 1:
+            feats = _segmented_conv_impl(extractor, wave, cfg)
         else:
-            feats = ConvFeatureExtractor(cfg, self.dtype,
-                                         name="feature_extractor")(wave)
+            feats = extractor(wave)
         # float32 for the normalization, as fairseq does
         x = nn.LayerNorm(epsilon=LN_EPS, name="layer_norm_pre", dtype=self.dtype)(feats)
         x = nn.Dense(cfg.encoder_embed_dim, name="post_extract_proj",

@@ -255,3 +255,43 @@ def test_fast_softmax_bf16_close_to_f32_softmax():
     d = np.abs(np.asarray(fast, np.float32) - np.asarray(exact, np.float32))
     scale = np.abs(np.asarray(exact, np.float32)).max()
     assert d.max() < 0.05 * max(scale, 1.0), (d.max(), scale)
+
+
+def test_segmented_conv_matches_default():
+    """conv_segments (B=1 latency knob) is exact for layer_norm extractors:
+    segment frames are an exact slice of the full-wave conv frames."""
+    import dataclasses
+
+    from rtdsd_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
+
+    base = Wav2Vec2Config(conv_layers=((16, 10, 5), (16, 4, 4), (16, 2, 2)),
+                          encoder_embed_dim=16, encoder_ffn_dim=32,
+                          encoder_heads=2, encoder_layers=2, conv_pos=4,
+                          conv_pos_groups=2)
+    seg = dataclasses.replace(base, conv_segments=4)
+    wave = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 4000)).astype(np.float32))
+    enc_a, enc_b = Wav2Vec2Encoder(base), Wav2Vec2Encoder(seg)
+    v = enc_a.init(jax.random.key(0), wave)
+    a = enc_a.apply(v, wave)
+    b = enc_b.apply(v, wave)  # same param tree: same extractor submodule
+    assert a.shape == b.shape
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_segmented_conv_rejects_group_norm():
+    import dataclasses
+
+    import pytest
+
+    from rtdsd_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
+
+    cfg = Wav2Vec2Config(conv_layers=((16, 10, 5), (16, 4, 4)),
+                         encoder_embed_dim=16, encoder_ffn_dim=32,
+                         encoder_heads=2, encoder_layers=1, conv_pos=4,
+                         conv_pos_groups=2, extractor_mode="group_norm",
+                         conv_bias=False, conv_segments=4)
+    wave = jnp.zeros((1, 2000), jnp.float32)
+    with pytest.raises(ValueError, match="layer_norm"):
+        Wav2Vec2Encoder(cfg).init(jax.random.key(0), wave)
