@@ -183,9 +183,12 @@ def run_train(args, sys_config, exp_config):
                 os.path.join(sys_config.path_to_save_model, "last"),
                 trainer.state, meta={"epoch": epoch, "dev_loss": dev_loss})
         if stopper is not None:
+            # all ranks update the stopper (consistent stop decision);
+            # only rank 0 writes its best-checkpoint
             stopper(dev_loss, epoch,
                     lambda p: save_checkpoint(p, trainer.state,
-                                              meta={"epoch": epoch}))
+                                              meta={"epoch": epoch})
+                    if jax.process_index() == 0 else None)
             if stopper.early_stop:
                 logger.print(f"early stop at epoch {epoch} "
                              f"(patience {patience})")

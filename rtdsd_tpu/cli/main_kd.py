@@ -171,10 +171,13 @@ def run_kd_train(args, sys_config, exp_config):
                 trainer.state, meta={"epoch": epoch, "dev_loss": dev_loss,
                                      "kind": "student"})
         if stopper is not None:
+            # all ranks update the stopper (consistent stop decision);
+            # only rank 0 writes its best-checkpoint
             stopper(dev_loss, epoch,
                     lambda p: save_checkpoint(p, trainer.state,
                                               meta={"epoch": epoch,
-                                                    "kind": "student"}))
+                                                    "kind": "student"})
+                    if jax.process_index() == 0 else None)
             if stopper.early_stop:
                 logger.print(f"early stop at epoch {epoch} "
                              f"(patience {patience})")

@@ -131,9 +131,6 @@ class DataLoader:
 
     def _make_batch_native(self, batch_idx: np.ndarray, rng) -> Batch:
         trials = [self.dataset.trials[int(i)] for i in batch_idx]
-        valid = len(trials)
-        if self.pad_last and valid < self.batch_size:
-            trials = trials + [trials[-1]] * (self.batch_size - valid)
         seed = (int(rng.integers(1, 2 ** 62))
                 if self.dataset.is_random_start else 0)
         waves, failed_idx = self._native.load_batch_status(
@@ -152,13 +149,21 @@ class DataLoader:
 
             warnings.warn(f"skipping {len(bad)} undecodable item(s): "
                           f"{bad[:4]}{'...' if len(bad) > 4 else ''}")
-            # substitute each failed (zero-filled) row with a valid row so
-            # the static batch shape and id->row mapping stay intact
+            # drop the failed (zero-filled) rows — same semantics as the
+            # pure-Python path: skipped rows are excluded from `valid`
+            # (never scored under a wrong id), shape is restored by the
+            # end-padding below
             bad_set = set(int(i) for i in failed_idx)
-            good = next(i for i in range(len(trials)) if i not in bad_set)
-            for i in bad_set:
-                waves[i] = waves[good]
-                trials[i] = trials[good]
+            keep = [i for i in range(len(trials)) if i not in bad_set]
+            waves = waves[keep]
+            trials = [trials[i] for i in keep]
+        valid = len(trials)
+        pad_to = self.batch_size if self.pad_last else len(batch_idx)
+        if valid < pad_to:
+            reps = pad_to - valid
+            waves = np.concatenate([waves, np.repeat(waves[-1:], reps,
+                                                     axis=0)])
+            trials = trials + [trials[-1]] * reps
         aug = getattr(self.dataset, "host_augment", None)
         if aug is not None:
             waves = np.stack([aug(w, rng) for w in waves])

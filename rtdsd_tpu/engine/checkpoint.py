@@ -86,8 +86,22 @@ def save_checkpoint_async(path: str, state: TrainState,
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta or {}, f, indent=2)
         return _ASYNC_CKPT
-    except Exception:
+    except Exception as e:
+        import sys
+
+        print(f"warning: async checkpoint save failed ({e!r}); "
+              f"falling back to sync msgpack", file=sys.stderr)
         save_checkpoint(path, state, meta)
+        # The sync msgpack is now the NEWEST complete state; stale orbax
+        # dirs left behind (possibly from the failed attempt above) would
+        # shadow it in restore_checkpoint_any and silently resume an older
+        # epoch — remove them.
+        import shutil
+
+        for stale in (os.path.join(path, "orbax"),
+                      os.path.join(path, "orbax.prev")):
+            if os.path.exists(stale):
+                shutil.rmtree(stale, ignore_errors=True)
 
         class _Done:
             def wait_until_finished(self):

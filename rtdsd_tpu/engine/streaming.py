@@ -99,11 +99,11 @@ class StreamingScorer:
 
 
 def receptive_field(conv_layers) -> int:
-    """Conv-stack receptive field in samples (XLSR: 400)."""
-    rf = 1
-    for _dim, k, s in reversed(list(conv_layers)):
-        rf = (rf - 1) * s + k
-    return rf
+    """Conv-stack receptive field in samples (XLSR: 400). Delegates to the
+    single implementation in models.wav2vec2."""
+    from rtdsd_tpu.models.wav2vec2 import conv_receptive_field
+
+    return conv_receptive_field(conv_layers)
 
 
 class IncrementalStreamingScorer:
@@ -151,10 +151,22 @@ class IncrementalStreamingScorer:
         self.batch_size = batch_size
         self.aggregate = aggregate
         self.stride = cfg.total_stride
-        self.rf = receptive_field(cfg.conv_layers)
+        if self.hop < self.stride:
+            # starts snap to the conv frame grid; a sub-frame hop would
+            # silently dedup windows away — make the floor explicit
+            raise ValueError(
+                f"hop {self.hop} is below the conv frame stride "
+                f"{self.stride} ({self.stride / 16000 * 1000:.0f} ms at "
+                f"16 kHz) — the incremental scorer cannot produce "
+                f"sub-frame window offsets; use the naive scorer")
+        from rtdsd_tpu.models.wav2vec2 import conv_segment_geometry
+
+        self.rf = cfg.conv_receptive_field
         self.win_frames = cfg.num_frames(duration)
         self.seg_frames = seg_frames
-        self.seg_samples = self.rf + (seg_frames - 1) * self.stride
+        self.seg_samples, _, _ = conv_segment_geometry(cfg, seg_frames, 1)
+        self._seg_geometry = lambda n: conv_segment_geometry(
+            cfg, seg_frames, n)
         self._num_frames = cfg.num_frames
 
         conv = ConvFeatureExtractor(cfg, model.dtype)
@@ -191,13 +203,19 @@ class IncrementalStreamingScorer:
         # compiled programs (both the conv step and the gather+score step
         # specialize on the feature-array length)
         n_segs = -(-n_segs // 4) * 4
-        seg_hop = self.seg_frames * self.stride
-        pad_to = (n_segs - 1) * seg_hop + self.seg_samples
+        _, seg_hop, pad_to = self._seg_geometry(n_segs)
         if t < pad_to:
             wave = np.pad(wave, (0, pad_to - t))
         segs = np.stack([wave[i * seg_hop: i * seg_hop + self.seg_samples]
                          for i in range(n_segs)])
         return self._conv_step(self._conv_params, segs), total
+
+    def bucket_key(self, t: int) -> int:
+        """Segment-count bucket a length-t wave compiles under — lets a
+        caller warm each bucket once before timing (cli/stream.py)."""
+        total = self._num_frames(max(t, self.duration))
+        n_segs = -(-total // self.seg_frames)
+        return -(-n_segs // 4) * 4
 
     def _grid_starts(self, t: int):
         starts = [s - (s % self.stride)  # snap DOWN to the conv frame grid

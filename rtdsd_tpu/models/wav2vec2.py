@@ -134,10 +134,7 @@ class Wav2Vec2Config:
 
     @property
     def conv_receptive_field(self) -> int:
-        rf = 1
-        for _dim, k, s in reversed(self.conv_layers):
-            rf = (rf - 1) * s + k
-        return rf
+        return conv_receptive_field(self.conv_layers)
 
     @property
     def total_stride(self) -> int:
@@ -151,6 +148,29 @@ class Wav2Vec2Config:
         for _, k, s in self.conv_layers:
             t = (t - k) // s + 1
         return t
+
+
+def conv_receptive_field(conv_layers) -> int:
+    """Conv-stack receptive field in samples (XLSR: 400). Single source of
+    truth — the streaming scorer and segmented-conv path both use it."""
+    rf = 1
+    for _dim, k, s in reversed(list(conv_layers)):
+        rf = (rf - 1) * s + k
+    return rf
+
+
+def conv_segment_geometry(cfg: "Wav2Vec2Config", seg_frames: int,
+                          n_segs: int) -> Tuple[int, int, int]:
+    """(seg_samples, seg_hop, padded_total_samples) for splitting a wave
+    into ``n_segs`` stride-aligned overlapping conv segments of
+    ``seg_frames`` frames each. Shared by the encoder's conv_segments path
+    and the incremental streaming scorer so the alignment arithmetic has
+    one implementation."""
+    stride = cfg.total_stride
+    seg_samples = cfg.conv_receptive_field + (seg_frames - 1) * stride
+    seg_hop = seg_frames * stride
+    pad_to = (n_segs - 1) * seg_hop + seg_samples
+    return seg_samples, seg_hop, pad_to
 
 
 def middle_indices(array_length: int, n: int) -> List[int]:
@@ -441,14 +461,11 @@ def _segmented_conv_impl(extractor, wave: jax.Array, cfg: "Wav2Vec2Config"
         raise ValueError("conv_segments requires the layer_norm extractor "
                          "(group_norm normalizes across the whole window)")
     b, t = wave.shape
-    stride = cfg.total_stride
-    rf = cfg.conv_receptive_field
     total = cfg.num_frames(t)
     nseg = cfg.conv_segments
     seg_frames = -(-total // nseg)
-    seg_samples = rf + (seg_frames - 1) * stride
-    seg_hop = seg_frames * stride
-    pad_to = (nseg - 1) * seg_hop + seg_samples
+    seg_samples, seg_hop, pad_to = conv_segment_geometry(cfg, seg_frames,
+                                                         nseg)
     wp = jnp.pad(wave, ((0, 0), (0, max(0, pad_to - t))))
     segs = jnp.stack(
         [jax.lax.dynamic_slice_in_dim(wp, i * seg_hop, seg_samples, axis=1)

@@ -124,9 +124,12 @@ def load_batch_status(paths: List[str], duration: int, seed: int = 0,
     if not hasattr(lib, "rtdsd_load_batch_status"):  # stale .so on disk
         out, n_failed = load_batch(paths, duration, seed, threads, expected_sr)
         if n_failed:
-            # no per-row info in the legacy ABI: report zero-filled rows
-            idx = np.where(~out.any(axis=1))[0][:n_failed]
-            return out, idx.astype(np.int32)
+            # the legacy ABI cannot say WHICH rows failed (guessing by
+            # all-zero rows would misattribute legitimate digital silence)
+            raise RuntimeError(
+                f"{n_failed} file(s) failed to decode and the built native "
+                "library predates per-file status reporting — rebuild it: "
+                "python -m rtdsd_tpu.native.build")
         return out, np.empty((0,), np.int32)
     if threads <= 0:
         threads = min(len(paths), os.cpu_count() or 1)

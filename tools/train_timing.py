@@ -24,9 +24,11 @@ from rtdsd_tpu.models.registry import get_model
 from rtdsd_tpu.utils.init_host import init_variables_host
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-mode = sys.argv[2] if len(sys.argv) > 2 else ""
+mode = sys.argv[2] if len(sys.argv) > 2 else ""  # remat[_hidden][_fsm]
 remat = mode.startswith("remat")
-w2v = {"remat_policy": "hidden"} if mode == "remat_hidden" else {}
+w2v = {"remat_policy": "hidden"} if mode.startswith("remat_hidden") else {}
+if mode.endswith("fsm"):  # train-mode bf16 fast_softmax
+    w2v["fast_softmax_train"] = True
 spec = get_model("XLSR_AASIST", dtype=jnp.bfloat16, remat=remat, w2v=w2v)
 model = spec.module
 log(f"batch={B} mode={mode or 'none'}")
