@@ -111,13 +111,16 @@ class Wav2Vec2Config:
     # train throughput (158 vs 147 utt/s) but its gradient-noise effect on
     # convergence/EER is unvalidated — revisit with a convergence study.
     fast_softmax: bool = True
-    # Extend fast_softmax to TRAINING forwards (+7% train throughput
-    # measured). Default off pending broader convergence evidence; the
-    # synthetic-task study (tools/fast_softmax_study.py, results in
-    # PERFORMANCE.md) found no convergence/accuracy difference across
-    # seeds. Only active when fast_softmax is on, dtype is (b)f16, and
-    # attention_dropout == 0 (the dropout path needs explicit probs).
-    fast_softmax_train: bool = False
+    # Extend fast_softmax to TRAINING forwards. Default ON since round 2:
+    # +3.8-7% train throughput (151.8 vs 146.2 utt/s at b64 remat this
+    # toolchain; 158 vs 147 round 1), gradient delta 0.28% global (bf16
+    # noise scale), and the synthetic-task convergence study
+    # (tools/fast_softmax_study.py, table in PERFORMANCE.md) shows
+    # seed-indistinguishable loss curves and identical EER/accuracy.
+    # Set false to restore the f32-softmax training attention. Only active
+    # when fast_softmax is on, dtype is (b)f16, and attention_dropout == 0
+    # (the dropout path needs explicit probabilities).
+    fast_softmax_train: bool = True
 
     # Split the conv front-end into this many stride-aligned overlapping
     # segments batched together (0/1 = off). At B=1 the 64k-sample conv
