@@ -281,3 +281,65 @@ def test_extensible_float_wav_native_decoder(tmp_path, rng):
     got, sr = native.decode(path)
     assert sr == 16000
     np.testing.assert_allclose(np.squeeze(got), wave, rtol=0, atol=1e-7)
+
+
+@pytest.fixture
+def corrupt_dataset(tmp_path, rng):
+    """6 utterances, u2 undecodable (garbage bytes)."""
+    trials = []
+    for i in range(6):
+        path = str(tmp_path / f"c{i}.wav")
+        if i == 2:
+            with open(path, "wb") as fh:
+                fh.write(b"\x00garbage-not-audio\xff" * 10)
+        else:
+            write_wav(path, (rng.standard_normal(900) * 0.2
+                             ).astype(np.float32), 16000)
+        trials.append(Trial(path, f"c{i}", i % 2))
+    return AudioDataset(trials, duration=800)
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_decode_error_raise_policy(corrupt_dataset, use_native):
+    loader = DataLoader(corrupt_dataset, batch_size=3, num_workers=1,
+                        use_native=use_native, on_decode_error="raise")
+    if use_native and loader._native is None:
+        pytest.skip("native library not built")
+    # python path re-raises the decoder's original error; native raises
+    # RuntimeError with the failed paths
+    with pytest.raises((RuntimeError, ValueError)):
+        list(loader)
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_decode_error_skip_policy(corrupt_dataset, use_native):
+    """skip: the corrupt row is dropped, warned about, excluded from
+    Batch.valid, and never surfaces under a wrong utt_id (both loader
+    implementations share these semantics)."""
+    import warnings
+
+    loader = DataLoader(corrupt_dataset, batch_size=3, num_workers=1,
+                        use_native=use_native, on_decode_error="skip")
+    if use_native and loader._native is None:
+        pytest.skip("native library not built")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        batches = list(loader)
+    assert any("undecodable" in str(w.message) for w in caught)
+    assert len(batches) == 2
+    # batch 0 holds c0..c2 with c2 dropped: 2 valid rows, padded to 3
+    b0 = batches[0]
+    assert b0.valid == 2
+    assert b0.utt_ids[:b0.valid] == ["c0", "c1"]
+    assert "c2" not in b0.utt_ids
+    assert b0.waves.shape == (3, 800)
+    # batch 1 is untouched
+    assert batches[1].valid == 3
+    assert batches[1].utt_ids[:3] == ["c3", "c4", "c5"]
+    # loaders agree that every surviving row decodes to real audio
+    assert np.abs(b0.waves[: b0.valid]).sum() > 0
+
+
+def test_decode_error_bad_value_rejected(wav_dataset):
+    with pytest.raises(ValueError, match="on_decode_error"):
+        DataLoader(wav_dataset, batch_size=2, on_decode_error="ignore")
