@@ -1,0 +1,184 @@
+"""Multi-stream serving CLI — concurrent real-time scoring on one chip.
+
+The reference deployment story ends at batch file scoring
+(/root/reference/main.py --score_all_folder_path); its real-time claim
+(README.md:1-2) is single-utterance. This CLI is the production-serving
+surface: N audio sources are treated as concurrent live streams — samples
+arrive hop-by-hop, interleaved across streams — and scored by the
+fixed-shape MultiStreamScorer (engine/serving.py: one batched conv-extend
++ one batched window-score dispatch per hop interval for ALL streams).
+
+    python -m rtdsd_tpu.cli.serve --config cfg.yaml --ckpt best \\
+        --audio a.wav b.wav ... [--window_sec 1 --hop_sec 0.5] \\
+        [--max_streams 16] [--realtime] [--per_window] [--w8 | --w8a8]
+
+Output: per-window lines ``"{path}#{w} {t_start_sec:.2f} {score}"`` as
+windows complete (with --per_window), then one ``"{path} {score}"``
+mean-aggregate line per file. stderr reports per-tick latency percentiles
+and aggregate throughput; with --realtime the feed is paced to the wall
+clock, so the latency numbers are true end-to-end serving latencies.
+"""
+
+import argparse
+import sys
+import time
+
+from rtdsd_tpu.utils.cache import enable_persistent_compile_cache
+
+enable_persistent_compile_cache()
+
+
+from rtdsd_tpu.config import load_yaml_config
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True, type=str)
+    p.add_argument("--ckpt", required=True, type=str)
+    p.add_argument("--audio", required=True, nargs="+",
+                   help="WAV/FLAC file(s); each is served as a live stream")
+    p.add_argument("--window_sec", type=float, default=None,
+                   help="window length (default: ExpConfig.test_duration_sec)")
+    p.add_argument("--hop_sec", type=float, default=None,
+                   help="hop between windows (default: window / 2)")
+    p.add_argument("--max_streams", type=int, default=None,
+                   help="compiled stream-slot count (default: #files)")
+    p.add_argument("--realtime", action="store_true", default=False,
+                   help="pace the feed to the wall clock (true serving "
+                        "latency); default fast-forwards")
+    p.add_argument("--per_window", action="store_true", default=False)
+    p.add_argument("--out", type=str, default=None,
+                   help="write '{path} {score}' aggregate lines here too")
+    p.add_argument("--w8", action="store_true", default=False)
+    p.add_argument("--w8a8", action="store_true", default=False)
+    return p.parse_args(argv)
+
+
+def snap_to_stride(n: int, stride: int, what: str) -> int:
+    snapped = max(stride, (n // stride) * stride)
+    if snapped != n:
+        print(f"[serve] {what} snapped {n} -> {snapped} samples "
+              f"(conv frame grid, stride {stride})", file=sys.stderr)
+    return snapped
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    sys_config, exp_config = load_yaml_config(args.config)
+
+    import numpy as np
+
+    from rtdsd_tpu.cli.common import load_eval_model
+    from rtdsd_tpu.data.dataset import resample
+    from rtdsd_tpu.data.io import load_audio
+    from rtdsd_tpu.engine.serving import MultiStreamScorer
+
+    sr = float(exp_config.sample_rate)
+    window_sec = (args.window_sec if args.window_sec is not None
+                  else float(exp_config.test_duration_sec))
+    hop_sec = args.hop_sec if args.hop_sec is not None else window_sec / 2
+    if window_sec <= 0:
+        raise SystemExit(f"--window_sec must be > 0 (got {window_sec})")
+    if hop_sec <= 0:
+        raise SystemExit(f"--hop_sec must be > 0 (got {hop_sec})")
+
+    spec, state, _mesh, _bsh = load_eval_model(
+        sys_config, exp_config, args.ckpt, w8=args.w8, w8a8=args.w8a8)
+    cfg = spec.module.w2v_cfg
+    duration = snap_to_stride(int(round(window_sec * sr)), cfg.total_stride,
+                              "--window_sec")
+    hop = snap_to_stride(int(round(hop_sec * sr)), cfg.total_stride,
+                         "--hop_sec")
+
+    n_streams = len(args.audio)
+    eng = MultiStreamScorer(
+        spec.module, state.params, state.batch_stats, cfg,
+        duration=duration, hop=hop,
+        max_streams=args.max_streams or n_streams)
+    eng.warmup()
+
+    waves = []
+    for path in args.audio:
+        wave, rate = load_audio(path)
+        if rate != int(sr):
+            wave = resample(wave, rate, int(sr))
+        waves.append(np.asarray(wave, np.float32).squeeze())
+
+    handles = {eng.open_stream(p): p for p in args.audio[:eng.max_streams]}
+    if len(args.audio) > eng.max_streams:
+        print(f"[serve] {len(args.audio)} files > {eng.max_streams} slots; "
+              f"remaining files start as slots free", file=sys.stderr)
+    queue = list(zip(args.audio, waves))[eng.max_streams:]
+    cursors = {h: 0 for h in handles}
+    wave_of = {p: w for p, w in zip(args.audio, waves)}
+
+    per_file = {p: [] for p in args.audio}
+    tick_ms = []
+    total_windows = 0
+    total_audio = sum(len(w) for w in waves) / sr
+    t_start = time.perf_counter()
+    tick = 0
+    while handles or queue:
+        t0 = time.perf_counter()
+        done = []
+        for h, p in handles.items():
+            w = wave_of[p]
+            c = cursors[h]
+            if c < len(w):
+                eng.push(h, w[c:c + hop])
+                cursors[h] = c + hop
+            if cursors[h] >= len(w):
+                done.append(h)
+        for ws in eng.poll():
+            total_windows += 1
+            per_file[ws.stream_id].append(ws)
+            if args.per_window:
+                w_idx = ws.start_sample // hop
+                print(f"{ws.stream_id}#{w_idx} {ws.start_sample / sr:.2f} "
+                      f"{ws.score}")
+        for h in done:
+            eng.close_stream(h, flush=True)
+            del handles[h], cursors[h]
+        # closed slots free once drained; admit queued files
+        while queue and eng.active_streams < eng.max_streams:
+            try:
+                h = eng.open_stream(queue[0][0])
+            except RuntimeError:
+                break  # closing streams still draining
+            handles[h] = queue.pop(0)[0]
+            cursors[h] = 0
+        if not handles and eng.active_streams:
+            # only draining streams remain: keep polling them out
+            for ws in eng.poll():
+                total_windows += 1
+                per_file[ws.stream_id].append(ws)
+        dt = time.perf_counter() - t0
+        tick_ms.append(dt * 1000)
+        if args.realtime and dt < hop / sr:
+            time.sleep(hop / sr - dt)
+        tick += 1
+    for ws in eng.drain():
+        total_windows += 1
+        per_file[ws.stream_id].append(ws)
+
+    wall = time.perf_counter() - t_start
+    out_fh = open(args.out, "w") if args.out else None
+    for path in args.audio:
+        scores = [w.score for w in per_file[path]]
+        agg = float(np.mean(scores)) if scores else float("nan")
+        print(f"{path} {agg}")
+        if out_fh:
+            out_fh.write(f"{path} {agg}\n")
+    if out_fh:
+        out_fh.close()
+    tick_ms = np.asarray(tick_ms)
+    mode = "realtime" if args.realtime else "fast-forward"
+    print(f"  [{n_streams} streams, {total_windows} windows, "
+          f"{total_audio:.1f}s audio in {wall:.2f}s ({mode}); "
+          f"tick p50 {np.percentile(tick_ms, 50):.1f} ms / "
+          f"p95 {np.percentile(tick_ms, 95):.1f} ms vs "
+          f"{hop / sr * 1000:.0f} ms hop budget]", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+"""Multi-stream serving engine tests (engine/serving.py).
+
+Equivalence oracle: each stream's window scores must match scoring the
+same windows directly through the full wave-input model — the serving
+path (segmented conv -> device ring -> mod-gather -> conv_feats entry)
+is an exact re-plumbing, not an approximation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtdsd_tpu.engine.serving import MultiStreamScorer
+from rtdsd_tpu.engine.steps import make_score_step
+from rtdsd_tpu.models.wav2vec2 import Wav2Vec2Config
+from rtdsd_tpu.models.zoo import XLSR_AASIST
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = Wav2Vec2Config(conv_layers=((8, 10, 5), (8, 4, 4), (8, 2, 2)),
+                         encoder_embed_dim=8, encoder_ffn_dim=16,
+                         encoder_heads=2, encoder_layers=2, conv_pos=4,
+                         conv_pos_groups=2)
+    model = XLSR_AASIST(w2v_cfg=cfg)
+    duration = 80 * cfg.total_stride  # 3200 samples, stride 40
+    variables = model.init(jax.random.key(0), jnp.zeros((1, duration)))
+    return (model, variables["params"], variables.get("batch_stats", {}),
+            cfg, duration)
+
+
+def _expected_window_scores(model, params, stats, wave, duration, hop):
+    """Oracle: every hop-grid window scored directly from raw samples."""
+    step = make_score_step(model)
+    starts = range(0, len(wave) - duration + 1, hop)
+    windows = np.stack([wave[s:s + duration] for s in starts])
+    return np.asarray(step(params, stats, jnp.asarray(windows)))
+
+
+def test_multistream_matches_direct_scoring(tiny):
+    model, params, stats, cfg, duration = tiny
+    hop = duration // 2
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            hop=hop, max_streams=4)
+    rng = np.random.default_rng(7)
+    # lengths end exactly on the window grid so flush pads nothing
+    # *inside* any scored window
+    lengths = [3 * hop + duration, 5 * hop + duration, duration]
+    waves = [rng.standard_normal(t).astype(np.float32) * 0.1
+             for t in lengths]
+    handles = [eng.open_stream(f"s{i}") for i in range(len(waves))]
+
+    # push interleaved, in irregular chunk sizes, polling as we go
+    got = []
+    cursors = [0] * len(waves)
+    while any(c < len(w) for c, w in zip(cursors, waves)):
+        for i, (h, w) in enumerate(zip(handles, waves)):
+            if cursors[i] < len(w):
+                n = int(rng.integers(100, 1500))
+                eng.push(h, w[cursors[i]:cursors[i] + n])
+                cursors[i] += n
+        got.extend(eng.poll())
+    for h in handles:
+        eng.close_stream(h, flush=True)
+    got.extend(eng.drain())
+    assert eng.active_streams == 0  # flushed streams released their slots
+
+    for i, w in enumerate(waves):
+        exp = _expected_window_scores(model, params, stats, w, duration, hop)
+        mine = sorted([g for g in got if g.stream_id == f"s{i}"],
+                      key=lambda g: g.start_sample)
+        assert [g.start_sample for g in mine] == \
+            [s * hop for s in range(len(exp))]
+        np.testing.assert_allclose([g.score for g in mine], exp,
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_multistream_backlog_catchup(tiny):
+    """A whole long wave pushed at once (backlog >> batch sizes) drains
+    correctly through repeated bounded polls."""
+    model, params, stats, cfg, duration = tiny
+    hop = duration // 2
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            hop=hop, max_streams=2, extend_batch=2,
+                            score_batch=2)
+    rng = np.random.default_rng(11)
+    wave = rng.standard_normal(9 * hop + duration).astype(np.float32) * 0.1
+    h = eng.open_stream("bulk")
+    eng.push(h, wave)
+    # the final window's last conv frame needs the receptive-field tail
+    # beyond the last hop boundary — flush pads it (outside any gathered
+    # frame, so scores stay exact)
+    eng.close_stream(h, flush=True)
+    out = eng.drain()
+    exp = _expected_window_scores(model, params, stats, wave, duration, hop)
+    assert len(out) == len(exp)
+    np.testing.assert_allclose([g.score for g in out], exp,
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_slot_exhaustion_and_reuse(tiny):
+    model, params, stats, cfg, duration = tiny
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            max_streams=2)
+    a = eng.open_stream("a")
+    eng.open_stream("b")
+    with pytest.raises(RuntimeError, match="busy"):
+        eng.open_stream("c")
+    eng.close_stream(a)  # immediate release, no flush
+    c = eng.open_stream("c")
+    eng.push(c, np.zeros(100, np.float32))
+    with pytest.raises(KeyError):
+        eng.push(a if a != c else 99, np.zeros(10, np.float32))
+
+
+def test_rejects_bad_geometry_and_group_norm(tiny):
+    model, params, stats, cfg, duration = tiny
+    with pytest.raises(ValueError, match="multiples"):
+        MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                          hop=duration // 2 + 1)
+    gn = Wav2Vec2Config(extractor_mode="group_norm")
+    with pytest.raises(ValueError, match="layer_norm"):
+        MultiStreamScorer(XLSR_AASIST(w2v_cfg=gn), {}, {}, gn,
+                          duration=64000)
+
+
+def test_warmup_compiles_and_push_after_flush_rejected(tiny):
+    model, params, stats, cfg, duration = tiny
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            max_streams=2)
+    eng.warmup()  # no crash; compiles both programs on scratch rows
+    h = eng.open_stream()
+    eng.push(h, np.zeros(duration, np.float32))
+    eng.close_stream(h, flush=True)
+    with pytest.raises(RuntimeError, match="closing"):
+        eng.push(h, np.zeros(10, np.float32))
+    out = eng.drain()
+    assert len(out) == 1 and out[0].start_sample == 0

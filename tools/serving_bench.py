@@ -1,0 +1,102 @@
+"""Multi-stream serving capacity on one chip: how many concurrent
+real-time streams can the flagship sustain?
+
+Simulates S concurrent 16 kHz live streams at window/hop (default 1 s /
+0.5 s): per hop interval every stream pushes `hop` samples, then one
+poll() runs the batched conv-extend + window-score dispatches. The chip
+sustains S streams iff the per-tick wall time stays under the hop
+interval; capacity extrapolates as S * budget / tick_p95.
+
+    python tools/serving_bench.py [S ...] [--window_sec 1 --hop_sec 0.5]
+        [--ticks 12] [--w8a8]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from rtdsd_tpu.utils.cache import enable_persistent_compile_cache
+
+enable_persistent_compile_cache()
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("streams", nargs="*", type=int, default=None)
+    ap.add_argument("--window_sec", type=float, default=1.0)
+    ap.add_argument("--hop_sec", type=float, default=0.5)
+    ap.add_argument("--ticks", type=int, default=12)
+    ap.add_argument("--w8a8", action="store_true", default=False)
+    ap.add_argument("--model", default="XLSR_AASIST")
+    args = ap.parse_args()
+    sweep = args.streams or [32, 64, 128, 256]
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rtdsd_tpu.engine.serving import MultiStreamScorer
+    from rtdsd_tpu.models.registry import get_model
+    from rtdsd_tpu.utils.init_host import init_variables_host
+
+    w2v = {"w8": True, "a8": True} if args.w8a8 else {}
+    spec = get_model(args.model, dtype=jnp.bfloat16, w2v=w2v)
+    model = spec.module
+    cfg = model.w2v_cfg
+    sr = 16000
+    duration = int(args.window_sec * sr) // cfg.total_stride \
+        * cfg.total_stride
+    hop = int(args.hop_sec * sr) // cfg.total_stride * cfg.total_stride
+    base = get_model(args.model, dtype=jnp.bfloat16).module
+    variables = init_variables_host(base, jnp.zeros((2, duration),
+                                                    jnp.float32),
+                                    train=False)
+    params, stats = variables["params"], variables.get("batch_stats", {})
+    import jax
+
+    if args.w8a8:
+        from rtdsd_tpu.models.quantize import quantize_encoder_params
+
+        params = quantize_encoder_params(jax.device_put(params))
+    params = jax.device_put(params)
+    stats = jax.device_put(stats)
+
+    budget_ms = hop / sr * 1000
+    log(f"window {duration} hop {hop} budget {budget_ms:.0f} ms/tick")
+    rng = np.random.default_rng(0)
+    for S in sweep:
+        eng = MultiStreamScorer(model, params, stats, cfg,
+                                duration=duration, hop=hop, max_streams=S)
+        t0 = time.time()
+        eng.warmup()
+        log(f"S={S}: warmup(compile) {time.time() - t0:.1f}s")
+        handles = [eng.open_stream(i) for i in range(S)]
+        chunk = (rng.standard_normal((S, hop)) * 0.1).astype(np.float32)
+        ticks = []
+        n_scores = 0
+        for t in range(args.ticks):
+            t0 = time.perf_counter()
+            for i, h in enumerate(handles):
+                eng.push(h, chunk[i])
+            out = eng.poll()
+            n_scores += len(out)
+            dt = time.perf_counter() - t0
+            if t >= 2:  # first windows complete at tick 2
+                ticks.append(dt * 1000)
+        p50 = float(np.percentile(ticks, 50))
+        p95 = float(np.percentile(ticks, 95))
+        cap = int(S * budget_ms / max(p95, 1e-9))
+        log(f"S={S}: tick p50 {p50:.1f} ms p95 {p95:.1f} ms "
+            f"(budget {budget_ms:.0f}) scores={n_scores} "
+            f"{'SUSTAINED' if p95 < budget_ms else 'OVER'} "
+            f"-> est capacity ~{cap} streams")
+        del eng
+
+
+if __name__ == "__main__":
+    main()
