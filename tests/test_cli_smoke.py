@@ -1,8 +1,9 @@
 """Always-on CLI end-to-end smoke: train -> checkpoint -> score -> evaluate
-through ``python -m rtdsd_tpu.cli.main`` subprocesses, on a model small
-enough to keep the whole flow inside the default suite's budget.
+-> stream -> serve through ``python -m rtdsd_tpu.cli.*`` subprocesses, on a
+model small enough to keep the whole flow inside the default suite's
+budget (one shared 1-epoch training run via a module fixture).
 
-The full-size variant (more epochs, streaming CLI, accuracy gates) stays in
+The full-size variant (more epochs, accuracy gates) stays in
 ``test_cli_e2e.py`` behind RTDSD_E2E=1; this one exists so the default
 ``pytest -q`` signal actually exercises the CLI entry points, not just the
 engine underneath them (VERDICT r1: "the CLI e2e never runs in the default
@@ -14,6 +15,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -90,19 +92,27 @@ def _run(args):
     return r.stdout
 
 
-def test_cli_train_score_evaluate_smoke(tmp_path):
-    _make_dataset(tmp_path)
-    cfg = _config(tmp_path)
-
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """Dataset + tiny config + one CLI training epoch, shared by all
+    smokes so the suite pays for exactly one subprocess train."""
+    root = tmp_path_factory.mktemp("cli_smoke")
+    _make_dataset(root)
+    cfg = _config(root)
     _run(["rtdsd_tpu.cli.main", "--config", cfg, "--max_epoch", "1"])
     # the rolling `last` full-state checkpoint is written unconditionally;
     # the best_* gate (dev acc > 95) is not expected to clear in one epoch
-    last = tmp_path / "runs" / "last"
+    last = root / "runs" / "last"
     assert last.is_dir(), "no rolling last checkpoint written"
+    return root, cfg, str(last)
+
+
+def test_cli_train_score_evaluate_smoke(trained):
+    root, cfg, last = trained
 
     _run(["rtdsd_tpu.cli.main", "--config", cfg, "--is_eval", "--is_score",
-          "--ckpt", str(last), "--tracks", "LA19"])
-    scores = (tmp_path / "scores_la19.txt").read_text().strip().splitlines()
+          "--ckpt", last, "--tracks", "LA19"])
+    scores = (root / "scores_la19.txt").read_text().strip().splitlines()
     assert len(scores) == 8
     for line in scores:  # "{utt_id} {float}" reference score format
         uid, val = line.split(" ")
@@ -110,7 +120,53 @@ def test_cli_train_score_evaluate_smoke(tmp_path):
         float(val)
 
     out = _run(["rtdsd_tpu.cli.evaluate", "--scores",
-                str(tmp_path / "scores_la19.txt"), "--protocol",
-                str(tmp_path / "eval19.txt"), "--file-field", "1",
+                str(root / "scores_la19.txt"), "--protocol",
+                str(root / "eval19.txt"), "--file-field", "1",
                 "--label-field", "4"])
     assert "EER:" in out
+
+
+def _long_audio(root, name, seconds, freq=None):
+    from rtdsd_tpu.data.io import write_wav
+
+    rng = np.random.default_rng(abs(hash(name)) % 2**31)
+    t = np.arange(int(seconds * 16000)) / 16000
+    wave = (0.3 * np.sin(2 * np.pi * freq * t) if freq
+            else 0.2 * rng.standard_normal(len(t))).astype(np.float32)
+    path = root / name
+    write_wav(str(path), wave, 16000)
+    return str(path)
+
+
+def test_cli_stream_smoke(trained):
+    root, cfg, last = trained
+    audio = _long_audio(root, "long_bona.wav", 2.0, freq=440)
+
+    out = _run(["rtdsd_tpu.cli.stream", "--config", cfg, "--ckpt", last,
+                "--audio", audio, "--window_sec", "0.5", "--hop_sec",
+                "0.25", "--per_window", "--incremental"])
+    lines = [l for l in out.strip().splitlines() if not l.startswith("  [")]
+    per_window = [l for l in lines if "#" in l.split(" ")[0]]
+    # 2.0 s / 0.25 s hop with 0.5 s windows -> 7 full windows
+    assert len(per_window) == 7
+    agg = [l for l in lines if l.split(" ")[0] == audio]
+    assert len(agg) == 1
+    float(agg[0].split(" ")[1])
+
+
+def test_cli_serve_smoke(trained):
+    root, cfg, last = trained
+    a = _long_audio(root, "serve_bona.wav", 1.5, freq=440)
+    b = _long_audio(root, "serve_spoof.wav", 2.0)
+
+    out_file = root / "serve_scores.txt"
+    out = _run(["rtdsd_tpu.cli.serve", "--config", cfg, "--ckpt", last,
+                "--audio", a, b, "--window_sec", "0.5", "--hop_sec", "0.25",
+                "--per_window", "--out", str(out_file)])
+    agg = {l.split(" ")[0]: float(l.split(" ")[1])
+           for l in out_file.read_text().strip().splitlines()}
+    assert set(agg) == {a, b}
+    # stdout repeats the aggregates and carries per-window lines
+    assert any("#" in l.split(" ")[0] for l in out.splitlines())
+    for path, score in agg.items():
+        assert np.isfinite(score)
