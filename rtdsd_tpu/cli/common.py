@@ -177,13 +177,9 @@ def shard_state(state: TrainState, mesh, tx=None,
         batch_stats=jax.device_put(state.batch_stats, rep))
 
 
-def produce_evaluation_file(dataset, spec: ModelSpec, state: TrainState,
-                            save_path: str, batch_size: int,
-                            sharding=None, num_workers: int = 4) -> None:
-    """Write the ``"{utt_id} {score}"`` CM score file — byte format identical
-    to the reference (``/root/reference/main.py:199-221``); score = raw
-    bonafide logit, float via python repr like ``'{}'.format(score)``."""
-    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+def score_dataset(dataset, spec: ModelSpec, state: TrainState,
+                  batch_size: int, sharding=None, num_workers: int = 4):
+    """Score every trial in dataset order; returns (utt_ids, scores)."""
     score_step = make_score_step(spec.module)
     loader = DataLoader(dataset, batch_size, shuffle=False, drop_last=False,
                         num_workers=num_workers, pad_last=True)
@@ -193,10 +189,73 @@ def produce_evaluation_file(dataset, spec: ModelSpec, state: TrainState,
                                   batch.waves)).ravel()
         names.extend(batch.utt_ids[: batch.valid])
         scores.extend(s[: batch.valid].tolist())
+    return names, scores
+
+
+def _write_score_file(save_path: str, names, scores) -> None:
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
     with open(save_path, "w") as fh:
         for f, cm in zip(names, scores):
             fh.write("{} {}\n".format(f, cm))
     print(f"Wrote {len(names)} scores -> {save_path}")
+
+
+def produce_evaluation_file(dataset, spec: ModelSpec, state: TrainState,
+                            save_path: str, batch_size: int,
+                            sharding=None, num_workers: int = 4) -> None:
+    """Write the ``"{utt_id} {score}"`` CM score file — byte format identical
+    to the reference (``/root/reference/main.py:199-221``); score = raw
+    bonafide logit, float via python repr like ``'{}'.format(score)``."""
+    names, scores = score_dataset(dataset, spec, state, batch_size,
+                                  sharding, num_workers)
+    _write_score_file(save_path, names, scores)
+
+
+def subset_dataset(dataset, indices):
+    """A bare AudioDataset over a subset of ``dataset``'s trials, keeping
+    its duration-fit / crop / host-augment behavior (loader interface =
+    trials + duration + get, data/loader.py:103-137)."""
+    from rtdsd_tpu.data.dataset import AudioDataset
+
+    sub = AudioDataset([dataset.trials[i] for i in indices],
+                       dataset.duration,
+                       is_random_start=dataset.is_random_start,
+                       sample_rate=dataset.sample_rate,
+                       host_augment=dataset.host_augment)
+    return sub
+
+
+def produce_evaluation_file_cascade(
+        dataset_screen, dataset_full, spec_screen: ModelSpec,
+        state_screen: TrainState, spec_full: ModelSpec,
+        state_full: TrainState, save_path: str, batch_size: int,
+        band: float, center: float = 0.0, sharding=None,
+        num_workers: int = 4) -> None:
+    """Two-stage cascade scoring: the cheap screener model scores every
+    trial; trials whose screener score lands in the uncertainty band
+    ``|score - center| <= band`` are re-scored by the full model (fixed
+    static-shape batches both passes — escalation is a second pass over a
+    subset dataset, never a dynamic-shape program). Both datasets must
+    enumerate the same trials in the same order (they may differ in
+    duration fit). The written file keeps the reference score format."""
+    names, scores = score_dataset(dataset_screen, spec_screen, state_screen,
+                                  batch_size, sharding, num_workers)
+    esc = [i for i, sc in enumerate(scores) if abs(sc - center) <= band]
+    if esc:
+        sub = subset_dataset(dataset_full, esc)
+        sub_names, sub_scores = score_dataset(sub, spec_full, state_full,
+                                              batch_size, sharding,
+                                              num_workers)
+        for i, name, sc in zip(esc, sub_names, sub_scores):
+            if name != names[i]:  # trial-order mismatch between datasets
+                raise RuntimeError(
+                    f"cascade datasets disagree at index {i}: "
+                    f"{names[i]!r} vs {name!r}")
+            scores[i] = sc
+    print(f"cascade: {len(esc)}/{len(names)} escalated "
+          f"({100.0 * len(esc) / max(len(names), 1):.1f}%, "
+          f"band {band} around {center})")
+    _write_score_file(save_path, names, scores)
 
 
 def load_eval_model(sys_config: SysConfig, exp_config: ExpConfig, ckpt: str,

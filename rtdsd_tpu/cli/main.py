@@ -64,6 +64,20 @@ def parse_args(argv=None):
     p.add_argument("--w8a8", action="store_true", default=False,
                    help="int8 weights + dynamic int8 activations (int8 MXU "
                         "matmuls; overrides ExpConfig.w8a8_scoring)")
+    p.add_argument("--cascade_ckpt", type=str, default=None,
+                   help="cascade scoring: checkpoint of a cheap screener "
+                        "model that scores every trial first; trials inside "
+                        "the uncertainty band escalate to --ckpt's model")
+    p.add_argument("--cascade_config", type=str, default=None,
+                   help="screener YAML (model/kwargs/duration/quant flags; "
+                        "dataset paths still come from --config). Default: "
+                        "--config itself")
+    p.add_argument("--cascade_band", type=float, default=2.0,
+                   help="escalate when |screener score - center| <= band "
+                        "(logit units)")
+    p.add_argument("--cascade_center", type=float, default=0.0,
+                   help="center of the uncertainty band (decision "
+                        "threshold, ~0 for bonafide-logit scores)")
     return p.parse_args(argv)
 
 
@@ -199,13 +213,25 @@ def run_train(args, sys_config, exp_config):
 
 
 def run_score(args, sys_config, exp_config, tracks):
-    from rtdsd_tpu.cli.common import load_eval_model
+    from rtdsd_tpu.cli.common import (load_eval_model,
+                                      produce_evaluation_file_cascade)
 
     validate_tracks(tracks)
     set_seed(exp_config.random_seed)
     spec, state, mesh, bsharding = load_eval_model(
         sys_config, exp_config, args.ckpt,
         w8=getattr(args, "w8", False), w8a8=getattr(args, "w8a8", False))
+
+    cascade_ckpt = getattr(args, "cascade_ckpt", None)
+    if cascade_ckpt:
+        # screener model: its own YAML decides model/kwargs/duration/quant;
+        # dataset paths always come from the primary config
+        if getattr(args, "cascade_config", None):
+            screen_sys, screen_exp = load_yaml_config(args.cascade_config)
+        else:
+            screen_sys, screen_exp = sys_config, exp_config
+        spec_s, state_s, _, _ = load_eval_model(screen_sys, screen_exp,
+                                                cascade_ckpt)
 
     for track in tracks:
         ds_cls, path_attr = TRACK_DATASETS[track]
@@ -217,9 +243,19 @@ def run_score(args, sys_config, exp_config, tracks):
             continue
         print(f"Evaluating {track}")
         dataset = ds_cls(sys_config, exp_config)
-        produce_evaluation_file(dataset, spec, state, save_path,
-                                exp_config.batch_size_test, bsharding,
-                                sys_config.num_workers)
+        if cascade_ckpt:
+            # screener may crop to its own test duration
+            ds_screen = (dataset if screen_exp is exp_config
+                         else ds_cls(sys_config, screen_exp))
+            produce_evaluation_file_cascade(
+                ds_screen, dataset, spec_s, state_s, spec, state,
+                save_path, exp_config.batch_size_test,
+                band=args.cascade_band, center=args.cascade_center,
+                sharding=bsharding, num_workers=sys_config.num_workers)
+        else:
+            produce_evaluation_file(dataset, spec, state, save_path,
+                                    exp_config.batch_size_test, bsharding,
+                                    sys_config.num_workers)
 
 
 def main(argv=None):

@@ -51,6 +51,14 @@ def parse_args(argv=None):
                    help="write '{path} {score}' aggregate lines here too")
     p.add_argument("--w8", action="store_true", default=False)
     p.add_argument("--w8a8", action="store_true", default=False)
+    p.add_argument("--cascade_ckpt", type=str, default=None,
+                   help="cascade: a cheap screener (e.g. layer-pruned KD "
+                        "student sharing the conv front-end) scores every "
+                        "window; scores inside the band escalate to --ckpt")
+    p.add_argument("--cascade_config", type=str, default=None,
+                   help="screener YAML (default: --config)")
+    p.add_argument("--cascade_band", type=float, default=2.0)
+    p.add_argument("--cascade_center", type=float, default=0.0)
     return p.parse_args(argv)
 
 
@@ -85,6 +93,24 @@ def main(argv=None):
     spec, state, _mesh, _bsh = load_eval_model(
         sys_config, exp_config, args.ckpt, w8=args.w8, w8a8=args.w8a8)
     cfg = spec.module.w2v_cfg
+
+    esc_kwargs = {}
+    if args.cascade_ckpt:
+        # cascade: the screener becomes the engine's primary model and the
+        # big --ckpt model is its escalation target (shared conv ring)
+        if args.cascade_config:
+            from rtdsd_tpu.config import load_yaml_config as _load
+            screen_sys, screen_exp = _load(args.cascade_config)
+        else:
+            screen_sys, screen_exp = sys_config, exp_config
+        spec_s, state_s, _, _ = load_eval_model(screen_sys, screen_exp,
+                                                args.cascade_ckpt)
+        esc_kwargs = dict(escalate=(spec.module, state.params,
+                                    state.batch_stats),
+                          escalate_band=args.cascade_band,
+                          escalate_center=args.cascade_center)
+        spec, state, cfg = spec_s, state_s, spec_s.module.w2v_cfg
+
     duration = snap_to_stride(int(round(window_sec * sr)), cfg.total_stride,
                               "--window_sec")
     hop = snap_to_stride(int(round(hop_sec * sr)), cfg.total_stride,
@@ -94,7 +120,7 @@ def main(argv=None):
     eng = MultiStreamScorer(
         spec.module, state.params, state.batch_stats, cfg,
         duration=duration, hop=hop,
-        max_streams=args.max_streams or n_streams)
+        max_streams=args.max_streams or n_streams, **esc_kwargs)
     eng.warmup()
 
     waves = []
@@ -178,6 +204,11 @@ def main(argv=None):
           f"tick p50 {np.percentile(tick_ms, 50):.1f} ms / "
           f"p95 {np.percentile(tick_ms, 95):.1f} ms vs "
           f"{hop / sr * 1000:.0f} ms hop budget]", file=sys.stderr)
+    if args.cascade_ckpt:
+        n_esc = sum(w.escalated for ws in per_file.values() for w in ws)
+        print(f"  [cascade: {n_esc}/{total_windows} windows escalated "
+              f"(band {args.cascade_band} around {args.cascade_center})]",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

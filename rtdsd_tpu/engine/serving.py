@@ -29,6 +29,14 @@ number of streams, which matters on high-dispatch-latency links.
 
 Slot ``max_streams`` is a scratch slot: batch padding rows write/read it
 so the compiled shapes never change with occupancy.
+
+Cascade escalation (``escalate=``): a cheap screener (layer-pruned KD
+student) can be the engine's primary model, with the flagship re-scoring
+only windows whose screener score falls in an uncertainty band — both
+models read the same conv ring (their conv front-ends must match, which
+holds for KD students initialized from the teacher's feature extractor).
+Escalations run as extra fixed-shape dispatches inside the same poll,
+before any subsequent extend can overwrite the ring rows.
 """
 
 from __future__ import annotations
@@ -47,6 +55,7 @@ class WindowScore(NamedTuple):
     stream_id: object
     start_sample: int  # window start in absolute stream samples
     score: float  # bonafide CM score (logit), higher = more bonafide
+    escalated: bool = False  # scored by the escalation model (cascade)
 
 
 class _StreamState:
@@ -86,7 +95,11 @@ class MultiStreamScorer:
                  seg_frames: Optional[int] = None,
                  ring_frames: Optional[int] = None,
                  extend_batch: Optional[int] = None,
-                 score_batch: Optional[int] = None):
+                 score_batch: Optional[int] = None,
+                 escalate: Optional[tuple] = None,
+                 escalate_band: float = 2.0,
+                 escalate_center: float = 0.0,
+                 esc_batch: Optional[int] = None):
         if cfg.extractor_mode != "layer_norm":
             raise ValueError(
                 "multi-stream serving requires the layer_norm extractor "
@@ -160,6 +173,45 @@ class MultiStreamScorer:
         # instead of allocating a second (S+1, ring, C) buffer per call
         self._extend = jax.jit(extend, donate_argnums=1)
         self._score = jax.jit(score)
+
+        # ----- optional cascade escalation: a second (bigger) model that
+        # re-scores windows whose screener score lands in the uncertainty
+        # band |score - center| <= band, reading the SAME conv ring (both
+        # models must share conv front-end weights — true for layer-pruned
+        # KD students whose feature extractor is copied/frozen from the
+        # teacher, engine/kd.py::copy_teacher_weights)
+        self._escalate = escalate is not None
+        self.escalate_band = escalate_band
+        self.escalate_center = escalate_center
+        self.esc_batch = esc_batch or max(1, self.score_batch // 4)
+        if self._escalate:
+            esc_model, esc_params, esc_stats = escalate
+            mine = jax.tree_util.tree_leaves(self._conv_params)
+            theirs = jax.tree_util.tree_leaves(
+                esc_params["ssl_model"]["feature_extractor"])
+            if len(mine) != len(theirs) or not all(
+                    np.allclose(np.asarray(a, np.float32),
+                                np.asarray(b, np.float32))
+                    for a, b in zip(mine, theirs)):
+                raise ValueError(
+                    "escalation model's conv front-end differs from the "
+                    "screener's — they cannot share the feature ring; "
+                    "serve the big model in its own MultiStreamScorer")
+            self._esc_params = esc_params
+            self._esc_stats = esc_stats
+            esc_arange = jnp.arange(self.win_frames, dtype=jnp.int32)
+
+            def score_esc(p, stats, feats, slots, start_frames):
+                variables = {"params": p}
+                if stats:
+                    variables["batch_stats"] = stats
+                idx = (start_frames[:, None] + esc_arange) % ring_frames_
+                windows = feats[slots[:, None], idx]
+                logits = esc_model.apply(variables, None, train=False,
+                                         conv_feats=windows)
+                return logits[:, 1]
+
+            self._score_esc = jax.jit(score_esc)
 
         self._slots: Dict[int, _StreamState] = {}
         self._free = collections.deque(range(max_streams))
@@ -286,14 +338,36 @@ class MultiStreamScorer:
             for i, (slot, w) in enumerate(wins):
                 slots[i] = slot
                 starts[i] = (w * self.hop_frames) % self.ring_frames
-            scores = np.asarray(self._score(
+            scores = np.array(self._score(
                 self.params, self.batch_stats, self._feats,
                 jnp.asarray(slots), jnp.asarray(starts)))
-            for (slot, w), sc in zip(wins, scores):
+            escalated = np.zeros(len(wins), bool)
+            if self._escalate:
+                # same-poll escalation: the ring rows are still protected
+                # by backpressure (no extend ran since the gather above)
+                due = [i for i in range(len(wins))
+                       if abs(float(scores[i]) - self.escalate_center)
+                       <= self.escalate_band]
+                for c0 in range(0, len(due), self.esc_batch):
+                    chunk = due[c0: c0 + self.esc_batch]
+                    eslots = np.full((self.esc_batch,), self._scratch,
+                                     np.int32)
+                    estarts = np.zeros((self.esc_batch,), np.int32)
+                    for j, i in enumerate(chunk):
+                        eslots[j] = slots[i]
+                        estarts[j] = starts[i]
+                    esc_scores = np.asarray(self._score_esc(
+                        self._esc_params, self._esc_stats, self._feats,
+                        jnp.asarray(eslots), jnp.asarray(estarts)))
+                    for j, i in enumerate(chunk):
+                        scores[i] = esc_scores[j]
+                        escalated[i] = True
+            for i, (slot, w) in enumerate(wins):
                 st = self._slots[slot]
                 st.next_win = w + 1
                 results.append(WindowScore(st.stream_id, w * self.hop,
-                                           float(sc)))
+                                           float(scores[i]),
+                                           bool(escalated[i])))
         # release closing streams whose final window has been scored
         for slot in [s for s, st in self._slots.items()
                      if st.final_win is not None
@@ -327,3 +401,8 @@ class MultiStreamScorer:
             self.params, self.batch_stats, self._feats,
             jnp.full((self.score_batch,), self._scratch, jnp.int32),
             jnp.zeros((self.score_batch,), jnp.int32))))
+        if self._escalate:
+            jax.block_until_ready(np.asarray(self._score_esc(
+                self._esc_params, self._esc_stats, self._feats,
+                jnp.full((self.esc_batch,), self._scratch, jnp.int32),
+                jnp.zeros((self.esc_batch,), jnp.int32))))
