@@ -14,6 +14,12 @@ more bonafide). Prints EER% and counts; ``--tdcf`` adds normalized min
 t-DCF (pass the official ASV operating point via --pmiss-asv / --pfa-asv /
 --pmiss-spoof-asv; the ASV scores themselves only ship with the official
 package, the cost math is in utils/metrics.py::compute_min_tdcf).
+
+``--cascade-sweep flagship_scores.txt`` calibrates a cascade band from a
+dev set entirely offline: score the set once with the screener (--scores)
+and once with the flagship, and the sweep prints escalation rate and
+cascade EER per candidate band — pick the smallest band whose cascade
+EER matches the flagship row, pass it to ``--cascade_band``.
 """
 
 from __future__ import annotations
@@ -77,6 +83,12 @@ def main(argv=None):
                    help="ASV false-accept rate on nontargets")
     p.add_argument("--pmiss-spoof-asv", type=float, default=0.0,
                    help="fraction of spoof trials the ASV rejects")
+    p.add_argument("--cascade-sweep", default=None, metavar="FLAGSHIP_SCORES",
+                   help="calibrate a cascade band offline: --scores is the "
+                        "screener's score file, this the flagship's (same "
+                        "trials); prints escalation rate + cascade EER per "
+                        "band so you can pick --cascade_band")
+    p.add_argument("--cascade-center", type=float, default=0.0)
     args = p.parse_args(argv)
 
     protocol = args.protocol
@@ -118,6 +130,24 @@ def main(argv=None):
           f"{len(common) - n_bona}; {len(scores) - len(common)} scores "
           f"unmatched)")
     print(f"EER: {eer:.4f} %")
+    if args.cascade_sweep:
+        flag = read_scores(args.cascade_sweep)
+        missing = [u for u in common if u not in flag]
+        if missing:
+            print(f"ERROR: {len(missing)} trials missing from "
+                  f"{args.cascade_sweep}", file=sys.stderr)
+            return 2
+        f = np.asarray([flag[u] for u in common])
+        f_eer = compute_eer(f, y, pos_label=1)
+        print(f"flagship EER: {f_eer:.4f} %  (screener EER above)")
+        print("band  escalated  cascade EER%")
+        dev = np.abs(s - args.cascade_center)
+        for q in (0.0, 0.05, 0.1, 0.2, 0.3, 0.5, 0.7, 0.9, 1.0):
+            band = float(np.quantile(dev, q)) if q > 0 else 0.0
+            esc = dev <= band
+            merged = np.where(esc, f, s)
+            c_eer = compute_eer(merged, y, pos_label=1)
+            print(f"{band:7.3f}  {esc.mean() * 100:6.1f} %  {c_eer:.4f}")
     if args.tdcf:
         from rtdsd_tpu.utils.metrics import compute_min_tdcf
 

@@ -141,3 +141,48 @@ def test_reference_score_files_parse_and_roundtrip():
     rebuilt = ["{} {}\n".format(k, v)
                for k, v in list(scores.items())[:50]]
     assert rebuilt == head
+
+
+def test_cascade_band_sweep_cli(tmp_path, capsys):
+    """Offline cascade band calibration (cli.evaluate --cascade-sweep):
+    band 0 must reproduce the screener EER, the max band the flagship
+    EER, and escalation rates must be the swept quantiles."""
+    import numpy as np
+
+    from rtdsd_tpu.cli import evaluate
+
+    rng = np.random.default_rng(0)
+    n = 200
+    labels = np.arange(n) % 2  # 1 = bonafide
+    # screener: noisy scores (some overlap -> nonzero EER);
+    # flagship: clean separation (EER 0)
+    screener = np.where(labels == 1, 1.0, -1.0) + rng.normal(0, 1.2, n)
+    flagship = np.where(labels == 1, 5.0, -5.0)
+
+    proto = tmp_path / "proto.txt"
+    proto.write_text("".join(
+        f"spk u{i:03d} - A01 {'bonafide' if l else 'spoof'}\n"
+        for i, l in enumerate(labels)))
+    s_file = tmp_path / "screener.txt"
+    s_file.write_text("".join(
+        f"u{i:03d} {screener[i]}\n" for i in range(n)))
+    f_file = tmp_path / "flagship.txt"
+    f_file.write_text("".join(
+        f"u{i:03d} {flagship[i]}\n" for i in range(n)))
+
+    rc = evaluate.main(["--scores", str(s_file), "--protocol", str(proto),
+                        "--file-field", "1", "--label-field", "4",
+                        "--cascade-sweep", str(f_file)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l]
+    screener_eer = float(lines[1].split()[1])
+    assert screener_eer > 1.0  # overlapping distributions
+    assert "flagship EER: 0.0000" in lines[2]
+    sweep = [l.split() for l in lines[4:]]
+    rates = [float(row[1]) for row in sweep]
+    eers = [float(row[3]) for row in sweep]
+    assert rates[0] == 0.0 and abs(rates[-1] - 100.0) < 1e-9
+    np.testing.assert_allclose(eers[0], screener_eer, atol=1e-4)
+    assert eers[-1] == 0.0
+    assert all(a >= b - 1e-9 for a, b in zip(eers, eers[1:]))  # monotone-ish
