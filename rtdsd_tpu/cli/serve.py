@@ -59,6 +59,10 @@ def parse_args(argv=None):
                    help="screener YAML (default: --config)")
     p.add_argument("--cascade_band", type=float, default=2.0)
     p.add_argument("--cascade_center", type=float, default=0.0)
+    p.add_argument("--f32_transport", action="store_true", default=False,
+                   help="push float32 samples to the device instead of "
+                        "16-bit PCM (int16 is lossless for 16-bit-sourced "
+                        "audio and halves upload bytes)")
     return p.parse_args(argv)
 
 
@@ -120,7 +124,9 @@ def main(argv=None):
     eng = MultiStreamScorer(
         spec.module, state.params, state.batch_stats, cfg,
         duration=duration, hop=hop,
-        max_streams=args.max_streams or n_streams, **esc_kwargs)
+        max_streams=args.max_streams or n_streams,
+        transport_dtype="float32" if args.f32_transport else "int16",
+        **esc_kwargs)
     eng.warmup()
 
     waves = []

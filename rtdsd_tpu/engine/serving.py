@@ -61,9 +61,9 @@ class WindowScore(NamedTuple):
 class _StreamState:
     __slots__ = ("stream_id", "buf", "next_seg", "next_win", "final_win")
 
-    def __init__(self, stream_id):
+    def __init__(self, stream_id, dtype=np.float32):
         self.stream_id = stream_id
-        self.buf = np.zeros((0,), np.float32)  # samples from next_seg's start
+        self.buf = np.zeros((0,), dtype)  # samples from next_seg's start
         self.next_seg = 0  # next conv segment index to extract
         self.next_win = 0  # next window index to score
         self.final_win = None  # set by close(flush=True): total window count
@@ -99,7 +99,8 @@ class MultiStreamScorer:
                  escalate: Optional[tuple] = None,
                  escalate_band: float = 2.0,
                  escalate_center: float = 0.0,
-                 esc_batch: Optional[int] = None):
+                 esc_batch: Optional[int] = None,
+                 transport_dtype: str = "float32"):
         if cfg.extractor_mode != "layer_norm":
             raise ValueError(
                 "multi-stream serving requires the layer_norm extractor "
@@ -134,6 +135,15 @@ class MultiStreamScorer:
         self.max_streams = max_streams
         self.extend_batch = extend_batch or max_streams
         self.score_batch = score_batch or max_streams
+        # int16 transport halves (and on high-latency relay links, far
+        # more than halves) the per-tick host->device sample upload; it
+        # is lossless for 16-bit-sourced audio (WAV/FLAC), and the
+        # dequant (x/32768) runs on device inside the extend program
+        if transport_dtype not in ("float32", "int16"):
+            raise ValueError(f"transport_dtype must be float32 or int16, "
+                             f"got {transport_dtype!r}")
+        self._tdtype = np.int16 if transport_dtype == "int16" \
+            else np.float32
 
         self.params = params
         self.batch_stats = batch_stats
@@ -154,7 +164,11 @@ class MultiStreamScorer:
         seg_arange = jnp.arange(self.seg_frames, dtype=jnp.int32)
         win_arange = jnp.arange(self.win_frames, dtype=jnp.int32)
 
+        dequant = self._tdtype is np.int16
+
         def extend(cp, feats, segs, slots, frame_pos):
+            if dequant:
+                segs = segs.astype(jnp.float32) * (1.0 / 32768.0)
             new = conv.apply({"params": cp}, segs)
             idx = (frame_pos[:, None] + seg_arange) % ring_frames_
             return feats.at[slots[:, None], idx].set(new.astype(feats.dtype))
@@ -225,7 +239,7 @@ class MultiStreamScorer:
                 f"all {self.max_streams} stream slots are busy")
         slot = self._free.popleft()
         self._slots[slot] = _StreamState(
-            stream_id if stream_id is not None else slot)
+            stream_id if stream_id is not None else slot, self._tdtype)
         return slot
 
     def close_stream(self, handle: int, flush: bool = False) -> None:
@@ -250,7 +264,7 @@ class MultiStreamScorer:
         need = (segs_needed - 1) * self.seg_hop + self.seg_samples
         if need > total:
             st.buf = np.concatenate(
-                [st.buf, np.zeros(need - total, np.float32)])
+                [st.buf, np.zeros(need - total, self._tdtype)])
 
     @property
     def active_streams(self) -> int:
@@ -266,7 +280,13 @@ class MultiStreamScorer:
             raise KeyError(f"no open stream at slot {handle}")
         if st.final_win is not None:
             raise RuntimeError("stream is closing (close_stream flush=True)")
-        samples = np.asarray(samples, np.float32).reshape(-1)
+        samples = np.asarray(samples).reshape(-1)
+        if samples.dtype != self._tdtype:
+            if self._tdtype is np.int16:  # float wave -> 16-bit PCM
+                samples = np.clip(np.rint(samples * 32768.0),
+                                  -32768, 32767).astype(np.int16)
+            else:
+                samples = samples.astype(np.float32)
         st.buf = np.concatenate([st.buf, samples]) if len(st.buf) else samples
 
     def _due_segments(self):
@@ -319,7 +339,7 @@ class MultiStreamScorer:
         if segs:
             k = len(segs)
             seg_mat = np.zeros((self.extend_batch, self.seg_samples),
-                               np.float32)
+                               self._tdtype)
             slots = np.full((self.extend_batch,), self._scratch, np.int32)
             pos = np.zeros((self.extend_batch,), np.int32)
             for i, (slot, seg_idx, samples) in enumerate(segs):
@@ -393,7 +413,9 @@ class MultiStreamScorer:
         real poll is not a compile."""
         feats = self._extend(
             self._conv_params, self._feats,
-            jnp.zeros((self.extend_batch, self.seg_samples), jnp.float32),
+            jnp.zeros((self.extend_batch, self.seg_samples),
+                      jnp.int16 if self._tdtype is np.int16
+                      else jnp.float32),
             jnp.full((self.extend_batch,), self._scratch, jnp.int32),
             jnp.zeros((self.extend_batch,), jnp.int32))
         self._feats = feats

@@ -137,3 +137,37 @@ def test_warmup_compiles_and_push_after_flush_rejected(tiny):
         eng.push(h, np.zeros(10, np.float32))
     out = eng.drain()
     assert len(out) == 1 and out[0].start_sample == 0
+
+
+def test_int16_transport_matches_quantized_direct(tiny):
+    """int16 transport must equal direct scoring of the 16-bit-quantized
+    wave (lossless for PCM-sourced audio; x -> round(x*32768)/32768)."""
+    model, params, stats, cfg, duration = tiny
+    hop = duration // 2
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            hop=hop, max_streams=2,
+                            transport_dtype="int16")
+    rng = np.random.default_rng(21)
+    wave = rng.standard_normal(4 * hop + duration).astype(np.float32) * 0.1
+    q = np.clip(np.rint(wave * 32768.0), -32768, 32767)
+    wave_q = (q / 32768.0).astype(np.float32)
+
+    h = eng.open_stream("pcm")
+    # mixed push dtypes: float chunk (engine quantizes) + raw int16 chunk
+    eng.push(h, wave[: 3 * hop])
+    eng.push(h, q[3 * hop:].astype(np.int16))
+    eng.close_stream(h, flush=True)
+    out = sorted(eng.drain(), key=lambda g: g.start_sample)
+
+    exp = _expected_window_scores(model, params, stats, wave_q, duration,
+                                  hop)
+    assert len(out) == len(exp)
+    np.testing.assert_allclose([g.score for g in out], exp,
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_transport_dtype_validation(tiny):
+    model, params, stats, cfg, duration = tiny
+    with pytest.raises(ValueError, match="transport_dtype"):
+        MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                          transport_dtype="int8")

@@ -34,6 +34,13 @@ def main():
     ap.add_argument("--ticks", type=int, default=12)
     ap.add_argument("--w8a8", action="store_true", default=False)
     ap.add_argument("--model", default="XLSR_AASIST")
+    ap.add_argument("--cascade", type=float, default=None,
+                    help="cascade mode: an XLSR-6 student screens every "
+                         "window and the flagship escalates ~this fraction "
+                         "(band auto-calibrated from the first ticks)")
+    ap.add_argument("--transport", default="int16",
+                    choices=("int16", "float32"),
+                    help="sample upload dtype (int16 = 16-bit PCM)")
     args = ap.parse_args()
     sweep = args.streams or [32, 64, 128, 256]
 
@@ -66,33 +73,72 @@ def main():
     params = jax.device_put(params)
     stats = jax.device_put(stats)
 
+    screener, sparams, sstats = model, params, stats
+    esc_kwargs = {}
+    if args.cascade is not None:
+        stud_spec = get_model("My_XLSR_AASIST", dtype=jnp.bfloat16,
+                              num_layers=6)
+        screener = stud_spec.module
+        svars = init_variables_host(screener,
+                                    jnp.zeros((2, duration), jnp.float32),
+                                    train=False)
+        sparams = dict(svars["params"])
+        ssl = dict(sparams["ssl_model"])
+        ssl["feature_extractor"] = params["ssl_model"]["feature_extractor"]
+        sparams["ssl_model"] = ssl
+        sparams = jax.device_put(sparams)
+        sstats = jax.device_put(svars.get("batch_stats", {}))
+        esc_kwargs = dict(escalate=(model, params, stats),
+                          escalate_band=-1.0)
+
     budget_ms = hop / sr * 1000
     log(f"window {duration} hop {hop} budget {budget_ms:.0f} ms/tick")
     rng = np.random.default_rng(0)
     for S in sweep:
-        eng = MultiStreamScorer(model, params, stats, cfg,
-                                duration=duration, hop=hop, max_streams=S)
+        if args.cascade is not None:
+            esc_kwargs["esc_batch"] = max(8, int(np.ceil(S * args.cascade)))
+        eng = MultiStreamScorer(screener, sparams, sstats, cfg,
+                                duration=duration, hop=hop, max_streams=S,
+                                transport_dtype=args.transport,
+                                **esc_kwargs)
         t0 = time.time()
         eng.warmup()
         log(f"S={S}: warmup(compile) {time.time() - t0:.1f}s")
         handles = [eng.open_stream(i) for i in range(S)]
         chunk = (rng.standard_normal((S, hop)) * 0.1).astype(np.float32)
+        if args.cascade is not None:
+            # calibrate the band so ~cascade of windows escalate
+            cal = []
+            for _ in range(4):
+                for i, h in enumerate(handles):
+                    eng.push(h, chunk[i])
+                cal.extend(ws.score for ws in eng.poll())
+            cal = np.asarray(cal)
+            eng.escalate_center = float(np.median(cal))
+            eng.escalate_band = float(np.quantile(
+                np.abs(cal - eng.escalate_center), args.cascade))
+            log(f"S={S}: calibrated band {eng.escalate_band:.3f} around "
+                f"{eng.escalate_center:.3f} from {len(cal)} scores")
         ticks = []
         n_scores = 0
+        n_esc = 0
         for t in range(args.ticks):
             t0 = time.perf_counter()
             for i, h in enumerate(handles):
                 eng.push(h, chunk[i])
             out = eng.poll()
             n_scores += len(out)
+            n_esc += sum(ws.escalated for ws in out)
             dt = time.perf_counter() - t0
             if t >= 2:  # first windows complete at tick 2
                 ticks.append(dt * 1000)
         p50 = float(np.percentile(ticks, 50))
         p95 = float(np.percentile(ticks, 95))
         cap = int(S * budget_ms / max(p95, 1e-9))
+        casc = (f" esc={n_esc}/{n_scores}"
+                if args.cascade is not None else "")
         log(f"S={S}: tick p50 {p50:.1f} ms p95 {p95:.1f} ms "
-            f"(budget {budget_ms:.0f}) scores={n_scores} "
+            f"(budget {budget_ms:.0f}) scores={n_scores}{casc} "
             f"{'SUSTAINED' if p95 < budget_ms else 'OVER'} "
             f"-> est capacity ~{cap} streams")
         del eng
