@@ -52,9 +52,9 @@ def parse_args(argv=None):
     p.add_argument("--w8", action="store_true", default=False)
     p.add_argument("--w8a8", action="store_true", default=False)
     p.add_argument("--cascade_ckpt", type=str, default=None,
-                   help="cascade: a cheap screener (e.g. layer-pruned KD "
-                        "student sharing the conv front-end) scores every "
-                        "window; scores inside the band escalate to --ckpt")
+                   help="cascade: a cheap screener (e.g. a layer-pruned KD "
+                        "student) scores every window; scores inside the "
+                        "band are re-scored by --ckpt's model")
     p.add_argument("--cascade_config", type=str, default=None,
                    help="screener YAML (default: --config)")
     p.add_argument("--cascade_band", type=float, default=2.0)
@@ -101,7 +101,7 @@ def main(argv=None):
     esc_kwargs = {}
     if args.cascade_ckpt:
         # cascade: the screener becomes the engine's primary model and the
-        # big --ckpt model is its escalation target (shared conv ring)
+        # big --ckpt model re-scores in-band windows from the sample ring
         if args.cascade_config:
             from rtdsd_tpu.config import load_yaml_config as _load
             screen_sys, screen_exp = _load(args.cascade_config)

@@ -218,7 +218,15 @@ def copy_teacher_weights(student_params, teacher_params,
                          layer_indices: Optional[Sequence[int]] = None):
     """strict=False-style copy: every leaf whose path+shape matches is taken
     from the teacher (ref main_kd.py:127-132); the XLSR layer stack is copied
-    per ``layer_indices`` (the custom-order mapping, main_kd.py:133-141)."""
+    per ``layer_indices`` (the custom-order mapping, main_kd.py:133-141).
+
+    Copied leaves are materialized as NEW buffers, never aliases of the
+    teacher's: the fused KD step donates the student train state while
+    taking teacher params as a live argument (kd.py::make_kd_train_step,
+    donate_argnums=(0,)), and a shared buffer would be "donated and used
+    in the same Execute()" — an error on TPU (silently fine on CPU, where
+    donation is ignored, so only device runs ever saw it).
+    """
     flat_t = _flatten(teacher_params)
 
     def visit(path, leaf):
@@ -231,7 +239,7 @@ def copy_teacher_weights(student_params, teacher_params,
             return leaf
         src = flat_t.get(ps)
         if src is not None and src.shape == leaf.shape:
-            return src
+            return jnp.array(src, dtype=leaf.dtype, copy=True)
         return leaf
 
     return _map_with_paths(visit, student_params)

@@ -31,10 +31,11 @@ Slot ``max_streams`` is a scratch slot: batch padding rows write/read it
 so the compiled shapes never change with occupancy.
 
 Cascade escalation (``escalate=``): a cheap screener (layer-pruned KD
-student) can be the engine's primary model, with the flagship re-scoring
-only windows whose screener score falls in an uncertainty band — both
-models read the same conv ring (their conv front-ends must match, which
-holds for KD students initialized from the teacher's feature extractor).
+student) can be the engine's primary model, with a flagship re-scoring
+only windows whose screener score falls in an uncertainty band. The
+flagship reads a raw-sample ring (the feature ring's geometry in
+samples) through its ordinary wave entry, so the pair may be ANY two
+models — escalated scores are exactly the flagship's direct scores.
 Escalations run as extra fixed-shape dispatches inside the same poll,
 before any subsequent extend can overwrite the ring rows.
 """
@@ -165,13 +166,47 @@ class MultiStreamScorer:
         win_arange = jnp.arange(self.win_frames, dtype=jnp.int32)
 
         dequant = self._tdtype is np.int16
+        # ----- optional cascade escalation: a second (bigger) model that
+        # re-scores windows whose screener score lands in the uncertainty
+        # band |score - center| <= band. The flagship scores from a RAW
+        # SAMPLE ring (int16/f32, mirrors the feature ring's geometry in
+        # samples, ~65 KB/stream) through its ordinary wave entry, so the
+        # two models need share nothing — any screener works, including
+        # KD students whose conv drifted from the teacher's during
+        # distillation — and an escalated score is exactly the flagship's
+        # direct score of that window.
+        self._escalate = escalate is not None
+        self.escalate_band = escalate_band
+        self.escalate_center = escalate_center
+        self.esc_batch = esc_batch or max(1, self.score_batch // 4)
+        self.ring_samples = self.ring_frames * stride
+        stride_ = stride
+        seg_hop_ = self.seg_hop
+        ring_samples_ = self.ring_samples
+        # allocated even without escalation (donated pass-through keeps
+        # the extend signature stable; ~65 KB/stream, negligible)
+        self._swave = jnp.zeros(
+            (max_streams + 1, self.ring_samples),
+            jnp.int16 if dequant else jnp.float32)
+        hop_arange = jnp.arange(self.seg_hop, dtype=jnp.int32)
+        escalate_on = self._escalate
 
-        def extend(cp, feats, segs, slots, frame_pos):
+        def extend(cp, feats, swave, segs, slots, frame_pos):
+            waves = segs
             if dequant:
-                segs = segs.astype(jnp.float32) * (1.0 / 32768.0)
-            new = conv.apply({"params": cp}, segs)
+                waves = segs.astype(jnp.float32) * (1.0 / 32768.0)
+            new = conv.apply({"params": cp}, waves)
             idx = (frame_pos[:, None] + seg_arange) % ring_frames_
-            return feats.at[slots[:, None], idx].set(new.astype(feats.dtype))
+            feats = feats.at[slots[:, None], idx].set(
+                new.astype(feats.dtype))
+            if escalate_on:
+                # the first seg_hop samples of each segment are its
+                # non-overlapping base; consecutive bases tile the stream
+                sidx = (frame_pos[:, None] * stride_ + hop_arange) \
+                    % ring_samples_
+                swave = swave.at[slots[:, None], sidx].set(
+                    segs[:, :seg_hop_])
+            return feats, swave
 
         def score(p, stats, feats, slots, start_frames):
             variables = {"params": p}
@@ -183,46 +218,27 @@ class MultiStreamScorer:
                                  conv_feats=windows)
             return logits[:, 1]
 
-        # feats is donated: the ring is rewritten in place every extend
-        # instead of allocating a second (S+1, ring, C) buffer per call
-        self._extend = jax.jit(extend, donate_argnums=1)
+        # feats/swave are donated: the rings are rewritten in place every
+        # extend instead of allocating fresh ring buffers per call
+        self._extend = jax.jit(extend, donate_argnums=(1, 2))
         self._score = jax.jit(score)
 
-        # ----- optional cascade escalation: a second (bigger) model that
-        # re-scores windows whose screener score lands in the uncertainty
-        # band |score - center| <= band, reading the SAME conv ring (both
-        # models must share conv front-end weights — true for layer-pruned
-        # KD students whose feature extractor is copied/frozen from the
-        # teacher, engine/kd.py::copy_teacher_weights)
-        self._escalate = escalate is not None
-        self.escalate_band = escalate_band
-        self.escalate_center = escalate_center
-        self.esc_batch = esc_batch or max(1, self.score_batch // 4)
         if self._escalate:
             esc_model, esc_params, esc_stats = escalate
-            mine = jax.tree_util.tree_leaves(self._conv_params)
-            theirs = jax.tree_util.tree_leaves(
-                esc_params["ssl_model"]["feature_extractor"])
-            if len(mine) != len(theirs) or not all(
-                    np.allclose(np.asarray(a, np.float32),
-                                np.asarray(b, np.float32))
-                    for a, b in zip(mine, theirs)):
-                raise ValueError(
-                    "escalation model's conv front-end differs from the "
-                    "screener's — they cannot share the feature ring; "
-                    "serve the big model in its own MultiStreamScorer")
             self._esc_params = esc_params
             self._esc_stats = esc_stats
-            esc_arange = jnp.arange(self.win_frames, dtype=jnp.int32)
+            dur_arange = jnp.arange(self.duration, dtype=jnp.int32)
 
-            def score_esc(p, stats, feats, slots, start_frames):
+            def score_esc(p, stats, swave, slots, start_frames):
                 variables = {"params": p}
                 if stats:
                     variables["batch_stats"] = stats
-                idx = (start_frames[:, None] + esc_arange) % ring_frames_
-                windows = feats[slots[:, None], idx]
-                logits = esc_model.apply(variables, None, train=False,
-                                         conv_feats=windows)
+                sidx = (start_frames[:, None] * stride_ + dur_arange) \
+                    % ring_samples_
+                waves = swave[slots[:, None], sidx]  # (B, duration)
+                if dequant:
+                    waves = waves.astype(jnp.float32) * (1.0 / 32768.0)
+                logits = esc_model.apply(variables, waves, train=False)
                 return logits[:, 1]
 
             self._score_esc = jax.jit(score_esc)
@@ -346,9 +362,9 @@ class MultiStreamScorer:
                 seg_mat[i] = samples
                 slots[i] = slot
                 pos[i] = (seg_idx * self.seg_frames) % self.ring_frames
-            self._feats = self._extend(self._conv_params, self._feats,
-                                       jnp.asarray(seg_mat),
-                                       jnp.asarray(slots), jnp.asarray(pos))
+            self._feats, self._swave = self._extend(
+                self._conv_params, self._feats, self._swave,
+                jnp.asarray(seg_mat), jnp.asarray(slots), jnp.asarray(pos))
             self._consume(segs)
 
         wins = self._due_windows()[: self.score_batch]
@@ -377,7 +393,7 @@ class MultiStreamScorer:
                         eslots[j] = slots[i]
                         estarts[j] = starts[i]
                     esc_scores = np.asarray(self._score_esc(
-                        self._esc_params, self._esc_stats, self._feats,
+                        self._esc_params, self._esc_stats, self._swave,
                         jnp.asarray(eslots), jnp.asarray(estarts)))
                     for j, i in enumerate(chunk):
                         scores[i] = esc_scores[j]
@@ -411,20 +427,19 @@ class MultiStreamScorer:
     def warmup(self) -> None:
         """Compile both programs once (scratch-only batches) so the first
         real poll is not a compile."""
-        feats = self._extend(
-            self._conv_params, self._feats,
+        self._feats, self._swave = self._extend(
+            self._conv_params, self._feats, self._swave,
             jnp.zeros((self.extend_batch, self.seg_samples),
                       jnp.int16 if self._tdtype is np.int16
                       else jnp.float32),
             jnp.full((self.extend_batch,), self._scratch, jnp.int32),
             jnp.zeros((self.extend_batch,), jnp.int32))
-        self._feats = feats
         jax.block_until_ready(np.asarray(self._score(
             self.params, self.batch_stats, self._feats,
             jnp.full((self.score_batch,), self._scratch, jnp.int32),
             jnp.zeros((self.score_batch,), jnp.int32))))
         if self._escalate:
             jax.block_until_ready(np.asarray(self._score_esc(
-                self._esc_params, self._esc_stats, self._feats,
+                self._esc_params, self._esc_stats, self._swave,
                 jnp.full((self.esc_batch,), self._scratch, jnp.int32),
                 jnp.zeros((self.esc_batch,), jnp.int32))))

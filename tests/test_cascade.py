@@ -123,13 +123,21 @@ def test_serving_escalation_small_esc_batch(pair, wave):
                                rtol=2e-4, atol=2e-5)
 
 
-def test_serving_escalation_rejects_mismatched_conv(pair):
+def test_serving_escalation_works_with_mismatched_conv(pair, wave):
+    """The escalation path scores raw windows from the sample ring, so
+    the screener's conv front-end may differ arbitrarily from the
+    flagship's (e.g. a KD student whose conv drifted during
+    distillation) — escalated scores must still be the flagship's exact
+    direct scores."""
     flag, _ = pair
-    other = _build(1, seed=9)  # conv NOT shared
-    with pytest.raises(ValueError, match="conv front-end"):
-        MultiStreamScorer(other[0], other[1], other[2], other[3],
-                          duration=DURATION, max_streams=2,
-                          escalate=(flag[0], flag[1], flag[2]))
+    other = _build(1, seed=9)  # conv NOT shared with the flagship
+    hop = DURATION // 2
+    f_exp = _direct(flag, wave, hop)
+    out = _serve(other, wave, hop, escalate=(flag[0], flag[1], flag[2]),
+                 escalate_band=1e9)
+    assert all(g.escalated for g in out)
+    np.testing.assert_allclose([g.score for g in out], f_exp,
+                               rtol=2e-4, atol=2e-5)
 
 
 # --------------------------------------------------------- batch cascade

@@ -74,6 +74,24 @@ def test_copy_teacher_weights_with_layer_subset():
                                   np.zeros((4, 4)))
 
 
+def test_copy_teacher_weights_never_aliases_teacher_buffers():
+    """Regression: the fused KD step donates the student state while the
+    teacher params remain a live argument; a copied leaf that ALIASES a
+    teacher buffer makes TPU execution fail with 'buffer previously
+    donated in the same call' (donation is a no-op on CPU, which is why
+    only device runs saw it). Every teacher-sourced leaf must be a fresh
+    buffer."""
+    teacher = {"backend": {"LL": {"kernel": jnp.ones((3, 2), jnp.float32)}}}
+    student = {"backend": {"LL": {"kernel": jnp.zeros((3, 2), jnp.float32)}}}
+    out = copy_teacher_weights(student, teacher)
+    src = teacher["backend"]["LL"]["kernel"]
+    dst = out["backend"]["LL"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(dst), np.asarray(src))
+    assert dst is not src
+    assert (dst.unsafe_buffer_pointer()
+            != src.unsafe_buffer_pointer()), "copied leaf aliases teacher"
+
+
 class _TinyNet(nn.Module):
     width: int = 8
 
