@@ -110,6 +110,7 @@ def main(argv=None):
 
     scores = read_scores(args.scores)
     labels = labels_from_protocol(protocol, ff, lf)
+    normalized = False
     if not set(scores) & set(labels):
         # normalize BOTH sides to basename-sans-extension: score files may
         # key on full paths (ASVspoof5 matches the reference's path ids)
@@ -117,6 +118,7 @@ def main(argv=None):
         norm = lambda k: k.rsplit("/", 1)[-1].rsplit(".", 1)[0]
         scores = {norm(k): v for k, v in scores.items()}
         labels = {norm(k): v for k, v in labels.items()}
+        normalized = True
     common = sorted(set(scores) & set(labels))
     if not common:
         print("ERROR: no utterances in common between scores and protocol",
@@ -132,6 +134,9 @@ def main(argv=None):
     print(f"EER: {eer:.4f} %")
     if args.cascade_sweep:
         flag = read_scores(args.cascade_sweep)
+        if normalized:  # same key normalization as the screener file
+            norm = lambda k: k.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+            flag = {norm(k): v for k, v in flag.items()}
         missing = [u for u in common if u not in flag]
         if missing:
             print(f"ERROR: {len(missing)} trials missing from "

@@ -136,25 +136,37 @@ def main(argv=None):
             wave = resample(wave, rate, int(sr))
         waves.append(np.asarray(wave, np.float32).squeeze())
 
-    handles = {eng.open_stream(p): p for p in args.audio[:eng.max_streams]}
+    # stream ids are (occurrence-index, path) so duplicate --audio paths
+    # stay distinct streams with their own windows/aggregates
+    files = list(enumerate(args.audio))
+    handles = {eng.open_stream((i, p)): i
+               for i, p in files[:eng.max_streams]}
     if len(args.audio) > eng.max_streams:
         print(f"[serve] {len(args.audio)} files > {eng.max_streams} slots; "
               f"remaining files start as slots free", file=sys.stderr)
-    queue = list(zip(args.audio, waves))[eng.max_streams:]
+    queue = files[eng.max_streams:]
     cursors = {h: 0 for h in handles}
-    wave_of = {p: w for p, w in zip(args.audio, waves)}
 
-    per_file = {p: [] for p in args.audio}
+    per_file = [[] for _ in args.audio]
     tick_ms = []
     total_windows = 0
     total_audio = sum(len(w) for w in waves) / sr
     t_start = time.perf_counter()
     tick = 0
+    def take(ws):
+        nonlocal total_windows
+        total_windows += 1
+        idx, path = ws.stream_id
+        per_file[idx].append(ws)
+        if args.per_window:
+            w_idx = ws.start_sample // hop
+            print(f"{path}#{w_idx} {ws.start_sample / sr:.2f} {ws.score}")
+
     while handles or queue:
         t0 = time.perf_counter()
         done = []
-        for h, p in handles.items():
-            w = wave_of[p]
+        for h, i in handles.items():
+            w = waves[i]
             c = cursors[h]
             if c < len(w):
                 eng.push(h, w[c:c + hop])
@@ -162,19 +174,14 @@ def main(argv=None):
             if cursors[h] >= len(w):
                 done.append(h)
         for ws in eng.poll():
-            total_windows += 1
-            per_file[ws.stream_id].append(ws)
-            if args.per_window:
-                w_idx = ws.start_sample // hop
-                print(f"{ws.stream_id}#{w_idx} {ws.start_sample / sr:.2f} "
-                      f"{ws.score}")
+            take(ws)
         for h in done:
             eng.close_stream(h, flush=True)
             del handles[h], cursors[h]
         # closed slots free once drained; admit queued files
         while queue and eng.active_streams < eng.max_streams:
             try:
-                h = eng.open_stream(queue[0][0])
+                h = eng.open_stream(queue[0])
             except RuntimeError:
                 break  # closing streams still draining
             handles[h] = queue.pop(0)[0]
@@ -182,21 +189,19 @@ def main(argv=None):
         if not handles and eng.active_streams:
             # only draining streams remain: keep polling them out
             for ws in eng.poll():
-                total_windows += 1
-                per_file[ws.stream_id].append(ws)
+                take(ws)
         dt = time.perf_counter() - t0
         tick_ms.append(dt * 1000)
         if args.realtime and dt < hop / sr:
             time.sleep(hop / sr - dt)
         tick += 1
     for ws in eng.drain():
-        total_windows += 1
-        per_file[ws.stream_id].append(ws)
+        take(ws)
 
     wall = time.perf_counter() - t_start
     out_fh = open(args.out, "w") if args.out else None
-    for path in args.audio:
-        scores = [w.score for w in per_file[path]]
+    for i, path in files:
+        scores = [w.score for w in per_file[i]]
         agg = float(np.mean(scores)) if scores else float("nan")
         print(f"{path} {agg}")
         if out_fh:
@@ -211,7 +216,7 @@ def main(argv=None):
           f"p95 {np.percentile(tick_ms, 95):.1f} ms vs "
           f"{hop / sr * 1000:.0f} ms hop budget]", file=sys.stderr)
     if args.cascade_ckpt:
-        n_esc = sum(w.escalated for ws in per_file.values() for w in ws)
+        n_esc = sum(w.escalated for ws_list in per_file for w in ws_list)
         print(f"  [cascade: {n_esc}/{total_windows} windows escalated "
               f"(band {args.cascade_band} around {args.cascade_center})]",
               file=sys.stderr)

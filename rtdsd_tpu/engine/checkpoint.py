@@ -95,7 +95,15 @@ def save_checkpoint_async(path: str, state: TrainState,
         # The sync msgpack is now the NEWEST complete state; stale orbax
         # dirs left behind (possibly from the failed attempt above) would
         # shadow it in restore_checkpoint_any and silently resume an older
-        # epoch — remove them.
+        # epoch — remove them. If the exception struck AFTER
+        # _ASYNC_CKPT.save() started (e.g. the meta.json write failed),
+        # orbax's background commit could re-materialize `orbax` after our
+        # rmtree — settle the in-flight save first.
+        if _ASYNC_CKPT is not None:
+            try:
+                _ASYNC_CKPT.wait_until_finished()
+            except Exception:
+                pass  # the failed save's own error; dirs cleaned below
         import shutil
 
         for stale in (os.path.join(path, "orbax"),

@@ -97,7 +97,6 @@ def get_mid_level_loss(criterion_config: dict) -> Tuple[Callable, dict]:
 # ----------------------------------------------------------- tap resolution
 
 _LAYER_RE = re.compile(r"(?:^|\.)(?:model\.)?encoder\.layers\.(\d+)$")
-_ENC_BLOCK_RE = re.compile(r"(?:^|\.)encoder_blocks\.(\d+)$")
 
 # Reference torch submodule names that live under our ``backend`` module —
 # the flax names intentionally match the torch attribute names
@@ -124,6 +123,11 @@ def normalize_tap_path(path: str) -> str:
     (``encoder.3``), and this framework's native slash paths.
     """
     p = path.replace("module.", "")
+    # MyConformer block list (conformer_baseline.py:16): rewrite the
+    # `encoder_blocks.N` SEGMENT wherever it appears, so intra-block taps
+    # (`conformer.encoder_blocks.2.attn`) resolve too — the flax block
+    # submodule names (ff1/attn/conv/ff2) match the torch attributes
+    p = re.sub(r"encoder_blocks\.(\d+)", r"block_\1", p)
     m = _LAYER_RE.search(p)
     if m:
         return f"ssl_hidden:{m.group(1)}"
@@ -134,9 +138,8 @@ def normalize_tap_path(path: str) -> str:
         # out_layer / fc5 are the final Dense producing the logits — their
         # hooked output IS the model output
         return "logits"
-    m = _ENC_BLOCK_RE.search(p)
-    if m:  # MyConformer block list (conformer_baseline.py:16)
-        return f"backend/conformer/block_{m.group(1)}"
+    if p.startswith("block_"):  # bare `encoder_blocks.N[.sub]` path
+        p = "conformer." + p
     # AASIST residual encoder: torch nn.Sequential index -> flax block name
     m = re.fullmatch(r"(?:backend\.)?encoder\.(\d+)", p)
     if m:

@@ -60,14 +60,28 @@ class WindowScore(NamedTuple):
 
 
 class _StreamState:
-    __slots__ = ("stream_id", "buf", "next_seg", "next_win", "final_win")
+    __slots__ = ("stream_id", "buf", "chunks", "chunks_len", "next_seg",
+                 "next_win", "final_win")
 
     def __init__(self, stream_id, dtype=np.float32):
         self.stream_id = stream_id
         self.buf = np.zeros((0,), dtype)  # samples from next_seg's start
+        self.chunks = []  # pushed-but-uncoalesced chunks (O(1) push)
+        self.chunks_len = 0
         self.next_seg = 0  # next conv segment index to extract
         self.next_win = 0  # next window index to score
         self.final_win = None  # set by close(flush=True): total window count
+
+    def coalesce(self):
+        if self.chunks:
+            parts = ([self.buf] if len(self.buf) else []) + self.chunks
+            self.buf = parts[0] if len(parts) == 1 else np.concatenate(parts)
+            self.chunks = []
+            self.chunks_len = 0
+
+    @property
+    def pending_samples(self):
+        return len(self.buf) + self.chunks_len
 
 
 class MultiStreamScorer:
@@ -115,6 +129,8 @@ class MultiStreamScorer:
                 f"conv frame grid")
         if hop <= 0 or duration <= 0:
             raise ValueError("duration and hop must be positive")
+        from rtdsd_tpu.models.wav2vec2 import conv_segment_geometry
+
         self.duration = duration
         self.hop = hop
         self.stride = stride
@@ -122,17 +138,25 @@ class MultiStreamScorer:
         self.win_frames = cfg.num_frames(duration)
         self.hop_frames = hop // stride
         self.seg_frames = seg_frames or self.hop_frames
-        self.seg_samples = self.rf + (self.seg_frames - 1) * stride
-        self.seg_hop = self.seg_frames * stride
+        self.seg_samples, self.seg_hop, _ = conv_segment_geometry(
+            cfg, self.seg_frames, 1)
+        self._escalate = escalate is not None
+        # Escalation stores whole overlapping segments in the sample ring
+        # (each segment's rf-stride tail = the next segment's head), so a
+        # window due with ZERO spare segment frames still has the rf-1
+        # samples its last conv frame needs; the write overruns the
+        # frame-aligned region by rf-stride samples (< 1 frame), so the
+        # escalating engine keeps one extra ring frame of margin.
+        self._ring_margin = 1 if self._escalate else 0
         # Ring must hold a full window plus the segments that can land
         # while its windows are still pending; 2 extra segments give the
         # scheduler slack before backpressure defers a stream's extends.
-        min_ring = self.win_frames + 2 * self.seg_frames
+        min_ring = self.win_frames + 2 * self.seg_frames + self._ring_margin
         self.ring_frames = ring_frames or -(-min_ring // 8) * 8
         if self.ring_frames < min_ring:
             raise ValueError(
                 f"ring_frames {self.ring_frames} < minimum {min_ring} "
-                f"(win_frames + 2*seg_frames)")
+                f"(win_frames + 2*seg_frames + escalation margin)")
         self.max_streams = max_streams
         self.extend_batch = extend_batch or max_streams
         self.score_batch = score_batch or max_streams
@@ -175,7 +199,6 @@ class MultiStreamScorer:
         # KD students whose conv drifted from the teacher's during
         # distillation — and an escalated score is exactly the flagship's
         # direct score of that window.
-        self._escalate = escalate is not None
         self.escalate_band = escalate_band
         self.escalate_center = escalate_center
         self.esc_batch = esc_batch or max(1, self.score_batch // 4)
@@ -188,7 +211,7 @@ class MultiStreamScorer:
         self._swave = jnp.zeros(
             (max_streams + 1, self.ring_samples),
             jnp.int16 if dequant else jnp.float32)
-        hop_arange = jnp.arange(self.seg_hop, dtype=jnp.int32)
+        samp_arange = jnp.arange(self.seg_samples, dtype=jnp.int32)
         escalate_on = self._escalate
 
         def extend(cp, feats, swave, segs, slots, frame_pos):
@@ -200,12 +223,14 @@ class MultiStreamScorer:
             feats = feats.at[slots[:, None], idx].set(
                 new.astype(feats.dtype))
             if escalate_on:
-                # the first seg_hop samples of each segment are its
-                # non-overlapping base; consecutive bases tile the stream
-                sidx = (frame_pos[:, None] * stride_ + hop_arange) \
+                # whole overlapping segments: segment k's rf-stride tail
+                # equals segment k+1's head (same stream samples), so
+                # in-batch duplicate indices write identical values and
+                # the ring always holds the last frame's full receptive
+                # field even for zero-spare-frame window geometries
+                sidx = (frame_pos[:, None] * stride_ + samp_arange) \
                     % ring_samples_
-                swave = swave.at[slots[:, None], sidx].set(
-                    segs[:, :seg_hop_])
+                swave = swave.at[slots[:, None], sidx].set(segs)
             return feats, swave
 
         def score(p, stats, feats, slots, start_frames):
@@ -272,6 +297,7 @@ class MultiStreamScorer:
         # pad so every sample pushed so far is covered by some window AND
         # the needed frames land on a segment boundary (a partial final
         # segment would never be extracted), then let poll() drain
+        st.coalesce()
         total = st.next_seg * self.seg_hop + len(st.buf)
         last_win = max(0, -(-max(0, total - self.duration) // self.hop))
         st.final_win = last_win + 1
@@ -303,26 +329,34 @@ class MultiStreamScorer:
                                   -32768, 32767).astype(np.int16)
             else:
                 samples = samples.astype(np.float32)
-        st.buf = np.concatenate([st.buf, samples]) if len(st.buf) else samples
+        # O(1) per push: chunks coalesce once per poll, not per call
+        st.chunks.append(samples)
+        st.chunks_len += len(samples)
 
-    def _due_segments(self):
-        """(slot, seg_index, segment_samples) for every extractable
-        segment, oldest-first per stream, honoring ring backpressure."""
+    def _due_segments(self, limit=None):
+        """(slot, seg_index, segment_samples) for extractable segments,
+        oldest-first per stream, honoring ring backpressure; stops once
+        ``limit`` segments are collected (poll never needs more than one
+        extend batch, so enumerating a deep backlog would be waste)."""
         out = []
         for slot, st in self._slots.items():
+            st.coalesce()
             k = st.next_seg
             # buf[0] is absolute sample k*seg_hop; segment k spans
             # [k*seg_hop, k*seg_hop + seg_samples)
             off = 0
             while len(st.buf) - off >= self.seg_samples:
                 # backpressure: frames [k*sf, (k+1)*sf) may not overwrite
-                # frames the oldest pending window still needs
+                # frames the oldest pending window still needs (escalation
+                # margin covers the sample-ring's sub-frame tail overrun)
                 oldest_needed = st.next_win * self.hop_frames
                 if (k + 1) * self.seg_frames - oldest_needed \
-                        > self.ring_frames:
+                        > self.ring_frames - self._ring_margin:
                     break
                 out.append((slot, k,
                             st.buf[off:off + self.seg_samples]))
+                if limit is not None and len(out) >= limit:
+                    return out
                 off += self.seg_hop
                 k += 1
         return out
@@ -351,9 +385,10 @@ class MultiStreamScorer:
         the completed window scores. Call repeatedly (or :meth:`drain`)
         to work through a backlog larger than the batch sizes."""
         results: List[WindowScore] = []
-        segs = self._due_segments()[: self.extend_batch]
+        self._last_poll_work = False
+        segs = self._due_segments(limit=self.extend_batch)
         if segs:
-            k = len(segs)
+            self._last_poll_work = True
             seg_mat = np.zeros((self.extend_batch, self.seg_samples),
                                self._tdtype)
             slots = np.full((self.extend_batch,), self._scratch, np.int32)
@@ -369,6 +404,7 @@ class MultiStreamScorer:
 
         wins = self._due_windows()[: self.score_batch]
         if wins:
+            self._last_poll_work = True
             slots = np.full((self.score_batch,), self._scratch, np.int32)
             starts = np.zeros((self.score_batch,), np.int32)
             for i, (slot, w) in enumerate(wins):
@@ -412,17 +448,31 @@ class MultiStreamScorer:
             self._free.append(slot)
         return results
 
+    def _has_pending(self) -> bool:
+        """Cheap per-stream counter check: any extractable segment or
+        scorable window left? (No backlog enumeration — O(streams).)"""
+        for st in self._slots.values():
+            if st.pending_samples >= self.seg_samples:
+                return True
+            frames_done = st.next_seg * self.seg_frames
+            w = st.next_win
+            if (w * self.hop_frames + self.win_frames <= frames_done
+                    and (st.final_win is None or w < st.final_win)):
+                return True
+        return False
+
     def drain(self, max_polls: int = 10_000) -> List[WindowScore]:
         """Poll until no stream has extractable work; returns all scores."""
         out: List[WindowScore] = []
         for _ in range(max_polls):
-            before = len(out)
             out.extend(self.poll())
-            if len(out) == before and not self._due_segments() \
-                    and not self._due_windows():
-                return out
-        raise RuntimeError("drain did not converge (ring backpressure "
-                           "deadlock? raise ring_frames)")
+            if not self._last_poll_work:
+                if not self._has_pending():
+                    return out
+                raise RuntimeError(
+                    "drain stalled with work pending (ring backpressure "
+                    "deadlock? raise ring_frames)")
+        raise RuntimeError("drain did not converge")
 
     def warmup(self) -> None:
         """Compile both programs once (scratch-only batches) so the first

@@ -211,3 +211,42 @@ def test_batch_cascade_bands(pair, dataset, tmp_path):
         else:
             np.testing.assert_allclose(got[uid], s_ref[uid], rtol=1e-6)
     assert 0 < n_esc < len(got)
+
+
+def test_serving_escalation_zero_spare_frame_geometry(pair):
+    """Regression: when win_frames is an exact multiple of seg_frames, a
+    window becomes due with ZERO spare segment frames and the escalation
+    gather needs the final conv frame's receptive-field tail — which only
+    exists in the sample ring because extend stores whole overlapping
+    segments (plus one ring frame of margin). Escalated scores must equal
+    the flagship's direct scores even in this geometry."""
+    flag, stud = pair
+    stride = flag[3].total_stride  # 40
+    rf = flag[3].conv_receptive_field
+    # duration chosen so win_frames == 80 (multiple of seg_frames 40)
+    duration = 81 * stride
+    assert flag[3].num_frames(duration) == 80
+    hop = 40 * stride
+    assert flag[3].num_frames(duration) % (hop // stride) == 0
+
+    rng = np.random.default_rng(17)
+    wave = rng.standard_normal(4 * hop + duration).astype(np.float32) * 0.1
+
+    model, params, stats, cfg = stud
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            hop=hop, max_streams=2,
+                            escalate=(flag[0], flag[1], flag[2]),
+                            escalate_band=1e9)
+    h = eng.open_stream("s")
+    eng.push(h, wave)
+    eng.close_stream(h, flush=True)
+    out = sorted(eng.drain(), key=lambda g: g.start_sample)
+
+    step = make_score_step(flag[0])
+    starts = range(0, len(wave) - duration + 1, hop)
+    win = np.stack([wave[s:s + duration] for s in starts])
+    exp = np.asarray(step(flag[1], flag[2], jnp.asarray(win)))
+    assert len(out) == len(exp)
+    assert all(g.escalated for g in out)
+    np.testing.assert_allclose([g.score for g in out], exp,
+                               rtol=2e-4, atol=2e-5)

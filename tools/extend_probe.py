@@ -59,12 +59,20 @@ new0 = jax.device_put(jnp.zeros((S, seg_frames, C), jnp.bfloat16))
 seg_ar = jnp.arange(seg_frames, dtype=jnp.int32)
 
 
+def _force(out):
+    """Host readback of one dependent element — block_until_ready does
+    NOT block through the axon relay (CLAUDE.md), only a readback does."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(leaf.reshape(-1)[0].astype(jnp.float32))
+
+
 def timeit(name, fn, *args, n=10):
-    out = jax.block_until_ready(fn(*args))  # compile+warm
+    out = fn(*args)  # compile+warm
+    _force(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     dt = (time.perf_counter() - t0) / n * 1000
     log(f"{name}: {dt:.1f} ms")
     return out
@@ -133,11 +141,11 @@ def run_donated():
     f = feats0
     n = 10
     f = fused_donated(conv_params, f, segs, slots, pos)  # warm
-    jax.block_until_ready(f)
+    _force(f)
     t0 = time.perf_counter()
     for _ in range(n):
         f = fused_donated(conv_params, f, segs, slots, pos)
-    jax.block_until_ready(f)
+    _force(f)
     log(f"fused conv+scatter DONATED: "
         f"{(time.perf_counter() - t0) / n * 1000:.1f} ms")
 
