@@ -58,7 +58,10 @@ def load_torch_state_dict(path: str) -> Dict[str, Array]:
             continue
         if k.startswith("module."):
             k = k[len("module."):]
-        out[k] = v.detach().to(torch.float32).numpy()
+        # .numpy() can alias the live torch buffer (``.to(float32)`` is a
+        # no-op on f32 tensors); copy so later in-place updates on the torch
+        # side (e.g. train-mode BN running stats) can't mutate the pytree.
+        out[k] = v.detach().to(torch.float32).numpy().copy()
     return out
 
 
