@@ -153,6 +153,9 @@ def main(argv=None):
     total_audio = sum(len(w) for w in waves) / sr
     t_start = time.perf_counter()
     tick = 0
+    pending_lines = []  # --per_window output, flushed OUTSIDE the timed
+    # region so stdout latency (slow terminals/pipes) never skews tick p95
+
     def take(ws):
         nonlocal total_windows
         total_windows += 1
@@ -160,7 +163,13 @@ def main(argv=None):
         per_file[idx].append(ws)
         if args.per_window:
             w_idx = ws.start_sample // hop
-            print(f"{path}#{w_idx} {ws.start_sample / sr:.2f} {ws.score}")
+            pending_lines.append(
+                f"{path}#{w_idx} {ws.start_sample / sr:.2f} {ws.score}")
+
+    def flush_lines():
+        if pending_lines:
+            print("\n".join(pending_lines))
+            pending_lines.clear()
 
     while handles or queue:
         t0 = time.perf_counter()
@@ -192,11 +201,13 @@ def main(argv=None):
                 take(ws)
         dt = time.perf_counter() - t0
         tick_ms.append(dt * 1000)
+        flush_lines()
         if args.realtime and dt < hop / sr:
             time.sleep(hop / sr - dt)
         tick += 1
     for ws in eng.drain():
         take(ws)
+    flush_lines()
 
     wall = time.perf_counter() - t_start
     out_fh = open(args.out, "w") if args.out else None

@@ -52,6 +52,16 @@ import numpy as np
 __all__ = ["MultiStreamScorer", "WindowScore"]
 
 
+def _device_hbm_bytes():
+    """The default device's memory limit in bytes, when the backend
+    reports one (TPU does; CPU backends return None -> guard disabled)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        return int(stats.get("bytes_limit", 0)) or None
+    except Exception:
+        return None
+
+
 class WindowScore(NamedTuple):
     stream_id: object
     start_sample: int  # window start in absolute stream samples
@@ -61,9 +71,10 @@ class WindowScore(NamedTuple):
 
 class _StreamState:
     __slots__ = ("stream_id", "buf", "chunks", "chunks_len", "next_seg",
-                 "next_win", "final_win")
+                 "next_win", "final_win", "tail_frame", "head", "head_len",
+                 "head_cap")
 
-    def __init__(self, stream_id, dtype=np.float32):
+    def __init__(self, stream_id, dtype=np.float32, head_cap=0):
         self.stream_id = stream_id
         self.buf = np.zeros((0,), dtype)  # samples from next_seg's start
         self.chunks = []  # pushed-but-uncoalesced chunks (O(1) push)
@@ -71,6 +82,12 @@ class _StreamState:
         self.next_seg = 0  # next conv segment index to extract
         self.next_win = 0  # next window index to score
         self.final_win = None  # set by close(flush=True): total window count
+        self.tail_frame = None  # start frame of a tail-aligned final window
+        # first `head_cap` samples retained so a short stream (< one
+        # window) can be repeat-tiled at flush like the offline scorers
+        self.head = []
+        self.head_len = 0
+        self.head_cap = head_cap
 
     def coalesce(self):
         if self.chunks:
@@ -115,7 +132,8 @@ class MultiStreamScorer:
                  escalate_band: float = 2.0,
                  escalate_center: float = 0.0,
                  esc_batch: Optional[int] = None,
-                 transport_dtype: str = "float32"):
+                 transport_dtype: str = "float32",
+                 hbm_limit: Optional[int] = None):
         if cfg.extractor_mode != "layer_norm":
             raise ValueError(
                 "multi-stream serving requires the layer_norm extractor "
@@ -173,6 +191,25 @@ class MultiStreamScorer:
         self.params = params
         self.batch_stats = batch_stats
         self._channels = cfg.conv_layers[-1][0]
+        self.esc_batch = esc_batch or max(1, (score_batch
+                                              or max_streams) // 4)
+
+        # ---- pre-flight HBM estimate (BEFORE any device allocation):
+        # a misconfigured engine (too many streams / batch too large) must
+        # raise here with numbers, not fault the TPU worker mid-serve
+        self.hbm_estimate = self._estimate_hbm(model, cfg, params,
+                                               escalate)
+        limit = hbm_limit if hbm_limit is not None else _device_hbm_bytes()
+        if limit and self.hbm_estimate > limit:
+            raise ValueError(
+                f"serving configuration needs ~{self.hbm_estimate / 2**30:.2f}"
+                f" GiB HBM but the device reports {limit / 2**30:.2f} GiB "
+                f"(max_streams={max_streams}, ring_frames={self.ring_frames},"
+                f" extend_batch={self.extend_batch}, "
+                f"score_batch={self.score_batch}, esc_batch={self.esc_batch})"
+                f" — lower max_streams or the batch sizes, or pass "
+                f"hbm_limit=0 to override the guard")
+
         # +1 slot: scratch for batch-padding rows (writes and reads of the
         # pad rows land there; occupancy never changes compiled shapes)
         self._scratch = max_streams
@@ -201,7 +238,6 @@ class MultiStreamScorer:
         # direct score of that window.
         self.escalate_band = escalate_band
         self.escalate_center = escalate_center
-        self.esc_batch = esc_batch or max(1, self.score_batch // 4)
         self.ring_samples = self.ring_frames * stride
         stride_ = stride
         seg_hop_ = self.seg_hop
@@ -270,6 +306,71 @@ class MultiStreamScorer:
 
         self._slots: Dict[int, _StreamState] = {}
         self._free = collections.deque(range(max_streams))
+        self._rr = 0  # round-robin offset; advances once per poll
+        # cumulative device-dispatch counts (capacity accounting: pairs
+        # with :meth:`device_costs` to split compute from relay/host time)
+        self.dispatch_counts = {"extend": 0, "score": 0, "escalate": 0}
+
+    # ---------------------------------------------------------- memory guard
+
+    def _estimate_hbm(self, model, cfg, params, escalate) -> int:
+        """Coarse device-memory estimate (bytes) for this configuration.
+
+        Counts what dominates at scale — parameter trees, the two rings,
+        the extend-batch conv activations, and the score/escalation
+        forward activations (2x margin on activations for XLA temps).
+        It is deliberately conservative-but-approximate: its job is to
+        turn an order-of-magnitude misconfiguration (e.g. the S=1024
+        cascade that faulted a 16 GiB v5e worker, PERFORMANCE.md) into a
+        ValueError with numbers, not to model the allocator exactly.
+        """
+        leaf_bytes = lambda tree: sum(
+            l.size * np.dtype(l.dtype).itemsize
+            for l in jax.tree_util.tree_leaves(tree))
+        itemsize = np.dtype(model.dtype).itemsize
+        total = leaf_bytes(params)
+        if self.batch_stats:
+            total += leaf_bytes(self.batch_stats)
+
+        # rings (feature ring in model dtype; sample ring in transport dtype)
+        total += (self.max_streams + 1) * self.ring_frames \
+            * self._channels * itemsize
+        total += (self.max_streams + 1) * self.ring_frames * self.stride \
+            * np.dtype(self._tdtype).itemsize
+
+        # extend: conv activations per segment (sum over layer outputs)
+        t, conv_act = self.seg_samples, self.seg_samples
+        for (c, k, s) in cfg.conv_layers:
+            t = (t - k) // s + 1
+            conv_act += t * c
+        act = self.extend_batch * conv_act * 4  # conv runs f32-ish
+
+        # score: window gather + transformer working set (per live layer:
+        # qkv/ffn activations + attention logits; scan keeps ~2 alive)
+        embed = cfg.encoder_embed_dim
+        ffn = cfg.encoder_ffn_dim
+        wf = self.win_frames
+        act += self.score_batch * wf * self._channels * itemsize
+        act += 2 * self.score_batch * (
+            wf * embed * 4 + cfg.encoder_heads * wf * wf + wf * ffn) \
+            * itemsize
+
+        if escalate is not None:
+            esc_model, esc_params, esc_stats = escalate
+            total += leaf_bytes(esc_params)
+            if esc_stats:
+                total += leaf_bytes(esc_stats)
+            # flagship re-scores raw windows: conv over a full window +
+            # its own transformer; approximate with this cfg's dims
+            # scaled to the window length (the escalation model's config
+            # isn't available here)
+            scale = self.duration / max(self.seg_samples, 1)
+            act += self.esc_batch * conv_act * scale * 4
+            act += 2 * self.esc_batch * (
+                wf * embed * 4 + cfg.encoder_heads * wf * wf + wf * ffn) \
+                * itemsize
+
+        return int(total + 2 * act)
 
     # ------------------------------------------------------------- lifecycle
 
@@ -280,33 +381,75 @@ class MultiStreamScorer:
                 f"all {self.max_streams} stream slots are busy")
         slot = self._free.popleft()
         self._slots[slot] = _StreamState(
-            stream_id if stream_id is not None else slot, self._tdtype)
+            stream_id if stream_id is not None else slot, self._tdtype,
+            head_cap=self.duration)
         return slot
 
     def close_stream(self, handle: int, flush: bool = False) -> None:
-        """Release a slot. ``flush=True`` zero-pads the tail so windows
-        whose samples partially arrived still get scored on subsequent
-        :meth:`poll` calls — the slot frees once its work drains."""
+        """Release a slot. ``flush=True`` finishes scoring with the offline
+        scorers' window semantics (engine/streaming.py frame_starts):
+
+        - no samples pushed: the slot frees immediately, no window;
+        - fewer than one window of samples: the stream is repeat-TILED
+          into exactly one window (like the dataset duration-fit);
+        - otherwise: hop-grid windows plus, when the grid doesn't reach
+          the end, a final tail-aligned window at ``total - duration``
+          snapped down to the conv frame grid (sub-frame remainder
+          zero-padded — identical to the offline scorer's segment pad).
+
+        The slot frees once its remaining windows drain via :meth:`poll`.
+        """
         st = self._slots.get(handle)
         if st is None:
             raise KeyError(f"no open stream at slot {handle}")
-        if not flush:
+        st.coalesce()
+        total = st.next_seg * self.seg_hop + len(st.buf)
+        if not flush or total == 0:
+            # nothing pushed: a fabricated all-zero window would pollute
+            # per-stream aggregates — just free the slot
             del self._slots[handle]
             self._free.append(handle)
             return
-        # pad so every sample pushed so far is covered by some window AND
-        # the needed frames land on a segment boundary (a partial final
-        # segment would never be extracted), then let poll() drain
-        st.coalesce()
-        total = st.next_seg * self.seg_hop + len(st.buf)
-        last_win = max(0, -(-max(0, total - self.duration) // self.hop))
-        st.final_win = last_win + 1
-        frames_needed = last_win * self.hop_frames + self.win_frames
+        if total <= self.duration:
+            if st.next_win >= 1:
+                # exactly one window of samples and it was already scored
+                # (total == duration): nothing left to flush
+                del self._slots[handle]
+                self._free.append(handle)
+                return
+            # short stream: repeat-tile into ONE window (offline parity:
+            # streaming.frame_windows / dataset adjust_duration). The ring
+            # rows are simply re-extracted from the tiled wave.
+            wave = np.concatenate(st.head)[:total]
+            reps = -(-self.duration // total)
+            st.buf = np.ascontiguousarray(
+                np.tile(wave, reps)[: self.duration])
+            st.next_seg = 0
+            st.final_win = 1
+            st.tail_frame = None
+            last_win = 0
+        else:
+            last_win = (total - self.duration) // self.hop
+            st.final_win = last_win + 1
+            s_tail = (total - self.duration) - ((total - self.duration)
+                                                % self.stride)
+            if s_tail > last_win * self.hop:
+                # the hop grid doesn't reach the end: one extra window
+                # tail-aligned on real audio (frame_starts semantics)
+                st.tail_frame = s_tail // self.stride
+                st.final_win += 1
+        # pad so the needed frames land on a segment boundary (a partial
+        # final segment would never be extracted), then let poll() drain
+        if st.tail_frame is not None:
+            frames_needed = st.tail_frame + self.win_frames
+        else:
+            frames_needed = last_win * self.hop_frames + self.win_frames
         segs_needed = -(-frames_needed // self.seg_frames)
         need = (segs_needed - 1) * self.seg_hop + self.seg_samples
-        if need > total:
+        have = st.next_seg * self.seg_hop + len(st.buf)
+        if need > have:
             st.buf = np.concatenate(
-                [st.buf, np.zeros(need - total, self._tdtype)])
+                [st.buf, np.zeros(need - have, self._tdtype)])
 
     @property
     def active_streams(self) -> int:
@@ -332,6 +475,27 @@ class MultiStreamScorer:
         # O(1) per push: chunks coalesce once per poll, not per call
         st.chunks.append(samples)
         st.chunks_len += len(samples)
+        if st.head_len < st.head_cap:
+            # retain the first window of samples for flush-time tiling
+            st.head.append(samples)
+            st.head_len += len(samples)
+
+    def _win_start_frame(self, st, w):
+        """Ring start frame of window ``w`` — hop grid, except a
+        flush-time tail-aligned final window (close_stream)."""
+        if st.tail_frame is not None and w == st.final_win - 1:
+            return st.tail_frame
+        return w * self.hop_frames
+
+    def _iter_slots(self):
+        """Slots in round-robin rotated order (rotation advances once per
+        poll): under sustained overload every stream gets batch capacity
+        in turn instead of high-index slots starving."""
+        items = list(self._slots.items())
+        if len(items) > 1:
+            off = self._rr % len(items)
+            items = items[off:] + items[:off]
+        return items
 
     def _due_segments(self, limit=None):
         """(slot, seg_index, segment_samples) for extractable segments,
@@ -339,7 +503,7 @@ class MultiStreamScorer:
         ``limit`` segments are collected (poll never needs more than one
         extend batch, so enumerating a deep backlog would be waste)."""
         out = []
-        for slot, st in self._slots.items():
+        for slot, st in self._iter_slots():
             st.coalesce()
             k = st.next_seg
             # buf[0] is absolute sample k*seg_hop; segment k spans
@@ -349,7 +513,7 @@ class MultiStreamScorer:
                 # backpressure: frames [k*sf, (k+1)*sf) may not overwrite
                 # frames the oldest pending window still needs (escalation
                 # margin covers the sample-ring's sub-frame tail overrun)
-                oldest_needed = st.next_win * self.hop_frames
+                oldest_needed = self._win_start_frame(st, st.next_win)
                 if (k + 1) * self.seg_frames - oldest_needed \
                         > self.ring_frames - self._ring_margin:
                     break
@@ -371,12 +535,14 @@ class MultiStreamScorer:
 
     def _due_windows(self):
         out = []
-        for slot, st in self._slots.items():
+        for slot, st in self._iter_slots():
             frames_done = st.next_seg * self.seg_frames
             w = st.next_win
-            while (w * self.hop_frames + self.win_frames <= frames_done
-                   and (st.final_win is None or w < st.final_win)):
-                out.append((slot, w))
+            while st.final_win is None or w < st.final_win:
+                start = self._win_start_frame(st, w)
+                if start + self.win_frames > frames_done:
+                    break
+                out.append((slot, w, start))
                 w += 1
         return out
 
@@ -386,6 +552,7 @@ class MultiStreamScorer:
         to work through a backlog larger than the batch sizes."""
         results: List[WindowScore] = []
         self._last_poll_work = False
+        self._rr += 1  # rotate fairness offset (see _iter_slots)
         segs = self._due_segments(limit=self.extend_batch)
         if segs:
             self._last_poll_work = True
@@ -400,6 +567,7 @@ class MultiStreamScorer:
             self._feats, self._swave = self._extend(
                 self._conv_params, self._feats, self._swave,
                 jnp.asarray(seg_mat), jnp.asarray(slots), jnp.asarray(pos))
+            self.dispatch_counts["extend"] += 1
             self._consume(segs)
 
         wins = self._due_windows()[: self.score_batch]
@@ -407,12 +575,13 @@ class MultiStreamScorer:
             self._last_poll_work = True
             slots = np.full((self.score_batch,), self._scratch, np.int32)
             starts = np.zeros((self.score_batch,), np.int32)
-            for i, (slot, w) in enumerate(wins):
+            for i, (slot, w, start) in enumerate(wins):
                 slots[i] = slot
-                starts[i] = (w * self.hop_frames) % self.ring_frames
+                starts[i] = start % self.ring_frames
             scores = np.array(self._score(
                 self.params, self.batch_stats, self._feats,
                 jnp.asarray(slots), jnp.asarray(starts)))
+            self.dispatch_counts["score"] += 1
             escalated = np.zeros(len(wins), bool)
             if self._escalate:
                 # same-poll escalation: the ring rows are still protected
@@ -431,13 +600,15 @@ class MultiStreamScorer:
                     esc_scores = np.asarray(self._score_esc(
                         self._esc_params, self._esc_stats, self._swave,
                         jnp.asarray(eslots), jnp.asarray(estarts)))
+                    self.dispatch_counts["escalate"] += 1
                     for j, i in enumerate(chunk):
                         scores[i] = esc_scores[j]
                         escalated[i] = True
-            for i, (slot, w) in enumerate(wins):
+            for i, (slot, w, start) in enumerate(wins):
                 st = self._slots[slot]
                 st.next_win = w + 1
-                results.append(WindowScore(st.stream_id, w * self.hop,
+                results.append(WindowScore(st.stream_id,
+                                           start * self.stride,
                                            float(scores[i]),
                                            bool(escalated[i])))
         # release closing streams whose final window has been scored
@@ -456,8 +627,9 @@ class MultiStreamScorer:
                 return True
             frames_done = st.next_seg * self.seg_frames
             w = st.next_win
-            if (w * self.hop_frames + self.win_frames <= frames_done
-                    and (st.final_win is None or w < st.final_win)):
+            if ((st.final_win is None or w < st.final_win)
+                    and self._win_start_frame(st, w) + self.win_frames
+                    <= frames_done):
                 return True
         return False
 
@@ -493,3 +665,59 @@ class MultiStreamScorer:
                 self._esc_params, self._esc_stats, self._swave,
                 jnp.full((self.esc_batch,), self._scratch, jnp.int32),
                 jnp.zeros((self.esc_batch,), jnp.int32))))
+
+    def device_costs(self, n: int = 10) -> Dict[str, float]:
+        """Amortized ON-DEVICE cost (ms) of one dispatch of each compiled
+        program at its configured batch size, keyed like
+        :attr:`dispatch_counts`. Pipelines ``n`` scratch-row dispatches and
+        forces one dependent host readback: per-dispatch relay latency
+        (~30 ms on the remote link) amortizes away, so
+        ``sum(device_costs[k] * dispatch_counts[k])`` is the chip-time a
+        co-located deployment would pay — the number capacity claims should
+        be made from, not relay-inflated wall p95. Scratch rows only: live
+        stream state is untouched; safe to call mid-serve."""
+        import time
+
+        def force(x):
+            return float(jnp.asarray(x).reshape(-1)[0].astype(jnp.float32))
+
+        out: Dict[str, float] = {}
+        seg0 = jnp.zeros((self.extend_batch, self.seg_samples),
+                         jnp.int16 if self._tdtype is np.int16
+                         else jnp.float32)
+        eslots = jnp.full((self.extend_batch,), self._scratch, jnp.int32)
+        epos = jnp.zeros((self.extend_batch,), jnp.int32)
+        self._feats, self._swave = self._extend(
+            self._conv_params, self._feats, self._swave, seg0, eslots, epos)
+        force(self._feats[self._scratch, 0])
+        t0 = time.perf_counter()
+        for _ in range(n):
+            self._feats, self._swave = self._extend(
+                self._conv_params, self._feats, self._swave, seg0, eslots,
+                epos)
+        force(self._feats[self._scratch, 0])
+        out["extend"] = (time.perf_counter() - t0) / n * 1000.0
+
+        sslots = jnp.full((self.score_batch,), self._scratch, jnp.int32)
+        sstarts = jnp.zeros((self.score_batch,), jnp.int32)
+        force(self._score(self.params, self.batch_stats, self._feats,
+                          sslots, sstarts))
+        t0 = time.perf_counter()
+        for _ in range(n):
+            r = self._score(self.params, self.batch_stats, self._feats,
+                            sslots, sstarts)
+        force(r)
+        out["score"] = (time.perf_counter() - t0) / n * 1000.0
+
+        if self._escalate:
+            cslots = jnp.full((self.esc_batch,), self._scratch, jnp.int32)
+            cstarts = jnp.zeros((self.esc_batch,), jnp.int32)
+            force(self._score_esc(self._esc_params, self._esc_stats,
+                                  self._swave, cslots, cstarts))
+            t0 = time.perf_counter()
+            for _ in range(n):
+                r = self._score_esc(self._esc_params, self._esc_stats,
+                                    self._swave, cslots, cstarts)
+            force(r)
+            out["escalate"] = (time.perf_counter() - t0) / n * 1000.0
+        return out

@@ -171,3 +171,150 @@ def test_transport_dtype_validation(tiny):
     with pytest.raises(ValueError, match="transport_dtype"):
         MultiStreamScorer(model, params, stats, cfg, duration=duration,
                           transport_dtype="int8")
+
+
+def test_flush_tail_matches_incremental_offline(tiny):
+    """Non-grid-aligned stream length: flush adds a tail-aligned final
+    window (start = total - duration, snapped DOWN to the conv frame grid)
+    scored on real audio — per-file aggregates therefore match the offline
+    IncrementalStreamingScorer instead of drifting on zero-pad."""
+    from rtdsd_tpu.engine.streaming import IncrementalStreamingScorer
+
+    model, params, stats, cfg, duration = tiny
+    hop = duration // 2
+    stride = cfg.total_stride
+    inc = IncrementalStreamingScorer(model, params, stats, cfg,
+                                     duration=duration, hop=hop,
+                                     batch_size=4, seg_frames=20)
+    rng = np.random.default_rng(31)
+    # offsets past the hop grid: 240 = frame-aligned tail, 203 leaves a
+    # sub-frame remainder (zero-padded identically offline and serving)
+    for extra in (240, 203):
+        wave = rng.standard_normal(2 * hop + duration + extra)\
+            .astype(np.float32) * 0.1
+        t = len(wave)
+        eng = MultiStreamScorer(model, params, stats, cfg,
+                                duration=duration, hop=hop, max_streams=2)
+        h = eng.open_stream("tail")
+        eng.push(h, wave)
+        eng.close_stream(h, flush=True)
+        got = sorted(eng.drain(), key=lambda g: g.start_sample)
+
+        s_tail = (t - duration) - ((t - duration) % stride)
+        assert [g.start_sample for g in got] == [0, hop, 2 * hop, s_tail]
+        exp = inc.window_scores(wave)
+        assert len(exp) == len(got)
+        np.testing.assert_allclose([g.score for g in got], exp,
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_flush_short_stream_tiles_one_window(tiny):
+    """A stream shorter than one window is repeat-tiled into exactly one
+    window at flush (dataset duration-fit semantics), matching the offline
+    scorers — not zero-padded, not dropped."""
+    from rtdsd_tpu.engine.streaming import IncrementalStreamingScorer
+
+    model, params, stats, cfg, duration = tiny
+    inc = IncrementalStreamingScorer(model, params, stats, cfg,
+                                     duration=duration, batch_size=4,
+                                     seg_frames=20)
+    rng = np.random.default_rng(33)
+    wave = rng.standard_normal(duration // 3 - 7).astype(np.float32) * 0.1
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            hop=duration // 2, max_streams=2)
+    h = eng.open_stream("short")
+    eng.push(h, wave[:100])  # split pushes: head retention must span chunks
+    eng.push(h, wave[100:])
+    eng.close_stream(h, flush=True)
+    got = eng.drain()
+    assert len(got) == 1 and got[0].start_sample == 0
+    exp = inc.window_scores(wave)
+    np.testing.assert_allclose([got[0].score], exp, rtol=2e-4, atol=2e-5)
+    assert eng.active_streams == 0
+
+
+def test_flush_zero_push_frees_slot_without_window(tiny):
+    """close(flush=True) on a stream that never pushed a sample must free
+    the slot immediately and fabricate no all-zero window score."""
+    model, params, stats, cfg, duration = tiny
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            max_streams=2)
+    h = eng.open_stream("empty")
+    eng.close_stream(h, flush=True)
+    assert eng.active_streams == 0
+    assert eng.drain() == []
+
+
+def test_round_robin_fairness_under_overload(tiny):
+    """score_batch=1 with three backlogged streams: the per-poll rotation
+    must hand the single score slot to a different stream each poll instead
+    of draining slot 0 first (advisor r2: starvation under overload)."""
+    model, params, stats, cfg, duration = tiny
+    hop = duration // 2
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            hop=hop, max_streams=3, extend_batch=12,
+                            score_batch=1)
+    rng = np.random.default_rng(37)
+    handles = {}
+    for i in range(3):
+        wave = rng.standard_normal(4 * hop + duration).astype(np.float32)
+        h = eng.open_stream(f"s{i}")
+        eng.push(h, wave * 0.1)
+        handles[h] = f"s{i}"
+
+    first_scored = []
+    for _ in range(20):
+        out = eng.poll()
+        if out:
+            assert len(out) == 1  # score_batch=1
+            first_scored.append(out[0].stream_id)
+        if len(first_scored) == 3:
+            break
+    # three consecutive scoring polls served three distinct streams
+    assert sorted(first_scored) == ["s0", "s1", "s2"]
+
+
+def test_hbm_preflight_guard(tiny):
+    """A configuration that cannot fit must raise at construction with the
+    computed numbers (r2: S=1024 faulted the TPU worker mid-serve), and
+    hbm_limit=0 must disable the guard for expert override."""
+    model, params, stats, cfg, duration = tiny
+    with pytest.raises(ValueError, match="HBM"):
+        MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                          max_streams=4, hbm_limit=1000)
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            max_streams=4, hbm_limit=0)
+    assert eng.hbm_estimate > 1000  # the guard would have tripped
+
+
+def test_dispatch_counts_and_device_costs(tiny):
+    """Capacity accounting: dispatch_counts tracks one increment per device
+    program call (the O(1)-dispatches-per-poll claim), and device_costs
+    returns a positive amortized ms per program."""
+    model, params, stats, cfg, duration = tiny
+    hop = duration // 2
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            hop=hop, max_streams=2)
+    h = eng.open_stream("acct")
+    eng.push(h, np.zeros(2 * hop + duration, np.float32))
+    polls_with_work = 0
+    while True:
+        before = dict(eng.dispatch_counts)
+        out = eng.poll()
+        delta = {k: eng.dispatch_counts[k] - before[k]
+                 for k in eng.dispatch_counts}
+        if not (eng._last_poll_work or out):
+            assert delta == {"extend": 0, "score": 0, "escalate": 0}
+            break
+        polls_with_work += 1
+        assert delta["extend"] <= 1 and delta["score"] <= 1  # O(1)/poll
+    assert polls_with_work >= 1
+    assert eng.dispatch_counts["extend"] >= 1
+    assert eng.dispatch_counts["score"] >= 1
+
+    costs = eng.device_costs(n=2)
+    assert set(costs) == {"extend", "score"}
+    assert all(v > 0 for v in costs.values())
+    # the accounting itself must not perturb stream state
+    eng.close_stream(h, flush=True)
+    assert len(eng.drain()) >= 1

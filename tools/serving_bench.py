@@ -122,6 +122,7 @@ def main():
         ticks = []
         n_scores = 0
         n_esc = 0
+        counts0 = dict(eng.dispatch_counts)
         for t in range(args.ticks):
             t0 = time.perf_counter()
             for i, h in enumerate(handles):
@@ -141,6 +142,22 @@ def main():
             f"(budget {budget_ms:.0f}) scores={n_scores}{casc} "
             f"{'SUSTAINED' if p95 < budget_ms else 'OVER'} "
             f"-> est capacity ~{cap} streams")
+        # device-ms accounting: amortized per-dispatch chip time x actual
+        # dispatch counts from the tick loop = chip-ms per tick. This is
+        # the capacity number for a co-located deployment — the wall p95
+        # above additionally pays the remote relay (~30 ms/dispatch here),
+        # which swings +-30% run to run (PERFORMANCE.md).
+        costs = eng.device_costs()
+        per_tick = {k: (eng.dispatch_counts[k] - counts0.get(k, 0))
+                    / args.ticks for k in eng.dispatch_counts}
+        dev_ms = sum(costs.get(k, 0.0) * per_tick[k] for k in per_tick)
+        detail = " ".join(f"{k}:{costs.get(k, 0.0):.2f}ms x{per_tick[k]:.2f}"
+                          for k in ("extend", "score", "escalate")
+                          if per_tick.get(k))
+        dev_cap = int(S * budget_ms / max(dev_ms, 1e-9))
+        log(f"S={S}: device {dev_ms:.1f} ms/tick ({detail}) "
+            f"{'SUSTAINED' if dev_ms < budget_ms else 'OVER'} on-device "
+            f"-> co-located capacity ~{dev_cap} streams")
         del eng
 
 
