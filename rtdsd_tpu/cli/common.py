@@ -44,7 +44,9 @@ def init_state(spec: ModelSpec, sys_config: SysConfig, exp_config: ExpConfig,
     configured (replacing fairseq load at /root/reference/models/fe.py:11)."""
     sample = jnp.zeros((2, exp_config.train_duration_samples), jnp.float32)
     tx = tx or make_optimizer(exp_config.lr, exp_config.weight_decay,
-                              spec.freeze_patterns, spec.unfreeze_patterns)
+                              spec.freeze_patterns, spec.unfreeze_patterns,
+                              optimizer=exp_config.optimizer,
+                              mu_dtype=exp_config.adam_mu_dtype)
     state = create_train_state(spec.module, rng, sample, tx)
 
     ssl_src = sys_config.ssl_pytree_path or sys_config.ssl_ckpt_path
@@ -200,6 +202,36 @@ def _write_score_file(save_path: str, names, scores) -> None:
     print(f"Wrote {len(names)} scores -> {save_path}")
 
 
+def tag_score_path(save_path: str, comment, path_attr: str) -> str:
+    """Insert ``_{comment}`` before the ``.txt`` of a configured score path
+    (ref main.py: ``save_path.replace(".txt", f"_{comment}.txt")``). A path
+    without ``.txt`` is rejected: replace() would silently no-op and two
+    differently-tagged runs would collide on one file (the second run then
+    "skips, exists" against the wrong scores)."""
+    if not comment:
+        return save_path
+    if ".txt" not in save_path:
+        raise ValueError(
+            f"--comment needs a '.txt' score path to tag; "
+            f"{path_attr}={save_path!r} has none")
+    return save_path.replace(".txt", f"_{comment}.txt")
+
+
+def _check_score_shortfall(dataset, names) -> None:
+    """A scored submission must cover every trial: with
+    ``on_decode_error='skip'`` undecodable utterances would otherwise be
+    silently absent from the score file (downstream EER tooling reports
+    them as 'unmatched' without failing), masking corpus corruption."""
+    expected = len(dataset.trials)
+    if len(names) != expected:
+        raise RuntimeError(
+            f"scored {len(names)}/{expected} trials — "
+            f"{expected - len(names)} utterance(s) were skipped "
+            f"(undecodable?). A score file must cover every trial; fix "
+            f"the corpus or score with on_decode_error='raise' to see "
+            f"the failing files.")
+
+
 def produce_evaluation_file(dataset, spec: ModelSpec, state: TrainState,
                             save_path: str, batch_size: int,
                             sharding=None, num_workers: int = 4) -> None:
@@ -208,6 +240,7 @@ def produce_evaluation_file(dataset, spec: ModelSpec, state: TrainState,
     bonafide logit, float via python repr like ``'{}'.format(score)``."""
     names, scores = score_dataset(dataset, spec, state, batch_size,
                                   sharding, num_workers)
+    _check_score_shortfall(dataset, names)
     _write_score_file(save_path, names, scores)
 
 
@@ -240,6 +273,7 @@ def produce_evaluation_file_cascade(
     duration fit). The written file keeps the reference score format."""
     names, scores = score_dataset(dataset_screen, spec_screen, state_screen,
                                   batch_size, sharding, num_workers)
+    _check_score_shortfall(dataset_screen, names)
     esc = [i for i, sc in enumerate(scores) if abs(sc - center) <= band]
     if esc:
         sub = subset_dataset(dataset_full, esc)

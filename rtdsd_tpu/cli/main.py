@@ -32,7 +32,7 @@ from rtdsd_tpu.config import load_yaml_config
 from rtdsd_tpu.cli.common import (build_model, init_state,
                                   load_checkpoint_for_eval,
                                   produce_evaluation_file, setup_mesh,
-                                  shard_state)
+                                  shard_state, tag_score_path)
 from rtdsd_tpu.data.dataset import (ASVspoof2019LA, ASVspoof2019LA_eval,
                                     ASVspoof2021DF_eval, ASVspoof2021LA_eval,
                                     ASVSpoof5, FakeOrReal, InTheWild)
@@ -125,7 +125,9 @@ def run_train(args, sys_config, exp_config):
 
     spec = build_model(sys_config, exp_config, train=True)
     tx = make_optimizer(exp_config.lr, exp_config.weight_decay,
-                        spec.freeze_patterns, spec.unfreeze_patterns)
+                        spec.freeze_patterns, spec.unfreeze_patterns,
+                        optimizer=exp_config.optimizer,
+                        mu_dtype=exp_config.adam_mu_dtype)
     state = init_state(spec, sys_config, exp_config, rng, tx)
 
     if exp_config.restore_checkpoint:
@@ -235,9 +237,8 @@ def run_score(args, sys_config, exp_config, tracks):
 
     for track in tracks:
         ds_cls, path_attr = TRACK_DATASETS[track]
-        save_path = getattr(sys_config, path_attr)
-        if args.comment:
-            save_path = save_path.replace(".txt", f"_{args.comment}.txt")
+        save_path = tag_score_path(getattr(sys_config, path_attr),
+                                   args.comment, path_attr)
         if os.path.exists(save_path):  # idempotence (ref main.py:297,409)
             print(f"{track}: score file exists, skip")
             continue

@@ -32,7 +32,7 @@ from rtdsd_tpu.config import load_yaml_config
 from rtdsd_tpu.cli.common import (build_model, init_state,
                                   load_checkpoint_for_eval,
                                   produce_evaluation_file, setup_mesh,
-                                  shard_state)
+                                  shard_state, tag_score_path)
 from rtdsd_tpu.cli.main import TRACK_DATASETS, validate_tracks
 from rtdsd_tpu.data.dataset import ASVspoof2019LA
 from rtdsd_tpu.data.loader import DataLoader
@@ -94,7 +94,9 @@ def run_kd_train(args, sys_config, exp_config):
     student_spec, student_kwargs = build_student(sys_config, exp_config)
     tx = make_optimizer(exp_config.lr, exp_config.weight_decay,
                         student_spec.freeze_patterns,
-                        student_spec.unfreeze_patterns)
+                        student_spec.unfreeze_patterns,
+                        optimizer=exp_config.optimizer,
+                        mu_dtype=exp_config.adam_mu_dtype)
     s_state = init_state(student_spec, sys_config, exp_config,
                          jax.random.fold_in(rng, 1), tx)
 
@@ -108,8 +110,14 @@ def run_kd_train(args, sys_config, exp_config):
         order = student_kwargs.get("order", "first")
         custom = kd.get("custom_order_copy_weights",
                         student_kwargs.get("custom_order"))
+        # indices index the TEACHER's layer stack (ref main_kd.py:133-141;
+        # 24 for the full XLSR teacher, fewer for a pruned one) — resolving
+        # against the real depth rejects out-of-range custom orders instead
+        # of letting jnp.take clamp to the wrong layer
+        total = len(teacher_spec.layer_indices)
         indices = resolve_layer_indices(
-            24, int(student_kwargs.get("num_layers", 24)), order, custom)
+            total, int(student_kwargs.get("num_layers", total)), order,
+            custom)
         params = copy_teacher_weights(s_state.params, t_state.params, indices)
         s_state = s_state.replace(params=params, opt_state=tx.init(params))
         logger.print("Copied teacher weights to student "
@@ -209,9 +217,8 @@ def run_kd_score(args, sys_config, exp_config, tracks):
     state = shard_state(state, mesh, mode="dp")
     for track in tracks:
         ds_cls, path_attr = TRACK_DATASETS[track]
-        save_path = getattr(sys_config, path_attr)
-        if args.comment:
-            save_path = save_path.replace(".txt", f"_{args.comment}.txt")
+        save_path = tag_score_path(getattr(sys_config, path_attr),
+                                   args.comment, path_attr)
         if os.path.exists(save_path):
             print(f"{track}: score file exists, skip")
             continue

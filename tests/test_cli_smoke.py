@@ -170,3 +170,136 @@ def test_cli_serve_smoke(trained):
     assert any("#" in l.split(" ")[0] for l in out.splitlines())
     for path, score in agg.items():
         assert np.isfinite(score)
+
+
+# ------------------------------------------------------------- KD CLI smoke
+
+def _kd_config(root):
+    """KD yaml over the same synthetic dataset: the trained smoke model is
+    the teacher; the student copies its (only) XLSR layer and distills with
+    the reference kd_kwargs schema (ref /root/reference/main_kd.py:43-237)."""
+    cfg = f"""
+SysConfig:
+  wandb_disabled: true
+  model: My_XLSR_AASIST
+  student_model: My_XLSR_AASIST
+  path_label_asv_spoof_2019_la_train: {root}/train.txt
+  path_asv_spoof_2019_la_train: {root}/audio
+  path_label_asv_spoof_2019_la_dev: {root}/dev.txt
+  path_asv_spoof_2019_la_dev: {root}/audio
+  path_label_asv_spoof_2019_la_eval: {root}/eval19.txt
+  path_asv_spoof_2019_la_eval: {root}/audio
+  la19_score_save_path: {root}/scores_kd_la19.txt
+  path_to_save_model: {root}/runs_kd
+  num_workers: 2
+ExpConfig:
+  random_seed: 7
+  train_duration_sec: 0.5
+  test_duration_sec: 0.5
+  batch_size_train: 8
+  batch_size_test: 8
+  lr: 0.001
+  compute_dtype: float32
+  allow_data_augmentation: false
+  data_augmentation: []
+  la19_eval_random_start: false
+  kwargs:
+    num_layers: 1
+    order: first
+    w2v: &w2v
+      conv_layers: [[16, 10, 5], [16, 3, 2], [16, 2, 2]]
+      encoder_embed_dim: 16
+      encoder_ffn_dim: 32
+      encoder_heads: 2
+      conv_pos: 8
+      conv_pos_groups: 2
+  kd_kwargs:
+    copy_weights: true
+    custom_order_copy_weights: [0]
+    ce_loss_weight: 1.0
+    student_kwargs:
+      num_layers: 1
+      order: custom
+      custom_order: [0]
+      w2v: *w2v
+    kd_criterions:
+      - key: KDLoss
+        kwargs:
+          student_module_path: logits
+          teacher_module_path: logits
+          temperature: 4.0
+      - key: MSELoss
+        kwargs:
+          student_module_path: ssl_model.model.encoder.layers.0
+          teacher_module_path: ssl_model.model.encoder.layers.0
+    kd_criterion_weights: [0.5, 1.0]
+"""
+    path = root / "kd_cfg.yaml"
+    path.write_text(cfg)
+    return str(path)
+
+
+def test_cli_kd_smoke(trained):
+    """main_kd end-to-end as a subprocess: teacher restore -> student build
+    -> copy_teacher_weights (custom order) -> one KD epoch -> --eval student
+    scoring (ref surface /root/reference/main_kd.py:265-286)."""
+    root, _cfg, last = trained
+    kd_cfg = _kd_config(root)
+
+    out = _run(["rtdsd_tpu.cli.main_kd", "--config", kd_cfg,
+                "--ckpt", last, "--max_epoch", "1"])
+    assert "Load Teacher checkpoint" in out
+    assert "Copied teacher weights to student (layer map [0])" in out
+    last_kd = root / "runs_kd" / "last_kd"
+    assert last_kd.is_dir(), "no rolling last_kd student checkpoint"
+
+    _run(["rtdsd_tpu.cli.main_kd", "--config", kd_cfg, "--is_eval",
+          "--eval", "student", "--is_score", "--ckpt", str(last_kd),
+          "--tracks", "LA19"])
+    scores = (root / "scores_kd_la19.txt").read_text().strip().splitlines()
+    assert len(scores) == 8
+    for line in scores:
+        uid, val = line.split(" ")
+        assert uid.startswith("LA_E_")
+        assert np.isfinite(float(val))
+
+
+def test_parity_replay_closed_loop(trained):
+    """The PARITY_RUNBOOK path executes end-to-end before any real blobs
+    arrive: export a framework-trained model to a reference .pt, then
+    tools/parity_replay.py --mode exact must reproduce the framework's own
+    score file through the .pt -> convert -> CLI-score path."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import subprocess
+
+    root, cfg, last = trained
+    # ensure the oracle score file exists (idempotent: CLI skips if present)
+    _run(["rtdsd_tpu.cli.main", "--config", cfg, "--is_eval", "--is_score",
+          "--ckpt", last, "--tracks", "LA19"])
+    oracle = root / "scores_la19.txt"
+    assert oracle.exists()
+
+    from rtdsd_tpu.cli.common import (build_model, init_state,
+                                      load_checkpoint_for_eval)
+    from rtdsd_tpu.config import load_yaml_config
+    from rtdsd_tpu.models.export_reference import export_reference_model
+
+    sys_config, exp_config = load_yaml_config(cfg)
+    spec = build_model(sys_config, exp_config, train=False)
+    state = init_state(spec, sys_config, exp_config, jax.random.key(0))
+    state = load_checkpoint_for_eval(last, spec, state)
+    sd = export_reference_model(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        spec.name)
+    pt = root / "exported_reference.pt"
+    torch.save({k: torch.from_numpy(np.asarray(v, np.float32))
+                for k, v in sd.items()}, str(pt))
+
+    r = subprocess.run(
+        [sys.executable, "tools/parity_replay.py", "--ckpt", str(pt),
+         "--config", cfg, "--oracle", str(oracle), "--track", "LA19",
+         "--mode", "exact", "--tol", "1e-4"],
+        cwd=REPO, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "PASS: exact parity within tolerance" in r.stdout

@@ -186,3 +186,93 @@ def test_cascade_band_sweep_cli(tmp_path, capsys):
     np.testing.assert_allclose(eers[0], screener_eer, atol=1e-4)
     assert eers[-1] == 0.0
     assert all(a >= b - 1e-9 for a, b in zip(eers, eers[1:]))  # monotone-ish
+
+
+# -------------------------------------------- official t-DCF cross-check
+
+def _official_det_curve(target_scores, nontarget_scores):
+    """Transcribed from the official ASVspoof eval package's
+    ``compute_det_curve`` (t-DCF v2 code, Kinnunen et al.; also shipped
+    verbatim in the ASVspoof 2021 evaluation package). Sort-based sweep —
+    a different algorithm from both compute_min_tdcf's two-pointer scan
+    and the brute-force oracle above, so agreement is evidence, not
+    shared assumptions."""
+    n_scores = target_scores.size + nontarget_scores.size
+    all_scores = np.concatenate((target_scores, nontarget_scores))
+    labels = np.concatenate((np.ones(target_scores.size),
+                             np.zeros(nontarget_scores.size)))
+    indices = np.argsort(all_scores, kind="mergesort")
+    labels = labels[indices]
+    tar_trial_sums = np.cumsum(labels)
+    nontarget_trial_sums = nontarget_scores.size - (
+        np.arange(1, n_scores + 1) - tar_trial_sums)
+    frr = np.concatenate(
+        (np.atleast_1d(0), tar_trial_sums / target_scores.size))
+    far = np.concatenate(
+        (np.atleast_1d(1), nontarget_trial_sums / nontarget_scores.size))
+    thresholds = np.concatenate(
+        (np.atleast_1d(all_scores[indices[0]] - 0.001), all_scores[indices]))
+    return frr, far, thresholds
+
+
+def _official_min_tdcf(bonafide_score_cm, spoof_score_cm, Pfa_asv, Pmiss_asv,
+                       Pfa_spoof_asv, cost_model):
+    """Transcribed from the official ``compute_tDCF`` (revised/"constrained"
+    t-DCF, ASVspoof 2021 eval package): C0/C1/C2 weights, DET sweep over CM
+    thresholds, normalization by the best trivial CM, minimum over the
+    sweep."""
+    C0 = (cost_model["Ptar"] * cost_model["Cmiss"] * Pmiss_asv
+          + cost_model["Pnon"] * cost_model["Cfa"] * Pfa_asv)
+    C1 = cost_model["Ptar"] * cost_model["Cmiss"] - (
+        cost_model["Ptar"] * cost_model["Cmiss"] * Pmiss_asv
+        + cost_model["Pnon"] * cost_model["Cfa"] * Pfa_asv)
+    C2 = cost_model["Pspoof"] * cost_model["Cfa_spoof"] * Pfa_spoof_asv
+    Pmiss_cm, Pfa_cm, _ = _official_det_curve(bonafide_score_cm,
+                                              spoof_score_cm)
+    tDCF = C0 + C1 * Pmiss_cm + C2 * Pfa_cm
+    tDCF_norm = tDCF / (C0 + min(C1, C2))
+    return float(np.min(tDCF_norm))
+
+
+def test_min_tdcf_matches_official_asvspoof_code():
+    """compute_min_tdcf == the official ASVspoof-2021 t-DCF computation
+    (vendored above) across ASV operating points, including the official
+    default LA cost model (Pspoof .05, Ptar .9405, Pnon .0095, Cmiss 1,
+    Cfa 10, Cfa_spoof 10 — compute_min_tdcf's defaults)."""
+    from rtdsd_tpu.utils.metrics import compute_min_tdcf
+
+    cost_model = {"Pspoof": 0.05, "Ptar": 0.9405, "Pnon": 0.0095,
+                  "Cmiss": 1.0, "Cfa": 10.0, "Cfa_spoof": 10.0}
+    rng = np.random.default_rng(17)
+    # (Pmiss_asv, Pfa_asv, Pfa_spoof_asv): perfect ASV, a realistic one,
+    # and a sloppy one that accepts most spoofs
+    for pm, pf, pfs in [(0.0, 0.0, 1.0), (0.02, 0.01, 0.45),
+                        (0.1, 0.08, 0.9)]:
+        for sep in (0.5, 1.5, 3.0):
+            labels = (rng.random(500) < 0.45).astype(int)
+            scores = rng.standard_normal(500) + sep * labels
+            want = _official_min_tdcf(scores[labels == 1],
+                                      scores[labels == 0],
+                                      Pfa_asv=pf, Pmiss_asv=pm,
+                                      Pfa_spoof_asv=pfs,
+                                      cost_model=cost_model)
+            got = compute_min_tdcf(scores, labels, pmiss_asv=pm, pfa_asv=pf,
+                                   pmiss_spoof_asv=1.0 - pfs)
+            assert abs(got - want) < 1e-12, (pm, pf, pfs, sep)
+
+
+def test_min_tdcf_official_with_ties_and_duplicates():
+    """Duplicate scores exercise the threshold-set edge cases where a
+    naive sweep and the official cumulative-sum DET can disagree."""
+    from rtdsd_tpu.utils.metrics import compute_min_tdcf
+
+    cost_model = {"Pspoof": 0.05, "Ptar": 0.9405, "Pnon": 0.0095,
+                  "Cmiss": 1.0, "Cfa": 10.0, "Cfa_spoof": 10.0}
+    scores = np.array([-1.0, -1.0, 0.0, 0.0, 0.0, 0.5, 0.5, 1.0, 1.0, -0.5])
+    labels = np.array([0, 0, 0, 1, 1, 1, 0, 1, 1, 1])
+    want = _official_min_tdcf(scores[labels == 1], scores[labels == 0],
+                              Pfa_asv=0.03, Pmiss_asv=0.04,
+                              Pfa_spoof_asv=0.6, cost_model=cost_model)
+    got = compute_min_tdcf(scores, labels, pmiss_asv=0.04, pfa_asv=0.03,
+                           pmiss_spoof_asv=0.4)
+    assert abs(got - want) < 1e-12
