@@ -147,6 +147,14 @@ class ExpConfig:
     # None reproduces that. Set false explicitly for bit-stable,
     # run-to-run-deterministic eval crops (first-N window).
     la19_eval_random_start: Optional[bool] = None
+    # Optimizer family: "adamw" (reference parity) or "adafactor"
+    # (factored second moment, ~0 optimizer-state HBM; different update
+    # dynamics — an opt-in memory/scale knob, see engine/steps.py).
+    optimizer: str = "adamw"
+    # Storage dtype for AdamW's first moment (e.g. "bfloat16" frees
+    # ~630 MB at 315 M params; second moment always stays f32). None/""
+    # keeps f32 (parity default).
+    adam_mu_dtype: Optional[str] = None
 
     @property
     def train_duration_samples(self) -> int:

@@ -154,12 +154,32 @@ def _freeze_mask(params, patterns: Sequence[str],
 
 def make_optimizer(lr: float, weight_decay: float,
                    freeze_patterns: Sequence[str] = (),
-                   unfreeze_patterns: Sequence[str] = ()
+                   unfreeze_patterns: Sequence[str] = (),
+                   optimizer: str = "adamw",
+                   mu_dtype: Optional[str] = None
                    ) -> optax.GradientTransformation:
     """AdamW matching torch defaults (betas 0.9/0.999, eps 1e-8; decay on all
-    params, as torch AdamW does — /root/reference/main.py:125)."""
-    tx = optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8,
-                     weight_decay=weight_decay)
+    params, as torch AdamW does — /root/reference/main.py:125).
+
+    ``mu_dtype`` (e.g. ``"bfloat16"``) stores AdamW's FIRST moment in a
+    narrower dtype — at 315 M params that frees ~630 MB HBM for activations.
+    The second moment stays f32: nu spans ~10 orders of magnitude and bf16's
+    8 mantissa bits break the ``sqrt(nu)+eps`` denominator (standard
+    practice; measured verdict in PERFORMANCE.md).
+    ``optimizer="adafactor"`` swaps in optax.adafactor (factored second
+    moment, no first moment: ~10 MB of optimizer state instead of 2.5 GB) —
+    different update dynamics from the reference's AdamW, so it is an
+    opt-in throughput/memory knob, never the parity default.
+    """
+    if optimizer == "adafactor":
+        tx = optax.adafactor(lr, weight_decay_rate=weight_decay or None)
+    elif optimizer == "adamw":
+        tx = optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8,
+                         weight_decay=weight_decay,
+                         mu_dtype=jnp.dtype(mu_dtype) if mu_dtype else None)
+    else:
+        raise ValueError(f"unknown optimizer {optimizer!r} "
+                         "(have: adamw, adafactor)")
     plain_f, idx_f = _split_layer_patterns(freeze_patterns or ())
     plain_u, idx_u = _split_layer_patterns(unfreeze_patterns or ())
     if plain_f:
@@ -312,7 +332,8 @@ def make_train_step(model, tx: optax.GradientTransformation, *,
                     pre_aug_list: Tuple[str, ...] = (),
                     aug_list: Tuple[str, ...] = (),
                     sample_rate: float = 16000.0,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True,
+                    donate_batch: bool = False) -> Callable:
     """Build the jitted train step: (state, waves, labels, key) ->
     (state, metrics) with metrics = {loss, num_correct}.
 
@@ -347,7 +368,13 @@ def make_train_step(model, tx: optax.GradientTransformation, *,
         num_correct = jnp.sum(jnp.argmax(logits, -1) == labels)
         return new_state, {"loss": loss, "num_correct": num_correct}
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    # donate_batch additionally donates waves+labels — safe only when the
+    # caller hands over fresh per-step device buffers (the trainer's
+    # device_prefetch does; timing probes that re-feed one buffer must not)
+    argnums = (0,) if donate else ()
+    if donate_batch:
+        argnums += (1, 2)
+    return jax.jit(step, donate_argnums=argnums)
 
 
 def make_eval_step(model, *, ce_weight: Optional[Sequence[float]] = (0.9, 0.1),

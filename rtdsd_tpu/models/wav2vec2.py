@@ -81,6 +81,8 @@ class Wav2Vec2Config:
     # "hidden" saves the two largest per-layer intermediates (post-GELU FFN
     # hidden + attention output, tagged via checkpoint_name) and recomputes
     # only the rest — ~1.6 GB extra at batch 32 for less backward recompute.
+    # "dots" saves every matmul output (jax dots_saveable) — least
+    # recompute, most memory of the three.
     remat_policy: str = "full"
     # Weight-only int8 transformer matmuls (serving mode): q/k/v/out/fc1/fc2
     # kernels are stored as int8 values + per-output-column float scales
@@ -535,6 +537,15 @@ class Wav2Vec2Encoder(nn.Module):
             if cfg.remat_policy == "hidden":
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "attn_out", "ffn_hidden")
+            elif cfg.remat_policy == "dots":
+                # save every matmul output (q/k/v/scores/attn/ffn), recompute
+                # only elementwise ops — the max-memory/min-recompute point
+                # of the save_dot family (measured verdict: PERFORMANCE.md)
+                policy = jax.checkpoint_policies.dots_saveable
+            elif cfg.remat_policy != "full":
+                raise ValueError(
+                    f"unknown remat_policy {cfg.remat_policy!r} "
+                    "(have: full, hidden, dots)")
             layer_cls = nn.remat(
                 _ScanLayer, static_argnums=(), prevent_cse=False,
                 policy=policy)

@@ -24,11 +24,22 @@ from rtdsd_tpu.models.registry import get_model
 from rtdsd_tpu.utils.init_host import init_variables_host
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-mode = sys.argv[2] if len(sys.argv) > 2 else ""  # remat[_hidden][_fsm]
-remat = mode.startswith("remat")
-w2v = {"remat_policy": "hidden"} if mode.startswith("remat_hidden") else {}
-if mode.endswith("fsm"):  # train-mode bf16 fast_softmax
+# mode tokens (underscore-joined): remat | hidden | dots (remat policy),
+# fsm (train-mode bf16 fast softmax), mu16 (bf16 AdamW first moment),
+# af (adafactor), dbatch (donate waves+labels, fresh device batch per step)
+mode = sys.argv[2] if len(sys.argv) > 2 else ""
+tokens = set(mode.split("_")) if mode else set()
+remat = "remat" in tokens
+w2v = {}
+if "hidden" in tokens:
+    w2v["remat_policy"] = "hidden"
+if "dots" in tokens:
+    w2v["remat_policy"] = "dots"
+if "fsm" in tokens:
     w2v["fast_softmax_train"] = True
+opt_kind = "adafactor" if "af" in tokens else "adamw"
+mu_dtype = "bfloat16" if "mu16" in tokens else None
+donate_batch = "dbatch" in tokens
 spec = get_model("XLSR_AASIST", dtype=jnp.bfloat16, remat=remat, w2v=w2v)
 model = spec.module
 log(f"batch={B} mode={mode or 'none'}")
@@ -37,7 +48,7 @@ waves_np = (np.random.default_rng(0).standard_normal((B, 64000)) * 0.1
             ).astype(np.float32)
 variables = init_variables_host(model, jnp.zeros((2, 64000), jnp.float32),
                                 train=False)
-tx = make_optimizer(1e-6, 1e-4)
+tx = make_optimizer(1e-6, 1e-4, optimizer=opt_kind, mu_dtype=mu_dtype)
 state = TrainState(step=jnp.zeros((), jnp.int32),
                    params=variables["params"],
                    batch_stats=variables.get("batch_stats", {}),
@@ -51,15 +62,25 @@ labels = jax.device_put(jnp.asarray(np.arange(B) % 2, jnp.int32))
 key = jax.random.key(0)
 
 step = make_train_step(model, tx, preemph=0.97, rawboost_algo=4,
-                       aug_list=("ACN", "GAN"), donate=False)
+                       aug_list=("ACN", "GAN"), donate=donate_batch,
+                       donate_batch=donate_batch)
+# donated batches must be fresh device buffers every step; generate them
+# on device (uploading 49 MB of waves through the relay per step would
+# swamp the timing)
+gen = jax.jit(lambda k: jax.random.normal(k, (B, 64000), jnp.float32) * 0.1)
 t0 = time.time()
-state, metrics = step(state, waves, labels, key)
+state, metrics = step(state, gen(jax.random.key(1)) if donate_batch
+                      else waves, labels, key)
 log(f"compile+first: {time.time() - t0:.1f}s loss={float(metrics['loss']):.4f}")
 
 ts = []
-for _ in range(6):
+for i in range(6):
+    w = gen(jax.random.key(2 + i)) if donate_batch else waves
+    lab = (jax.device_put(jnp.asarray(np.arange(B) % 2, jnp.int32))
+           if donate_batch else labels)
+    jax.block_until_ready(w)
     t0 = time.perf_counter()
-    state, metrics = step(state, waves, labels, key)
+    state, metrics = step(state, w, lab, key)
     float(metrics["loss"])  # host sync
     ts.append(time.perf_counter() - t0)
 med = float(np.median(ts))
