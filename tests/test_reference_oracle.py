@@ -357,3 +357,39 @@ def test_full_backend_oracle_batch_invariance():
     one = backend.apply(variables, jnp.asarray(feats[1:2]), train=False)
     np.testing.assert_allclose(np.asarray(full[1:2]), np.asarray(one),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_graph_pool_tie_behavior_documented():
+    """GraphPool top-k tie-breaking (VERDICT r2 weak #7): ``lax.top_k``
+    breaks ties by LOWEST index (deterministic); CPU ``torch.topk`` picks
+    heap-order indices (for an all-zero vector: [3, 5, 4] vs our [0, 1, 2]).
+    Consequences, pinned here:
+
+    - ties between IDENTICAL node rows are output-invariant — either
+      framework's selection yields the same pooled tensor (asserted);
+    - a fully-degenerate tie (all scores equal, distinct features) selects
+      DIFFERENT nodes — converted-checkpoint parity holds only when the
+      top-k scores are distinct, which the eval-mode oracle tests above
+      cover with continuous random scores. bf16 near-ties on real
+      checkpoints fall under the 'AASIST gradients are chaotic' doctrine
+      (CLAUDE.md): compare losses/EER across layouts, never elementwise.
+    """
+    ref, _ = _load_reference()
+    t = ref.GraphPool(0.5, 8, 0.0)
+    _randomize(t, 100)
+    t.eval()
+    g = torch.Generator().manual_seed(6)
+    h = torch.randn(2, 6, 8, generator=g)
+    h[:, 3] = h[:, 1]
+    h[:, 5] = h[:, 1]  # three byte-identical nodes -> exactly tied scores
+    with torch.no_grad():
+        want = t(h.clone())
+    sd = _sd(t)
+    pool = GraphPool(k=0.5, p=0.0)
+    got = pool.apply({"params": {"proj": _lin(sd, "m.proj")}},
+                     jnp.asarray(h.numpy()), train=False)
+    _assert_close(got, want)
+
+    # the divergent primitive itself, pinned so a toolchain change that
+    # alters either side's tie order is caught and this doc re-checked
+    assert jax.lax.top_k(jnp.zeros(6), 3)[1].tolist() == [0, 1, 2]
