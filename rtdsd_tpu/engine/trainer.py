@@ -57,7 +57,11 @@ class Trainer:
             rawboost_algo=pick_rawboost_algo(da),
             pre_aug_list=pre_device_augs(da),
             aug_list=post_device_augs(da, exp_config.allow_data_augmentation),
-            sample_rate=float(exp_config.sample_rate))
+            sample_rate=float(exp_config.sample_rate),
+            # device_prefetch hands the step fresh per-batch buffers; donating
+            # them lets XLA reuse the 12-49 MB wave buffer for temporaries
+            # (only .shape is read after the call)
+            donate_batch=True)
         self.eval_step = make_eval_step(
             model, ce_weight=tuple(exp_config.ce_weight), preemph=preemph)
 

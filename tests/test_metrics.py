@@ -276,3 +276,24 @@ def test_min_tdcf_official_with_ties_and_duplicates():
     got = compute_min_tdcf(scores, labels, pmiss_asv=0.04, pfa_asv=0.03,
                            pmiss_spoof_asv=0.4)
     assert abs(got - want) < 1e-12
+
+
+def test_tag_score_path_and_shortfall_guard():
+    """cli.common hardening: --comment tagging refuses un-taggable paths
+    (silent replace() no-op -> two runs collide on one file), and a scored
+    submission missing trials raises instead of writing a short file."""
+    import pytest as _pytest
+
+    from rtdsd_tpu.cli.common import _check_score_shortfall, tag_score_path
+
+    assert tag_score_path("out/scores.txt", "v2", "p") == "out/scores_v2.txt"
+    assert tag_score_path("out/scores.txt", None, "p") == "out/scores.txt"
+    with _pytest.raises(ValueError, match="comment"):
+        tag_score_path("out/scores", "v2", "la19_score_save_path")
+
+    class _DS:
+        trials = [1, 2, 3]
+
+    _check_score_shortfall(_DS(), ["a", "b", "c"])  # full coverage: ok
+    with _pytest.raises(RuntimeError, match="scored 2/3"):
+        _check_score_shortfall(_DS(), ["a", "b"])
