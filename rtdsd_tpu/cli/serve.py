@@ -59,6 +59,11 @@ def parse_args(argv=None):
                    help="screener YAML (default: --config)")
     p.add_argument("--cascade_band", type=float, default=2.0)
     p.add_argument("--cascade_center", type=float, default=0.0)
+    p.add_argument("--device_ms", action="store_true", default=False,
+                   help="after serving, measure each compiled program's "
+                        "amortized on-device ms and report chip-time per "
+                        "tick (capacity number for co-located deployments; "
+                        "wall p50/p95 above additionally pays the link)")
     p.add_argument("--f32_transport", action="store_true", default=False,
                    help="push float32 samples to the device instead of "
                         "16-bit PCM (int16 is lossless for 16-bit-sourced "
@@ -231,6 +236,15 @@ def main(argv=None):
         print(f"  [cascade: {n_esc}/{total_windows} windows escalated "
               f"(band {args.cascade_band} around {args.cascade_center})]",
               file=sys.stderr)
+    if args.device_ms and tick:
+        costs = eng.device_costs()
+        per_tick = {k: v / tick for k, v in eng.dispatch_counts.items()}
+        dev = sum(costs.get(k, 0.0) * per_tick[k] for k in per_tick)
+        detail = " ".join(f"{k}:{costs.get(k, 0.0):.2f}ms x{per_tick[k]:.2f}"
+                          for k in ("extend", "score", "escalate")
+                          if per_tick.get(k))
+        print(f"  [device {dev:.1f} ms/tick ({detail}) vs "
+              f"{hop / sr * 1000:.0f} ms hop budget]", file=sys.stderr)
 
 
 if __name__ == "__main__":
