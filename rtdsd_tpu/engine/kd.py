@@ -279,7 +279,8 @@ def make_kd_train_step(teacher_model, student_model,
                        rawboost_args: RawBoostArgs = RawBoostArgs(),
                        pre_aug_list: Tuple[str, ...] = (),
                        aug_list: Tuple[str, ...] = (),
-                       sample_rate: float = 16000.0) -> Callable:
+                       sample_rate: float = 16000.0,
+                       donate_batch: bool = False) -> Callable:
     """Build the fused KD step:
     (student_state, teacher_vars, waves, labels, key) -> (state, metrics).
 
@@ -353,7 +354,10 @@ def make_kd_train_step(teacher_model, student_model,
         metrics.update(kd_terms)
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,))
+    # teacher_variables (argnum 1) must NEVER be donated: they are live
+    # across every step. donate_batch adds waves+labels — safe only with
+    # fresh per-step device buffers (the KDTrainer's device_prefetch).
+    return jax.jit(step, donate_argnums=(0, 2, 3) if donate_batch else (0,))
 
 
 class KDTrainer:
@@ -393,7 +397,8 @@ class KDTrainer:
             rawboost_algo=pick_rawboost_algo(da),
             pre_aug_list=pre_device_augs(da),
             aug_list=post_device_augs(da, exp_config.allow_data_augmentation),
-            sample_rate=float(exp_config.sample_rate))
+            sample_rate=float(exp_config.sample_rate),
+            donate_batch=True)  # device_prefetch hands fresh buffers
         self.eval_step = make_eval_step(
             student_model, ce_weight=tuple(exp_config.ce_weight),
             preemph=preemph)
