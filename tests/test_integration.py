@@ -217,3 +217,72 @@ def test_remat_hidden_policy_gradients_match_full(waves):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5),
         g_full, g_hid)
+
+
+def test_remat_policies_gradient_equivalence(waves):
+    """remat_policy full/hidden/dots must change only the backward's
+    memory/recompute schedule, never the gradients (the Conformer-smooth
+    analogue doesn't apply: same layout, same model, policies only)."""
+    import dataclasses
+
+    from rtdsd_tpu.engine.steps import weighted_cross_entropy
+
+    labels = jnp.asarray([0, 1, 0, 1])
+    variables = XLSR_AASIST(w2v_cfg=TINY).init(jax.random.key(0), waves,
+                                               train=False)
+
+    def grads_for(policy):
+        cfg = dataclasses.replace(TINY, remat_policy=policy)
+        model = XLSR_AASIST(w2v_cfg=cfg, remat=True)
+
+        def loss_fn(params):
+            out = model.apply({"params": params}, waves, train=True,
+                              mutable=["batch_stats"],
+                              rngs={"dropout": jax.random.key(9)})
+            logits = out[0] if isinstance(out, tuple) else out
+            return weighted_cross_entropy(logits, labels, (0.9, 0.1))
+
+        return jax.grad(loss_fn)(variables["params"])
+
+    g_full = grads_for("full")
+    for policy in ("hidden", "dots"):
+        g = grads_for(policy)
+        for a, b in zip(jax.tree_util.tree_leaves(g_full),
+                        jax.tree_util.tree_leaves(g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="remat_policy"):
+        grads_for("bogus")
+
+
+def test_optimizer_variants_state_and_step(waves):
+    """mu_dtype stores AdamW's first moment in bf16 (second stays f32);
+    adafactor composes with freeze masks (frozen leaves unchanged)."""
+    labels = jnp.asarray([0, 1, 0, 1])
+    model = XLSR_AASIST(w2v_cfg=TINY)
+
+    tx = make_optimizer(1e-3, 1e-4, mu_dtype="bfloat16")
+    state = create_train_state(model, jax.random.key(0), waves, tx)
+    adam = state.opt_state[0]  # adamw's ScaleByAdamState inside the chain
+    mu_dtypes = {l.dtype for l in jax.tree_util.tree_leaves(adam.mu)}
+    nu_dtypes = {l.dtype for l in jax.tree_util.tree_leaves(adam.nu)}
+    assert mu_dtypes == {jnp.dtype(jnp.bfloat16)}
+    assert jnp.dtype(jnp.bfloat16) not in nu_dtypes
+    step = make_train_step(model, tx, rawboost_algo=None, aug_list=(),
+                           donate=False)
+    state, metrics = step(state, waves, labels, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+    tx = make_optimizer(1e-2, 0.0, freeze_patterns=["ssl_model"],
+                        unfreeze_patterns=[], optimizer="adafactor")
+    state = create_train_state(model, jax.random.key(0), waves, tx)
+    before = jax.tree_util.tree_map(np.asarray, state.params["ssl_model"])
+    step = make_train_step(model, tx, rawboost_algo=None, aug_list=(),
+                           donate=False)
+    state, _ = step(state, waves, labels, jax.random.key(1))
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(state.params["ssl_model"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    with pytest.raises(ValueError, match="unknown optimizer"):
+        make_optimizer(1e-3, 0.0, optimizer="sgd")
