@@ -133,7 +133,8 @@ class MultiStreamScorer:
                  escalate_center: float = 0.0,
                  esc_batch: Optional[int] = None,
                  transport_dtype: str = "float32",
-                 hbm_limit: Optional[int] = None):
+                 hbm_limit: Optional[int] = None,
+                 mesh=None):
         if cfg.extractor_mode != "layer_norm":
             raise ValueError(
                 "multi-stream serving requires the layer_norm extractor "
@@ -175,9 +176,33 @@ class MultiStreamScorer:
             raise ValueError(
                 f"ring_frames {self.ring_frames} < minimum {min_ring} "
                 f"(win_frames + 2*seg_frames + escalation margin)")
+        # ----- optional multi-chip SPMD serving: with a 1-axis mesh the
+        # ring buffers shard over the SLOT axis and the batched programs
+        # over their batch axis; parameters replicate. XLA inserts the
+        # cross-chip gathers for windows whose slot lives on another chip
+        # (jax.sharding — no per-chip engine processes). Single-chip path
+        # is byte-identical when mesh is None.
+        self._mesh = mesh
+        self._mesh_n = 1
+        self._ring_sharding = self._batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            self._mesh_n = int(np.prod([mesh.shape[a]
+                                        for a in mesh.axis_names]))
+            self._ring_sharding = NamedSharding(mesh, P(axis))
+            self._batch_sharding = NamedSharding(mesh, P(axis))
+            self._replicated = NamedSharding(mesh, P())
+            params = jax.device_put(params, self._replicated)
+            if batch_stats:
+                batch_stats = jax.device_put(batch_stats, self._replicated)
+        n_ = self._mesh_n
         self.max_streams = max_streams
-        self.extend_batch = extend_batch or max_streams
-        self.score_batch = score_batch or max_streams
+        # batch shapes and the slot axis must tile evenly over the mesh
+        self.extend_batch = -(-(extend_batch or max_streams) // n_) * n_
+        self.score_batch = -(-(score_batch or max_streams) // n_) * n_
         # int16 transport halves (and on high-latency relay links, far
         # more than halves) the per-tick host->device sample upload; it
         # is lossless for 16-bit-sourced audio (WAV/FLAC), and the
@@ -191,8 +216,9 @@ class MultiStreamScorer:
         self.params = params
         self.batch_stats = batch_stats
         self._channels = cfg.conv_layers[-1][0]
-        self.esc_batch = esc_batch or max(1, (score_batch
-                                              or max_streams) // 4)
+        self.esc_batch = -(-(esc_batch or max(1, (score_batch
+                                                  or max_streams) // 4))
+                           // n_) * n_
 
         # ---- pre-flight HBM estimate (BEFORE any device allocation):
         # a misconfigured engine (too many streams / batch too large) must
@@ -211,10 +237,14 @@ class MultiStreamScorer:
                 f"hbm_limit=0 to override the guard")
 
         # +1 slot: scratch for batch-padding rows (writes and reads of the
-        # pad rows land there; occupancy never changes compiled shapes)
+        # pad rows land there; occupancy never changes compiled shapes).
+        # Under a mesh the slot axis pads further so it tiles evenly.
         self._scratch = max_streams
+        self._n_slots = -(-(max_streams + 1) // n_) * n_
         self._feats = jnp.zeros(
-            (max_streams + 1, self.ring_frames, self._channels), model.dtype)
+            (self._n_slots, self.ring_frames, self._channels), model.dtype)
+        if self._ring_sharding is not None:
+            self._feats = jax.device_put(self._feats, self._ring_sharding)
 
         from rtdsd_tpu.models.wav2vec2 import ConvFeatureExtractor
 
@@ -245,8 +275,10 @@ class MultiStreamScorer:
         # allocated even without escalation (donated pass-through keeps
         # the extend signature stable; ~65 KB/stream, negligible)
         self._swave = jnp.zeros(
-            (max_streams + 1, self.ring_samples),
+            (self._n_slots, self.ring_samples),
             jnp.int16 if dequant else jnp.float32)
+        if self._ring_sharding is not None:
+            self._swave = jax.device_put(self._swave, self._ring_sharding)
         samp_arange = jnp.arange(self.seg_samples, dtype=jnp.int32)
         escalate_on = self._escalate
 
@@ -286,6 +318,10 @@ class MultiStreamScorer:
 
         if self._escalate:
             esc_model, esc_params, esc_stats = escalate
+            if mesh is not None:
+                esc_params = jax.device_put(esc_params, self._replicated)
+                if esc_stats:
+                    esc_stats = jax.device_put(esc_stats, self._replicated)
             self._esc_params = esc_params
             self._esc_stats = esc_stats
             dur_arange = jnp.arange(self.duration, dtype=jnp.int32)
@@ -307,6 +343,13 @@ class MultiStreamScorer:
         self._slots: Dict[int, _StreamState] = {}
         self._free = collections.deque(range(max_streams))
         self._rr = 0  # round-robin offset; advances once per poll
+        # batch placement: shard batch rows over the mesh axis (each chip
+        # processes its share); single-chip = plain transfer
+        if self._batch_sharding is not None:
+            self._put = lambda a: jax.device_put(np.asarray(a),
+                                                 self._batch_sharding)
+        else:
+            self._put = jnp.asarray
         # cumulative device-dispatch counts (capacity accounting: pairs
         # with :meth:`device_costs` to split compute from relay/host time)
         self.dispatch_counts = {"extend": 0, "score": 0, "escalate": 0}
@@ -332,11 +375,12 @@ class MultiStreamScorer:
         if self.batch_stats:
             total += leaf_bytes(self.batch_stats)
 
-        # rings (feature ring in model dtype; sample ring in transport dtype)
+        # rings (feature ring in model dtype; sample ring in transport
+        # dtype); under a mesh the slot axis shards, so each chip holds 1/n
         total += (self.max_streams + 1) * self.ring_frames \
-            * self._channels * itemsize
+            * self._channels * itemsize // self._mesh_n
         total += (self.max_streams + 1) * self.ring_frames * self.stride \
-            * np.dtype(self._tdtype).itemsize
+            * np.dtype(self._tdtype).itemsize // self._mesh_n
 
         # extend: conv activations per segment (sum over layer outputs)
         t, conv_act = self.seg_samples, self.seg_samples
@@ -370,7 +414,8 @@ class MultiStreamScorer:
                 wf * embed * 4 + cfg.encoder_heads * wf * wf + wf * ffn) \
                 * itemsize
 
-        return int(total + 2 * act)
+        # batch axes shard over the mesh too (params stay replicated)
+        return int(total + 2 * act / self._mesh_n)
 
     # ------------------------------------------------------------- lifecycle
 
@@ -566,7 +611,7 @@ class MultiStreamScorer:
                 pos[i] = (seg_idx * self.seg_frames) % self.ring_frames
             self._feats, self._swave = self._extend(
                 self._conv_params, self._feats, self._swave,
-                jnp.asarray(seg_mat), jnp.asarray(slots), jnp.asarray(pos))
+                self._put(seg_mat), self._put(slots), self._put(pos))
             self.dispatch_counts["extend"] += 1
             self._consume(segs)
 
@@ -580,7 +625,7 @@ class MultiStreamScorer:
                 starts[i] = start % self.ring_frames
             scores = np.array(self._score(
                 self.params, self.batch_stats, self._feats,
-                jnp.asarray(slots), jnp.asarray(starts)))
+                self._put(slots), self._put(starts)))
             self.dispatch_counts["score"] += 1
             escalated = np.zeros(len(wins), bool)
             if self._escalate:
@@ -599,7 +644,7 @@ class MultiStreamScorer:
                         estarts[j] = starts[i]
                     esc_scores = np.asarray(self._score_esc(
                         self._esc_params, self._esc_stats, self._swave,
-                        jnp.asarray(eslots), jnp.asarray(estarts)))
+                        self._put(eslots), self._put(estarts)))
                     self.dispatch_counts["escalate"] += 1
                     for j, i in enumerate(chunk):
                         scores[i] = esc_scores[j]
@@ -651,20 +696,22 @@ class MultiStreamScorer:
         real poll is not a compile."""
         self._feats, self._swave = self._extend(
             self._conv_params, self._feats, self._swave,
-            jnp.zeros((self.extend_batch, self.seg_samples),
-                      jnp.int16 if self._tdtype is np.int16
-                      else jnp.float32),
-            jnp.full((self.extend_batch,), self._scratch, jnp.int32),
-            jnp.zeros((self.extend_batch,), jnp.int32))
+            self._put(np.zeros((self.extend_batch, self.seg_samples),
+                               self._tdtype)),
+            self._put(np.full((self.extend_batch,), self._scratch,
+                              np.int32)),
+            self._put(np.zeros((self.extend_batch,), np.int32)))
         jax.block_until_ready(np.asarray(self._score(
             self.params, self.batch_stats, self._feats,
-            jnp.full((self.score_batch,), self._scratch, jnp.int32),
-            jnp.zeros((self.score_batch,), jnp.int32))))
+            self._put(np.full((self.score_batch,), self._scratch,
+                              np.int32)),
+            self._put(np.zeros((self.score_batch,), np.int32)))))
         if self._escalate:
             jax.block_until_ready(np.asarray(self._score_esc(
                 self._esc_params, self._esc_stats, self._swave,
-                jnp.full((self.esc_batch,), self._scratch, jnp.int32),
-                jnp.zeros((self.esc_batch,), jnp.int32))))
+                self._put(np.full((self.esc_batch,), self._scratch,
+                                  np.int32)),
+                self._put(np.zeros((self.esc_batch,), np.int32)))))
 
     def device_costs(self, n: int = 10) -> Dict[str, float]:
         """Amortized ON-DEVICE cost (ms) of one dispatch of each compiled
@@ -682,11 +729,11 @@ class MultiStreamScorer:
             return float(jnp.asarray(x).reshape(-1)[0].astype(jnp.float32))
 
         out: Dict[str, float] = {}
-        seg0 = jnp.zeros((self.extend_batch, self.seg_samples),
-                         jnp.int16 if self._tdtype is np.int16
-                         else jnp.float32)
-        eslots = jnp.full((self.extend_batch,), self._scratch, jnp.int32)
-        epos = jnp.zeros((self.extend_batch,), jnp.int32)
+        seg0 = self._put(np.zeros((self.extend_batch, self.seg_samples),
+                                  self._tdtype))
+        eslots = self._put(np.full((self.extend_batch,), self._scratch,
+                                   np.int32))
+        epos = self._put(np.zeros((self.extend_batch,), np.int32))
         self._feats, self._swave = self._extend(
             self._conv_params, self._feats, self._swave, seg0, eslots, epos)
         force(self._feats[self._scratch, 0])
@@ -698,8 +745,9 @@ class MultiStreamScorer:
         force(self._feats[self._scratch, 0])
         out["extend"] = (time.perf_counter() - t0) / n * 1000.0
 
-        sslots = jnp.full((self.score_batch,), self._scratch, jnp.int32)
-        sstarts = jnp.zeros((self.score_batch,), jnp.int32)
+        sslots = self._put(np.full((self.score_batch,), self._scratch,
+                                   np.int32))
+        sstarts = self._put(np.zeros((self.score_batch,), np.int32))
         force(self._score(self.params, self.batch_stats, self._feats,
                           sslots, sstarts))
         t0 = time.perf_counter()
@@ -710,8 +758,9 @@ class MultiStreamScorer:
         out["score"] = (time.perf_counter() - t0) / n * 1000.0
 
         if self._escalate:
-            cslots = jnp.full((self.esc_batch,), self._scratch, jnp.int32)
-            cstarts = jnp.zeros((self.esc_batch,), jnp.int32)
+            cslots = self._put(np.full((self.esc_batch,), self._scratch,
+                                       np.int32))
+            cstarts = self._put(np.zeros((self.esc_batch,), np.int32))
             force(self._score_esc(self._esc_params, self._esc_stats,
                                   self._swave, cslots, cstarts))
             t0 = time.perf_counter()

@@ -318,3 +318,71 @@ def test_dispatch_counts_and_device_costs(tiny):
     # the accounting itself must not perturb stream state
     eng.close_stream(h, flush=True)
     assert len(eng.drain()) >= 1
+
+
+def test_multichip_serving_matches_single_device(tiny):
+    """SPMD serving (mesh=): ring slot axis + batch rows sharded over an
+    8-device mesh must reproduce the single-device engine's window scores
+    exactly — XLA inserts the cross-chip gathers; the host scheduler is
+    unchanged."""
+    from jax.sharding import Mesh
+
+    model, params, stats, cfg, duration = tiny
+    hop = duration // 2
+    mesh = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
+    rng = np.random.default_rng(41)
+    waves = [rng.standard_normal(3 * hop + duration).astype(np.float32) * 0.1
+             for _ in range(3)]
+
+    def run(engine_kwargs):
+        eng = MultiStreamScorer(model, params, stats, cfg,
+                                duration=duration, hop=hop, max_streams=4,
+                                **engine_kwargs)
+        out = []
+        hs = [eng.open_stream(f"s{i}") for i in range(len(waves))]
+        for h, w in zip(hs, waves):
+            eng.push(h, w)
+        for h in hs:
+            eng.close_stream(h, flush=True)
+        out.extend(eng.drain())
+        return sorted(out, key=lambda g: (str(g.stream_id), g.start_sample))
+
+    single = run({})
+    sharded = run({"mesh": mesh})
+    assert [(g.stream_id, g.start_sample) for g in single] == \
+        [(g.stream_id, g.start_sample) for g in sharded]
+    np.testing.assert_allclose([g.score for g in sharded],
+                               [g.score for g in single],
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_multichip_serving_with_cascade_and_int16(tiny):
+    """mesh= composes with int16 transport and cascade escalation (batch
+    sizes round up to mesh multiples; escalated scores stay exactly the
+    flagship's)."""
+    from jax.sharding import Mesh
+
+    model, params, stats, cfg, duration = tiny
+    hop = duration // 2
+    mesh = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
+    rng = np.random.default_rng(43)
+    wave = rng.standard_normal(2 * hop + duration).astype(np.float32) * 0.1
+
+    def run(mesh_arg):
+        eng = MultiStreamScorer(
+            model, params, stats, cfg, duration=duration, hop=hop,
+            max_streams=2, transport_dtype="int16",
+            escalate=(model, params, stats), escalate_band=1e9,
+            mesh=mesh_arg)
+        assert eng.extend_batch % (8 if mesh_arg is not None else 1) == 0
+        h = eng.open_stream("c")
+        eng.push(h, wave)
+        eng.close_stream(h, flush=True)
+        return sorted(eng.drain(), key=lambda g: g.start_sample)
+
+    single = run(None)
+    sharded = run(mesh)
+    assert all(g.escalated for g in sharded)  # band covers everything
+    np.testing.assert_allclose([g.score for g in sharded],
+                               [g.score for g in single],
+                               rtol=2e-4, atol=2e-5)
