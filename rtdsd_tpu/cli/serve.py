@@ -59,6 +59,10 @@ def parse_args(argv=None):
                    help="screener YAML (default: --config)")
     p.add_argument("--cascade_band", type=float, default=2.0)
     p.add_argument("--cascade_center", type=float, default=0.0)
+    p.add_argument("--shard", action="store_true", default=False,
+                   help="shard the serving rings + batches over all local "
+                        "devices (SPMD multi-chip serving; no-op with one "
+                        "device)")
     p.add_argument("--device_ms", action="store_true", default=False,
                    help="after serving, measure each compiled program's "
                         "amortized on-device ms and report chip-time per "
@@ -126,12 +130,23 @@ def main(argv=None):
                          "--hop_sec")
 
     n_streams = len(args.audio)
+    mesh = None
+    if args.shard:
+        import jax
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) > 1:
+            mesh = Mesh(_np.array(devs).reshape(-1), ("data",))
+            print(f"sharding serving over {len(devs)} devices",
+                  file=sys.stderr)
     eng = MultiStreamScorer(
         spec.module, state.params, state.batch_stats, cfg,
         duration=duration, hop=hop,
         max_streams=args.max_streams or n_streams,
         transport_dtype="float32" if args.f32_transport else "int16",
-        **esc_kwargs)
+        mesh=mesh, **esc_kwargs)
     eng.warmup()
 
     waves = []
