@@ -181,16 +181,37 @@ def shard_state(state: TrainState, mesh, tx=None,
 
 def score_dataset(dataset, spec: ModelSpec, state: TrainState,
                   batch_size: int, sharding=None, num_workers: int = 4):
-    """Score every trial in dataset order; returns (utt_ids, scores)."""
+    """Score every trial in dataset order; returns (utt_ids, scores).
+
+    Readback is PIPELINED: each batch's scores stay on device while the
+    next batches dispatch, and the host reads them back ``depth`` batches
+    late — the per-batch host sync (device compute + link RTT; ~30 ms per
+    dispatch on a remote relay) overlaps with subsequent dispatches
+    instead of serializing the loop.
+    """
+    import collections
+
     score_step = make_score_step(spec.module)
     loader = DataLoader(dataset, batch_size, shuffle=False, drop_last=False,
                         num_workers=num_workers, pad_last=True)
     names, scores = [], []
+    pending = collections.deque()
+
+    def take(entry):
+        out, ids, valid = entry
+        s = np.asarray(out).ravel()
+        names.extend(ids[:valid])
+        scores.extend(s[:valid].tolist())
+
+    depth = 3
     for batch in device_prefetch(loader, size=2, sharding=sharding):
-        s = np.asarray(score_step(state.params, state.batch_stats,
-                                  batch.waves)).ravel()
-        names.extend(batch.utt_ids[: batch.valid])
-        scores.extend(s[: batch.valid].tolist())
+        pending.append((score_step(state.params, state.batch_stats,
+                                   batch.waves),
+                        batch.utt_ids, batch.valid))
+        if len(pending) > depth:
+            take(pending.popleft())
+    while pending:
+        take(pending.popleft())
     return names, scores
 
 
