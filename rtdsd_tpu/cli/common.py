@@ -189,29 +189,19 @@ def score_dataset(dataset, spec: ModelSpec, state: TrainState,
     dispatch on a remote relay) overlaps with subsequent dispatches
     instead of serializing the loop.
     """
-    import collections
+    from rtdsd_tpu.data.loader import readback_late
 
     score_step = make_score_step(spec.module)
     loader = DataLoader(dataset, batch_size, shuffle=False, drop_last=False,
                         num_workers=num_workers, pad_last=True)
     names, scores = [], []
-    pending = collections.deque()
-
-    def take(entry):
-        out, ids, valid = entry
+    entries = ((score_step(state.params, state.batch_stats, b.waves),
+                b.utt_ids, b.valid)
+               for b in device_prefetch(loader, size=2, sharding=sharding))
+    for out, ids, valid in readback_late(entries):
         s = np.asarray(out).ravel()
         names.extend(ids[:valid])
         scores.extend(s[:valid].tolist())
-
-    depth = 3
-    for batch in device_prefetch(loader, size=2, sharding=sharding):
-        pending.append((score_step(state.params, state.batch_stats,
-                                   batch.waves),
-                        batch.utt_ids, batch.valid))
-        if len(pending) > depth:
-            take(pending.popleft())
-    while pending:
-        take(pending.popleft())
     return names, scores
 
 

@@ -173,6 +173,8 @@ def main(argv=None):
     total_audio = sum(len(w) for w in waves) / sr
     t_start = time.perf_counter()
     tick = 0
+    counts0 = dict(eng.dispatch_counts)  # --device_ms: attribute only the
+    # paced loop's dispatches to ticks (drain() after the loop also polls)
     pending_lines = []  # --per_window output, flushed OUTSIDE the timed
     # region so stdout latency (slow terminals/pipes) never skews tick p95
 
@@ -182,7 +184,10 @@ def main(argv=None):
         idx, path = ws.stream_id
         per_file[idx].append(ws)
         if args.per_window:
-            w_idx = ws.start_sample // hop
+            # a flush-time tail window starts off the hop grid; label it
+            # "#tail" so it never collides with a hop-grid index
+            w_idx = (ws.start_sample // hop
+                     if ws.start_sample % hop == 0 else "tail")
             pending_lines.append(
                 f"{path}#{w_idx} {ws.start_sample / sr:.2f} {ws.score}")
 
@@ -225,6 +230,7 @@ def main(argv=None):
         if args.realtime and dt < hop / sr:
             time.sleep(hop / sr - dt)
         tick += 1
+    counts_loop = dict(eng.dispatch_counts)  # before drain's extra polls
     for ws in eng.drain():
         take(ws)
     flush_lines()
@@ -253,7 +259,8 @@ def main(argv=None):
               file=sys.stderr)
     if args.device_ms and tick:
         costs = eng.device_costs()
-        per_tick = {k: v / tick for k, v in eng.dispatch_counts.items()}
+        per_tick = {k: (counts_loop[k] - counts0.get(k, 0)) / tick
+                    for k in counts_loop}
         dev = sum(costs.get(k, 0.0) * per_tick[k] for k in per_tick)
         detail = " ".join(f"{k}:{costs.get(k, 0.0):.2f}ms x{per_tick[k]:.2f}"
                           for k in ("extend", "score", "escalate")

@@ -20,6 +20,7 @@ For eval, the last partial batch is padded up to the batch size and a
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 from typing import Iterator, List, NamedTuple, Optional
@@ -262,3 +263,22 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
         nxt = buf.get()
         put_next()
         yield nxt
+
+
+def readback_late(entries, depth: int = 3):
+    """Yield dispatched-work entries ``depth`` items late.
+
+    The dispatch-ahead/read-late companion to :func:`device_prefetch` for
+    the OUTPUT side: the caller's generator dispatches a device program per
+    entry and this keeps ``depth`` results in flight before the caller
+    reads any back, so per-item device latency + link RTT (~30 ms per
+    dispatch on a remote relay) overlap with subsequent dispatches instead
+    of serializing the loop. Used by the scoring/eval/streaming loops.
+    """
+    pending = collections.deque()
+    for e in entries:
+        pending.append(e)
+        if len(pending) > depth:
+            yield pending.popleft()
+    while pending:
+        yield pending.popleft()

@@ -227,7 +227,7 @@ class MultiStreamScorer:
                                                escalate)
         limit = hbm_limit if hbm_limit is not None else _device_hbm_bytes()
         if limit and self.hbm_estimate > limit:
-            raise ValueError(
+            err = ValueError(
                 f"serving configuration needs ~{self.hbm_estimate / 2**30:.2f}"
                 f" GiB HBM but the device reports {limit / 2**30:.2f} GiB "
                 f"(max_streams={max_streams}, ring_frames={self.ring_frames},"
@@ -235,6 +235,10 @@ class MultiStreamScorer:
                 f"score_batch={self.score_batch}, esc_batch={self.esc_batch})"
                 f" — lower max_streams or the batch sizes, or pass "
                 f"hbm_limit=0 to override the guard")
+            # structured access for tools (message wording is not an API)
+            err.hbm_estimate = self.hbm_estimate
+            err.hbm_limit = limit
+            raise err
 
         # +1 slot: scratch for batch-padding rows (writes and reads of the
         # pad rows land there; occupancy never changes compiled shapes).
@@ -447,6 +451,11 @@ class MultiStreamScorer:
         st = self._slots.get(handle)
         if st is None:
             raise KeyError(f"no open stream at slot {handle}")
+        if st.final_win is not None and flush:
+            # flush already in progress — idempotent (re-running the tail
+            # setup below would rebuild the buffer from the head retention
+            # and corrupt the documented tiling/tail semantics)
+            return
         st.coalesce()
         total = st.next_seg * self.seg_hop + len(st.buf)
         if not flush or total == 0:

@@ -69,22 +69,22 @@ class StreamingScorer:
     def window_scores(self, wave: np.ndarray) -> np.ndarray:
         windows = frame_windows(wave, self.duration, self.hop)
         n = windows.shape[0]
-        # pipelined readback: dispatch every chunk, read results late so
-        # device latency + link RTT overlap with subsequent dispatches
-        pending, scores = [], []
-        for s in range(0, n, self.batch_size):
-            chunk = windows[s:s + self.batch_size]
-            valid = chunk.shape[0]
-            if valid < self.batch_size:  # pad to the compiled batch shape
-                pad = np.repeat(chunk[-1:], self.batch_size - valid, axis=0)
-                chunk = np.concatenate([chunk, pad])
-            pending.append((self.score_step(self.params, self.batch_stats,
-                                            jax.numpy.asarray(chunk)), valid))
-            if len(pending) > 3:
-                out, v = pending.pop(0)
-                scores.append(np.asarray(out)[:v])
-        for out, v in pending:
-            scores.append(np.asarray(out)[:v])
+        from rtdsd_tpu.data.loader import readback_late
+
+        def dispatch():
+            for s in range(0, n, self.batch_size):
+                chunk = windows[s:s + self.batch_size]
+                valid = chunk.shape[0]
+                if valid < self.batch_size:  # pad to the compiled shape
+                    pad = np.repeat(chunk[-1:], self.batch_size - valid,
+                                    axis=0)
+                    chunk = np.concatenate([chunk, pad])
+                yield (self.score_step(self.params, self.batch_stats,
+                                       jax.numpy.asarray(chunk)), valid)
+
+        # read results late so device latency + link RTT overlap with
+        # subsequent dispatches
+        scores = [np.asarray(out)[:v] for out, v in readback_late(dispatch())]
         return np.concatenate(scores)
 
     def aggregate_scores(self, ws: np.ndarray) -> float:
@@ -242,21 +242,21 @@ class IncrementalStreamingScorer:
         base = np.arange(self.win_frames, dtype=np.int32)
         idx_all = np.stack([s // self.stride + base for s in starts])
         n = idx_all.shape[0]
-        pending, scores = [], []  # pipelined readback (see StreamingScorer)
-        for s in range(0, n, self.batch_size):
-            idx = idx_all[s: s + self.batch_size]
-            valid = idx.shape[0]
-            if valid < self.batch_size:
-                pad = np.repeat(idx[-1:], self.batch_size - valid, axis=0)
-                idx = np.concatenate([idx, pad])
-            pending.append((self._score_feats(
-                self.params, self.batch_stats, feats_flat,
-                jax.numpy.asarray(idx)), valid))
-            if len(pending) > 3:
-                out, v = pending.pop(0)
-                scores.append(np.asarray(out)[:v])
-        for out, v in pending:
-            scores.append(np.asarray(out)[:v])
+        from rtdsd_tpu.data.loader import readback_late
+
+        def dispatch():  # pipelined readback (see StreamingScorer)
+            for s in range(0, n, self.batch_size):
+                idx = idx_all[s: s + self.batch_size]
+                valid = idx.shape[0]
+                if valid < self.batch_size:
+                    pad = np.repeat(idx[-1:], self.batch_size - valid,
+                                    axis=0)
+                    idx = np.concatenate([idx, pad])
+                yield (self._score_feats(
+                    self.params, self.batch_stats, feats_flat,
+                    jax.numpy.asarray(idx)), valid)
+
+        scores = [np.asarray(out)[:v] for out, v in readback_late(dispatch())]
         return np.concatenate(scores)
 
     aggregate_scores = StreamingScorer.aggregate_scores

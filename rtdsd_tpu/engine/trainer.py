@@ -131,12 +131,16 @@ class Trainer:
         num_total = 0
         scores = []
         labels = []
-        pending = []  # pipelined readback: results stay on device while
-        # later batches dispatch (overlaps device latency + link RTT)
+        from rtdsd_tpu.data.loader import readback_late
 
-        def take(entry):
-            nonlocal loss_sum, num_correct, num_total
-            out, blabels, v = entry
+        entries = ((self.eval_step(self.state.params, self.state.batch_stats,
+                                   b.waves, b.labels), b.labels, b.valid)
+                   for b in device_prefetch(loader,
+                                            size=self.exp_config.prefetch,
+                                            sharding=self.batch_sharding))
+        # results stay on device while later batches dispatch (overlaps
+        # device latency + link RTT)
+        for out, blabels, v in readback_late(entries):
             # weighted mean over the REAL rows only — the padded-batch mean
             # would count the duplicated pad rows (ref trainer.py:335-337
             # never sees pad rows)
@@ -147,17 +151,6 @@ class Trainer:
             num_total += v
             scores.append(np.asarray(out["scores"])[:v])
             labels.append(np.asarray(blabels)[:v])
-
-        for batch in device_prefetch(loader, size=self.exp_config.prefetch,
-                                     sharding=self.batch_sharding):
-            pending.append((self.eval_step(self.state.params,
-                                           self.state.batch_stats,
-                                           batch.waves, batch.labels),
-                            batch.labels, batch.valid))
-            if len(pending) > 3:
-                take(pending.pop(0))
-        for entry in pending:
-            take(entry)
 
         eval_loss = loss_sum / max(num_total, 1)
         accuracy = 100.0 * num_correct / max(num_total, 1)

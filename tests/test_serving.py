@@ -188,8 +188,11 @@ def test_flush_tail_matches_incremental_offline(tiny):
                                      batch_size=4, seg_frames=20)
     rng = np.random.default_rng(31)
     # offsets past the hop grid: 240 = frame-aligned tail, 203 leaves a
-    # sub-frame remainder (zero-padded identically offline and serving)
-    for extra in (240, 203):
+    # sub-frame remainder (zero-padded identically offline and serving),
+    # 7 = sub-FRAME total remainder whose snapped tail dedups onto the hop
+    # grid (offline _grid_starts emits NO extra window; serving must not
+    # either)
+    for extra in (240, 203, 7):
         wave = rng.standard_normal(2 * hop + duration + extra)\
             .astype(np.float32) * 0.1
         t = len(wave)
@@ -198,10 +201,10 @@ def test_flush_tail_matches_incremental_offline(tiny):
         h = eng.open_stream("tail")
         eng.push(h, wave)
         eng.close_stream(h, flush=True)
+        eng.close_stream(h, flush=True)  # idempotent: must not corrupt
         got = sorted(eng.drain(), key=lambda g: g.start_sample)
 
-        s_tail = (t - duration) - ((t - duration) % stride)
-        assert [g.start_sample for g in got] == [0, hop, 2 * hop, s_tail]
+        assert [g.start_sample for g in got] == inc._grid_starts(t), extra
         exp = inc.window_scores(wave)
         assert len(exp) == len(got)
         np.testing.assert_allclose([g.score for g in got], exp,
@@ -225,6 +228,9 @@ def test_flush_short_stream_tiles_one_window(tiny):
     h = eng.open_stream("short")
     eng.push(h, wave[:100])  # split pushes: head retention must span chunks
     eng.push(h, wave[100:])
+    eng.close_stream(h, flush=True)
+    # a retried flush must be a no-op, not replace the tiled buffer with a
+    # head+zero-padded one (r3 review finding)
     eng.close_stream(h, flush=True)
     got = eng.drain()
     assert len(got) == 1 and got[0].start_sample == 0

@@ -26,7 +26,7 @@ for S in (256, 512, 768, 1024):
     for mode in ("flagship-bf16", "cascade10"):
         kw = dict(transport_dtype="int16")
         if mode == "cascade10":
-            model, p, st = stud.bind if False else stud, sparams, sstats
+            model, p, st = stud, sparams, sstats
             kw["escalate"] = (flag, fparams, fstats)
             kw["esc_batch"] = max(8, -(-S // 10))
         else:
@@ -36,7 +36,6 @@ for S in (256, 512, 768, 1024):
                               max_streams=S, hbm_limit=1, **kw)
             print(f"S={S} {mode}: guard did not trip (?)")
         except ValueError as e:
-            msg = str(e)
-            gib = msg.split("needs ~")[1].split(" GiB")[0]
-            verdict = "FITS" if float(gib) < 16 else "EXCEEDS 16 GiB v5e"
-            print(f"S={S:5d} {mode:13s}: estimate {gib} GiB -> {verdict}")
+            gib = e.hbm_estimate / 2**30  # structured attr on the guard
+            verdict = "FITS" if gib < 16 else "EXCEEDS 16 GiB v5e"
+            print(f"S={S:5d} {mode:13s}: estimate {gib:.2f} GiB -> {verdict}")

@@ -81,17 +81,24 @@ for name in VARIANTS:
     step = make_train_step(spec.module, tx, preemph=0.97, rawboost_algo=4,
                            aug_list=("ACN", "GAN"), donate=c["dbatch"],
                            donate_batch=c["dbatch"])
+    fresh_lab = lambda: jax.device_put(
+        jnp.asarray(np.arange(B) % 2, jnp.int32))
     try:
         t0 = time.time()
         w = gen(jax.random.key(1)) if c["dbatch"] else waves
-        state, metrics = step(state, w, labels, key)
+        # dbatch donates its batch args: never hand it the shared buffers
+        state, metrics = step(state, w,
+                              fresh_lab() if c["dbatch"] else labels, key)
         log(f"{name}: compile+first {time.time() - t0:.0f}s "
             f"loss={float(metrics['loss']):.4f}")
         ts = []
         for i in range(6):
             w = gen(jax.random.key(2 + i)) if c["dbatch"] else waves
-            lab = (jax.device_put(jnp.asarray(np.arange(B) % 2, jnp.int32))
-                   if c["dbatch"] else labels)
+            lab = fresh_lab() if c["dbatch"] else labels
+            if c["dbatch"]:
+                # block_until_ready does NOT block through the relay
+                # (CLAUDE.md): force gen()'s work out of the timed region
+                float(w[0, 0])
             t0 = time.perf_counter()
             state, metrics = step(state, w, lab, key)
             float(metrics["loss"])  # host sync (relay-safe)

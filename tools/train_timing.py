@@ -78,7 +78,10 @@ for i in range(6):
     w = gen(jax.random.key(2 + i)) if donate_batch else waves
     lab = (jax.device_put(jnp.asarray(np.arange(B) % 2, jnp.int32))
            if donate_batch else labels)
-    jax.block_until_ready(w)
+    if donate_batch:
+        # block_until_ready does NOT block through the relay (CLAUDE.md):
+        # a one-element readback forces gen() out of the timed region
+        float(w[0, 0])
     t0 = time.perf_counter()
     state, metrics = step(state, w, lab, key)
     float(metrics["loss"])  # host sync
