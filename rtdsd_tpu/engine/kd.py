@@ -452,13 +452,16 @@ class KDTrainer:
         from rtdsd_tpu.data.loader import device_prefetch
 
         loader = self.dev_loader if is_dev else self.test_loader
+        from rtdsd_tpu.data.loader import readback_late
+
         loss_sum = 0.0
         num_correct = num_total = 0
-        for batch in device_prefetch(loader, size=self.exp_config.prefetch,
-                                     sharding=self.batch_sharding):
-            out = self.eval_step(self.state.params, self.state.batch_stats,
-                                 batch.waves, batch.labels)
-            v = batch.valid
+        entries = ((self.eval_step(self.state.params, self.state.batch_stats,
+                                   b.waves, b.labels), b.valid)
+                   for b in device_prefetch(loader,
+                                            size=self.exp_config.prefetch,
+                                            sharding=self.batch_sharding))
+        for out, v in readback_late(entries):
             # real rows only (pad rows would bias the dev loss; see Trainer)
             terms = np.asarray(out["loss_terms"])[:v]
             wsum = float(np.asarray(out["loss_weights"])[:v].sum())
