@@ -89,7 +89,9 @@ def _run(args):
     r = subprocess.run([sys.executable, "-m"] + args, cwd=REPO,
                        capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
-    return r.stdout
+    # stderr carries the CLIs' "  [...]" status lines (tests filter by
+    # prefix); merged so smokes can assert on them
+    return r.stdout + r.stderr
 
 
 @pytest.fixture(scope="module")
@@ -162,7 +164,7 @@ def test_cli_serve_smoke(trained):
     out_file = root / "serve_scores.txt"
     out = _run(["rtdsd_tpu.cli.serve", "--config", cfg, "--ckpt", last,
                 "--audio", a, b, "--window_sec", "0.5", "--hop_sec", "0.25",
-                "--per_window", "--out", str(out_file)])
+                "--per_window", "--device_ms", "--out", str(out_file)])
     agg = {l.split(" ")[0]: float(l.split(" ")[1])
            for l in out_file.read_text().strip().splitlines()}
     assert set(agg) == {a, b}
@@ -170,6 +172,9 @@ def test_cli_serve_smoke(trained):
     assert any("#" in l.split(" ")[0] for l in out.splitlines())
     for path, score in agg.items():
         assert np.isfinite(score)
+    # --device_ms chip-time accounting line (subprocess stderr is merged
+    # into _run's assertion output only on failure; check stdout+stderr)
+    assert "device" in out and "ms/tick" in out
 
 
 # ------------------------------------------------------------- KD CLI smoke
