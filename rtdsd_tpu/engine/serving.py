@@ -148,6 +148,14 @@ class MultiStreamScorer:
                 f"conv frame grid")
         if hop <= 0 or duration <= 0:
             raise ValueError("duration and hop must be positive")
+        if hop > duration:
+            # the ring sizing, backpressure, and in-batch scatter-uniqueness
+            # invariants all assume windows tile contiguously or overlap;
+            # sparse sampling (hop > window) would let one extend batch span
+            # more than ring_frames and scatter duplicate indices
+            raise ValueError(
+                f"hop ({hop}) must not exceed the window duration "
+                f"({duration}); subsample streams host-side instead")
         from rtdsd_tpu.models.wav2vec2 import conv_segment_geometry
 
         self.duration = duration
@@ -159,6 +167,10 @@ class MultiStreamScorer:
         self.seg_frames = seg_frames or self.hop_frames
         self.seg_samples, self.seg_hop, _ = conv_segment_geometry(
             cfg, self.seg_frames, 1)
+        # single implementation of the alignment arithmetic (close_stream's
+        # flush padding uses the n-segment pad_to)
+        self._seg_geometry = lambda n: conv_segment_geometry(
+            cfg, self.seg_frames, n)
         self._escalate = escalate is not None
         # Escalation stores whole overlapping segments in the sample ring
         # (each segment's rf-stride tail = the next segment's head), so a
@@ -189,9 +201,15 @@ class MultiStreamScorer:
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as P
 
+            if len(mesh.axis_names) != 1:
+                # rings/batches shard over ONE axis; extra axes would only
+                # replicate them, and the HBM guard's per-chip division
+                # would under-estimate by the replicated axes' factor
+                raise ValueError(
+                    f"serving mesh must have exactly one axis, got "
+                    f"{mesh.axis_names}")
             axis = mesh.axis_names[0]
-            self._mesh_n = int(np.prod([mesh.shape[a]
-                                        for a in mesh.axis_names]))
+            self._mesh_n = int(mesh.shape[axis])
             self._ring_sharding = NamedSharding(mesh, P(axis))
             self._batch_sharding = NamedSharding(mesh, P(axis))
             self._replicated = NamedSharding(mesh, P())
@@ -499,7 +517,7 @@ class MultiStreamScorer:
         else:
             frames_needed = last_win * self.hop_frames + self.win_frames
         segs_needed = -(-frames_needed // self.seg_frames)
-        need = (segs_needed - 1) * self.seg_hop + self.seg_samples
+        need = self._seg_geometry(segs_needed)[2]
         have = st.next_seg * self.seg_hop + len(st.buf)
         if need > have:
             st.buf = np.concatenate(
@@ -524,6 +542,11 @@ class MultiStreamScorer:
             if self._tdtype is np.int16:  # float wave -> 16-bit PCM
                 samples = np.clip(np.rint(samples * 32768.0),
                                   -32768, 32767).astype(np.int16)
+            elif samples.dtype == np.int16:
+                # raw PCM under the float32 transport: dequantize HERE
+                # (under int16 transport the device extend does x/32768;
+                # a bare astype would feed the model +-32768-scale waves)
+                samples = samples.astype(np.float32) * (1.0 / 32768.0)
             else:
                 samples = samples.astype(np.float32)
         # O(1) per push: chunks coalesce once per poll, not per call
@@ -587,7 +610,11 @@ class MultiStreamScorer:
             st.next_seg += n
             st.buf = st.buf[n * self.seg_hop:]
 
-    def _due_windows(self):
+    def _due_windows(self, limit=None):
+        """Scoreable (slot, window, start_frame) triples in round-robin
+        order; stops at ``limit`` (poll uses one score batch per call —
+        enumerating a deep backlog each poll would be waste, same
+        reasoning as :meth:`_due_segments`)."""
         out = []
         for slot, st in self._iter_slots():
             frames_done = st.next_seg * self.seg_frames
@@ -597,6 +624,8 @@ class MultiStreamScorer:
                 if start + self.win_frames > frames_done:
                     break
                 out.append((slot, w, start))
+                if limit is not None and len(out) >= limit:
+                    return out
                 w += 1
         return out
 
@@ -624,7 +653,7 @@ class MultiStreamScorer:
             self.dispatch_counts["extend"] += 1
             self._consume(segs)
 
-        wins = self._due_windows()[: self.score_batch]
+        wins = self._due_windows(limit=self.score_batch)
         if wins:
             self._last_poll_work = True
             slots = np.full((self.score_batch,), self._scratch, np.int32)

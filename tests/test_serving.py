@@ -392,3 +392,39 @@ def test_multichip_serving_with_cascade_and_int16(tiny):
     np.testing.assert_allclose([g.score for g in sharded],
                                [g.score for g in single],
                                rtol=2e-4, atol=2e-5)
+
+
+def test_push_int16_under_float32_transport_dequantizes(tiny):
+    """Raw int16 PCM pushed under the default float32 transport must be
+    dequantized on the host (under int16 transport the device extend does
+    x/32768) — a bare astype fed the model +-32768-scale waves (r3 review
+    finding)."""
+    model, params, stats, cfg, duration = tiny
+    rng = np.random.default_rng(47)
+    wave = rng.standard_normal(duration).astype(np.float32) * 0.1
+    q = np.clip(np.rint(wave * 32768.0), -32768, 32767).astype(np.int16)
+    wave_q = (q.astype(np.float32) / 32768.0)
+
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            hop=duration // 2, max_streams=2,
+                            transport_dtype="float32")
+    h = eng.open_stream("pcm32")
+    eng.push(h, q)  # raw PCM into the float transport
+    eng.close_stream(h, flush=True)
+    got = eng.drain()
+    exp = _expected_window_scores(model, params, stats, wave_q, duration,
+                                  duration // 2)
+    np.testing.assert_allclose([got[0].score], exp[:1], rtol=2e-4,
+                               atol=2e-5)
+
+
+def test_rejects_sparse_hop_and_multiaxis_mesh(tiny):
+    model, params, stats, cfg, duration = tiny
+    with pytest.raises(ValueError, match="must not exceed"):
+        MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                          hop=2 * duration)
+    from jax.sharding import Mesh
+    devs = np.array(jax.devices()).reshape(2, -1)
+    with pytest.raises(ValueError, match="one axis"):
+        MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                          mesh=Mesh(devs, ("data", "model")))
