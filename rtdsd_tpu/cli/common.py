@@ -154,7 +154,10 @@ def shard_state(state: TrainState, mesh, tx=None,
     import optax
 
     if math.prod(mesh.shape.values()) == 1:
-        return state
+        # still PLACE the tree: a msgpack-restored checkpoint is host
+        # numpy, and leaving it unplaced makes every jitted dispatch
+        # re-upload the full param tree (cli/stream.py's warm-once note)
+        return jax.device_put(state)
     rep = replicated_sharding(mesh)
     mode = mode or ("fsdp+tp" if mesh.shape.get("model", 1) > 1 else "dp")
     if mode == "dp":
@@ -180,7 +183,8 @@ def shard_state(state: TrainState, mesh, tx=None,
 
 
 def score_dataset(dataset, spec: ModelSpec, state: TrainState,
-                  batch_size: int, sharding=None, num_workers: int = 4):
+                  batch_size: int, sharding=None, num_workers: int = 4,
+                  on_decode_error: str = "raise"):
     """Score every trial in dataset order; returns (utt_ids, scores).
 
     Readback is PIPELINED: each batch's scores stay on device while the
@@ -193,7 +197,8 @@ def score_dataset(dataset, spec: ModelSpec, state: TrainState,
 
     score_step = make_score_step(spec.module)
     loader = DataLoader(dataset, batch_size, shuffle=False, drop_last=False,
-                        num_workers=num_workers, pad_last=True)
+                        num_workers=num_workers, pad_last=True,
+                        on_decode_error=on_decode_error)
     names, scores = [], []
     entries = ((score_step(state.params, state.batch_stats, b.waves),
                 b.utt_ids, b.valid)
@@ -245,12 +250,13 @@ def _check_score_shortfall(dataset, names) -> None:
 
 def produce_evaluation_file(dataset, spec: ModelSpec, state: TrainState,
                             save_path: str, batch_size: int,
-                            sharding=None, num_workers: int = 4) -> None:
+                            sharding=None, num_workers: int = 4,
+                            on_decode_error: str = "raise") -> None:
     """Write the ``"{utt_id} {score}"`` CM score file — byte format identical
     to the reference (``/root/reference/main.py:199-221``); score = raw
     bonafide logit, float via python repr like ``'{}'.format(score)``."""
     names, scores = score_dataset(dataset, spec, state, batch_size,
-                                  sharding, num_workers)
+                                  sharding, num_workers, on_decode_error)
     _check_score_shortfall(dataset, names)
     _write_score_file(save_path, names, scores)
 
@@ -303,18 +309,38 @@ def produce_evaluation_file_cascade(
     _write_score_file(save_path, names, scores)
 
 
+def drop_opt_state(state: TrainState) -> TrainState:
+    """Free the optimizer state on paths that never update params.
+
+    ``init_state`` builds full AdamW moments (f32 mu+nu ≈ 2.5 GB for the
+    315M flagship) so full-state checkpoints restore against a matching
+    template; eval/scoring/teacher paths then carry that dead tree onto
+    the device, eating exactly the HBM headroom large scoring batches
+    need. Dropping it after the restore lets JAX free the buffers before
+    the first scoring dispatch.
+    """
+    return state.replace(opt_state=())
+
+
 def load_eval_model(sys_config: SysConfig, exp_config: ExpConfig, ckpt: str,
-                    w8: bool = False, w8a8: bool = False):
-    """Shared eval-path setup: build spec, restore checkpoint, optionally
-    quantize (w8/w8a8, config flags OR'd in), and place the state on the
-    mesh (dp). Returns (spec, state, mesh, batch_sharding)."""
+                    w8: bool = False, w8a8: bool = False,
+                    name: Optional[str] = None,
+                    kwargs: Optional[dict] = None):
+    """Shared eval-path setup: build spec (optionally a non-default model,
+    e.g. a KD student via ``name``/``kwargs``), restore checkpoint, drop
+    the never-used optimizer state, optionally quantize (w8/w8a8, config
+    flags OR'd in), and place the state on the mesh (dp).
+    Returns (spec, state, mesh, batch_sharding)."""
     mesh, bsharding = setup_mesh(exp_config)
-    spec = build_model(sys_config, exp_config, train=False)
+    spec = build_model(sys_config, exp_config, name=name, train=False,
+                       kwargs=kwargs)
     state = init_state(spec, sys_config, exp_config, jax.random.key(0))
     state = load_checkpoint_for_eval(ckpt, spec, state)
+    state = drop_opt_state(state)
     print(f"Loaded checkpoint from {ckpt}")
     a8 = w8a8 or exp_config.w8a8_scoring
     if a8 or w8 or exp_config.w8_scoring:
-        spec, state = apply_w8(sys_config, exp_config, state, a8=a8)
+        spec, state = apply_w8(sys_config, exp_config, state,
+                               name=name, kwargs=kwargs, a8=a8)
     state = shard_state(state, mesh, mode="dp")
     return spec, state, mesh, bsharding

@@ -256,7 +256,8 @@ def run_score(args, sys_config, exp_config, tracks):
         else:
             produce_evaluation_file(dataset, spec, state, save_path,
                                     exp_config.batch_size_test, bsharding,
-                                    sys_config.num_workers)
+                                    sys_config.num_workers,
+                                    sys_config.decode_error_policy)
 
 
 def main(argv=None):

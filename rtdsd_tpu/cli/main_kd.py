@@ -85,6 +85,11 @@ def run_kd_train(args, sys_config, exp_config):
     if args.ckpt:
         t_state = load_checkpoint_for_eval(args.ckpt, teacher_spec, t_state)
         logger.print(f"Load Teacher checkpoint from {args.ckpt}")
+    # the teacher never updates: free its ~2.5 GB of AdamW moments (built
+    # only so full-state checkpoints restore against a matching template)
+    from rtdsd_tpu.cli.common import drop_opt_state
+
+    t_state = drop_opt_state(t_state)
     t_state = shard_state(t_state, mesh, mode="dp")
     teacher_variables = {"params": t_state.params}
     if t_state.batch_stats:
@@ -196,25 +201,20 @@ def run_kd_train(args, sys_config, exp_config):
 
 
 def run_kd_score(args, sys_config, exp_config, tracks):
+    from rtdsd_tpu.cli.common import load_eval_model
+
     validate_tracks(tracks)  # fail fast, before any checkpoint IO
     set_seed(exp_config.random_seed)
-    mesh, bsharding = setup_mesh(exp_config)
     if args.eval == "teacher":
-        spec = build_model(sys_config, exp_config, train=False)
-        kwargs = None
+        name, kwargs = None, None
     else:
-        spec, kwargs = build_student(sys_config, exp_config)
-    state = init_state(spec, sys_config, exp_config, jax.random.key(0))
-    state = load_checkpoint_for_eval(args.ckpt, spec, state)
-    a8 = getattr(args, "w8a8", False) or exp_config.w8a8_scoring
-    if a8 or getattr(args, "w8", False) or exp_config.w8_scoring:
-        from rtdsd_tpu.cli.common import apply_w8
-
-        spec, state = apply_w8(
-            sys_config, exp_config, state,
-            name=None if kwargs is None else sys_config.student_model,
-            kwargs=kwargs, a8=a8)
-    state = shard_state(state, mesh, mode="dp")
+        kd = exp_config.kd_kwargs or {}
+        name = sys_config.student_model
+        kwargs = kd.get("student_kwargs", {})
+    spec, state, _mesh, bsharding = load_eval_model(
+        sys_config, exp_config, args.ckpt,
+        w8=getattr(args, "w8", False), w8a8=getattr(args, "w8a8", False),
+        name=name, kwargs=kwargs)
     for track in tracks:
         ds_cls, path_attr = TRACK_DATASETS[track]
         save_path = tag_score_path(getattr(sys_config, path_attr),
@@ -224,7 +224,8 @@ def run_kd_score(args, sys_config, exp_config, tracks):
             continue
         produce_evaluation_file(ds_cls(sys_config, exp_config), spec, state,
                                 save_path, exp_config.batch_size_test,
-                                bsharding, sys_config.num_workers)
+                                bsharding, sys_config.num_workers,
+                                sys_config.decode_error_policy)
 
 
 def main(argv=None):

@@ -8,9 +8,11 @@ Replaces torch ``DataLoader`` + ``DistributedSampler``
   SURVEY.md §7 — so it reshuffled identically every epoch; fixed here),
 - per-process striping for multi-host data parallelism
   (``process_index::process_count``, DistributedSampler semantics),
-- a background thread pool decoding the next batches while the device
-  computes (the host work is pure decode + crop; augmentation runs on
-  device),
+- background decode overlapping device compute: with the native C++
+  decoder, ``num_workers`` sizes a GIL-free decode thread pool inside
+  each batch; on the pure-python fallback one producer thread decodes
+  batches ahead serially (``num_workers`` then only sizes the queue —
+  python decode holds the GIL, so more threads would not parallelize),
 - optional device put with sharding for jit-consumption.
 
 Yields ``(utt_ids: list[str], waves: (B, T) float32, labels: (B,) int32)``.

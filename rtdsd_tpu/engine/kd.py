@@ -238,7 +238,9 @@ def copy_teacher_weights(student_params, teacher_params,
             src = flat_t.get(ps)
             if src is not None and src.shape[1:] == leaf.shape[1:]:
                 idx = jnp.asarray(list(layer_indices), jnp.int32)
-                return jnp.take(src, idx, axis=0)
+                # cast like the generic branch: a teacher restored at a
+                # different param dtype must not leak it into the student
+                return jnp.take(src, idx, axis=0).astype(leaf.dtype)
             return leaf
         src = flat_t.get(ps)
         if src is not None and src.shape == leaf.shape:
@@ -293,6 +295,12 @@ def make_kd_train_step(teacher_model, student_model,
     criterions = list(kd_kwargs.get("kd_criterions", []))
     weights = [float(w) for w in kd_kwargs.get(
         "kd_criterion_weights", [1.0] * len(criterions))]
+    if len(weights) != len(criterions):
+        # zip would silently DROP criteria past the shorter list — a
+        # misconfigured YAML must fail loudly, not train a different loss
+        raise ValueError(
+            f"kd_criterion_weights has {len(weights)} entries for "
+            f"{len(criterions)} kd_criterions")
     crits = []
     for cfg_i, w in zip(criterions, weights):
         fn, kw = get_mid_level_loss(cfg_i)
@@ -449,26 +457,17 @@ class KDTrainer:
         return meters.get("total_loss").avg if meters else 0.0
 
     def test(self, is_dev: bool = False):
-        from rtdsd_tpu.data.loader import device_prefetch
+        """Student dev/eval pass — the SAME loop as Trainer._test (shared
+        run_eval_loop: pad-row-aware loss, accuracy, and Dev EER, which the
+        previous hand copy had silently dropped)."""
+        from rtdsd_tpu.engine.trainer import Trainer, run_eval_loop
 
         loader = self.dev_loader if is_dev else self.test_loader
-        from rtdsd_tpu.data.loader import readback_late
-
-        loss_sum = 0.0
-        num_correct = num_total = 0
-        entries = ((self.eval_step(self.state.params, self.state.batch_stats,
-                                   b.waves, b.labels), b.valid)
-                   for b in device_prefetch(loader,
-                                            size=self.exp_config.prefetch,
-                                            sharding=self.batch_sharding))
-        for out, v in readback_late(entries):
-            # real rows only (pad rows would bias the dev loss; see Trainer)
-            terms = np.asarray(out["loss_terms"])[:v]
-            wsum = float(np.asarray(out["loss_weights"])[:v].sum())
-            loss_sum += float(terms.sum()) / max(wsum, 1e-12) * v
-            num_correct += int(np.asarray(out["correct"])[:v].sum())
-            num_total += v
-        eval_loss = loss_sum / max(num_total, 1)
-        accuracy = 100.0 * num_correct / max(num_total, 1)
-        self.logger.wandbLog({"Dev Acc": accuracy, "Dev Loss": eval_loss})
+        eval_loss, accuracy, scores, labels = run_eval_loop(
+            self.eval_step, self.state, loader, self.exp_config.prefetch,
+            self.batch_sharding)
+        logs = {"Dev Acc": accuracy, "Dev Loss": eval_loss}
+        if len(np.unique(labels)) == 2:
+            logs["Dev EER"] = Trainer.calculate_EER(scores, labels)
+        self.logger.wandbLog(logs)
         return eval_loss, accuracy

@@ -126,37 +126,10 @@ class Trainer:
 
     def _test(self, loader: DataLoader, mode: str = "evaluation"
               ) -> Tuple[float, float]:
-        loss_sum = 0.0
-        num_correct = 0
-        num_total = 0
-        scores = []
-        labels = []
-        from rtdsd_tpu.data.loader import readback_late
-
-        entries = ((self.eval_step(self.state.params, self.state.batch_stats,
-                                   b.waves, b.labels), b.labels, b.valid)
-                   for b in device_prefetch(loader,
-                                            size=self.exp_config.prefetch,
-                                            sharding=self.batch_sharding))
-        # results stay on device while later batches dispatch (overlaps
-        # device latency + link RTT)
-        for out, blabels, v in readback_late(entries):
-            # weighted mean over the REAL rows only — the padded-batch mean
-            # would count the duplicated pad rows (ref trainer.py:335-337
-            # never sees pad rows)
-            terms = np.asarray(out["loss_terms"])[:v]
-            wsum = float(np.asarray(out["loss_weights"])[:v].sum())
-            loss_sum += float(terms.sum()) / max(wsum, 1e-12) * v
-            num_correct += int(np.asarray(out["correct"])[:v].sum())
-            num_total += v
-            scores.append(np.asarray(out["scores"])[:v])
-            labels.append(np.asarray(blabels)[:v])
-
-        eval_loss = loss_sum / max(num_total, 1)
-        accuracy = 100.0 * num_correct / max(num_total, 1)
+        eval_loss, accuracy, scores, labels = run_eval_loop(
+            self.eval_step, self.state, loader, self.exp_config.prefetch,
+            self.batch_sharding)
         logs = {"Dev Acc": accuracy, "Dev Loss": eval_loss}
-        scores = np.concatenate(scores) if scores else np.zeros(0)
-        labels = np.concatenate(labels) if labels else np.zeros(0)
         if len(np.unique(labels)) == 2:
             logs["Dev EER"] = self.calculate_EER(scores, labels)
         self.logger.wandbLog(logs)
@@ -166,3 +139,39 @@ class Trainer:
     def calculate_EER(scores, labels) -> float:
         """Percent EER (ref trainer.py:134-139 semantics)."""
         return compute_eer(scores, labels, pos_label=1)
+
+
+def run_eval_loop(eval_step, state, loader, prefetch, batch_sharding
+                  ) -> Tuple[float, float, np.ndarray, np.ndarray]:
+    """Shared dev/eval pass (Trainer and KDTrainer): pad-row-aware weighted
+    loss, accuracy, and the per-trial (scores, labels) for EER. Returns
+    ``(eval_loss, accuracy, scores, labels)``."""
+    from rtdsd_tpu.data.loader import readback_late
+
+    loss_sum = 0.0
+    num_correct = 0
+    num_total = 0
+    scores = []
+    labels = []
+    entries = ((eval_step(state.params, state.batch_stats,
+                          b.waves, b.labels), b.labels, b.valid)
+               for b in device_prefetch(loader, size=prefetch,
+                                        sharding=batch_sharding))
+    # results stay on device while later batches dispatch (overlaps
+    # device latency + link RTT)
+    for out, blabels, v in readback_late(entries):
+        # weighted mean over the REAL rows only — the padded-batch mean
+        # would count the duplicated pad rows (ref trainer.py:335-337
+        # never sees pad rows)
+        terms = np.asarray(out["loss_terms"])[:v]
+        wsum = float(np.asarray(out["loss_weights"])[:v].sum())
+        loss_sum += float(terms.sum()) / max(wsum, 1e-12) * v
+        num_correct += int(np.asarray(out["correct"])[:v].sum())
+        num_total += v
+        scores.append(np.asarray(out["scores"])[:v])
+        labels.append(np.asarray(blabels)[:v])
+    eval_loss = loss_sum / max(num_total, 1)
+    accuracy = 100.0 * num_correct / max(num_total, 1)
+    scores = np.concatenate(scores) if scores else np.zeros(0)
+    labels = np.concatenate(labels) if labels else np.zeros(0)
+    return eval_loss, accuracy, scores, labels
