@@ -59,6 +59,9 @@ def parse_args(argv=None):
                    help="screener YAML (default: --config)")
     p.add_argument("--cascade_band", type=float, default=2.0)
     p.add_argument("--cascade_center", type=float, default=0.0)
+    p.add_argument("--hbm_limit_gb", type=float, default=None,
+                   help="override the pre-flight HBM guard's device limit "
+                        "(GiB); 0 disables the guard entirely")
     p.add_argument("--shard", action="store_true", default=False,
                    help="shard the serving rings + batches over all local "
                         "devices (SPMD multi-chip serving; no-op with one "
@@ -146,6 +149,8 @@ def main(argv=None):
         duration=duration, hop=hop,
         max_streams=args.max_streams or n_streams,
         transport_dtype="float32" if args.f32_transport else "int16",
+        hbm_limit=(None if args.hbm_limit_gb is None
+                   else int(args.hbm_limit_gb * 2**30)),
         mesh=mesh, **esc_kwargs)
     eng.warmup()
 
