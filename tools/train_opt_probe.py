@@ -31,7 +31,7 @@ from rtdsd_tpu.utils.init_host import init_variables_host
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 192
 VARIANTS = sys.argv[2:] or ["base", "mu16", "hidden_mu16", "dots", "af",
-                            "dbatch"]
+                            "dbatch", "dots_mu16", "combo"]
 
 # params are policy/optimizer-independent: build once from the plain model
 base_spec = get_model("XLSR_AASIST", dtype=jnp.bfloat16, remat=True,
@@ -62,6 +62,11 @@ CFG = {
                         dbatch=False),
     "af":          dict(w2v={}, opt="adafactor", mu=None, dbatch=False),
     "dbatch":      dict(w2v={}, opt="adamw", mu=None, dbatch=True),
+    # cross-products of the single levers above
+    "dots_mu16":   dict(w2v={"remat_policy": "dots"}, opt="adamw",
+                        mu="bfloat16", dbatch=False),
+    "combo":       dict(w2v={"remat_policy": "dots"}, opt="adamw",
+                        mu="bfloat16", dbatch=True),
 }
 
 for name in VARIANTS:
