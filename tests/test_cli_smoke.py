@@ -177,6 +177,32 @@ def test_cli_serve_smoke(trained):
     assert "device" in out and "ms/tick" in out
 
 
+def test_cli_export_smoke(trained):
+    """cli.export end-to-end: checkpoint -> serialized StableHLO artifact +
+    JSON sidecar, then deserialize in-process and score a batch."""
+    root, cfg, last = trained
+    out_path = root / "model.jaxexp"
+
+    out = _run(["rtdsd_tpu.cli.export", "--config", cfg, "--ckpt", last,
+                "--out", str(out_path)])
+    assert "exported My_XLSR_AASIST" in out
+    assert out_path.exists() and out_path.stat().st_size > 0
+
+    import json
+
+    meta = json.loads((root / "model.jaxexp.json").read_text())
+    assert meta["batch"] == "symbolic"
+    assert meta["sample_rate"] == 16000
+    assert sorted(meta["platforms"]) == ["cpu", "tpu"]
+
+    from rtdsd_tpu.cli.export import load_exported
+
+    re = load_exported(str(out_path))
+    t = int(0.5 * 16000)
+    scores = np.asarray(re.call(np.zeros((3, t), np.float32)))
+    assert scores.shape == (3,) and np.all(np.isfinite(scores))
+
+
 # ------------------------------------------------------------- KD CLI smoke
 
 def _kd_config(root):

@@ -1,0 +1,86 @@
+"""Portable export (cli/export.py): jax.export round-trip numerics.
+
+The artifact must reproduce the in-process scoring forward (bonafide
+logit, no pre-emphasis — cli.main --is_score semantics) after a full
+serialize -> bytes-on-disk -> deserialize cycle, with both a symbolic and
+a fixed batch dimension. The CLI surface itself is smoked in
+test_cli_smoke.py::test_cli_export_smoke.
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtdsd_tpu.cli.export import export_scorer, load_exported, save_exported
+from rtdsd_tpu.models.registry import get_model
+from rtdsd_tpu.utils.init_host import init_variables_host
+
+T = 8000  # 0.5 s
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    spec = get_model(
+        "My_XLSR_AASIST", num_layers=2, dtype=jnp.float32,
+        w2v={"encoder_embed_dim": 32, "encoder_ffn_dim": 64,
+             "encoder_heads": 4, "conv_pos": 16, "conv_pos_groups": 4,
+             "conv_layers": ((32, 10, 5), (32, 3, 2), (32, 2, 2),
+                             (32, 2, 2))})
+    variables = init_variables_host(spec.module, jnp.zeros((2, T)),
+                                    train=False)
+    def direct(w):
+        return spec.module.apply(variables, w, train=False)[:, 1]
+    return spec, variables, direct
+
+
+def test_export_symbolic_batch_roundtrip(tiny, tmp_path):
+    spec, variables, direct = tiny
+    exported = export_scorer(spec.module, variables, num_samples=T,
+                             batch=None, platforms=("cpu",))
+    path = str(tmp_path / "model.jaxexp")
+    save_exported(exported, path, {"model": spec.name})
+    re = load_exported(path)
+
+    for b, seed in [(3, 0), (5, 1)]:  # symbolic dim: two distinct batches
+        w = np.random.default_rng(seed).standard_normal((b, T)) \
+            .astype(np.float32)
+        got = np.asarray(re.call(w))
+        want = np.asarray(direct(jnp.asarray(w)))
+        assert got.shape == (b,)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    meta = json.loads(open(path + ".json").read())
+    assert meta["platforms"] == ["cpu"]
+    assert meta["artifact_bytes"] > 0
+
+
+def test_export_fixed_batch_rejects_other_batch(tiny, tmp_path):
+    spec, variables, direct = tiny
+    exported = export_scorer(spec.module, variables, num_samples=T,
+                             batch=4, platforms=("cpu",))
+    path = str(tmp_path / "fixed.jaxexp")
+    save_exported(exported, path, {"model": spec.name})
+    re = load_exported(path)
+
+    w = np.random.default_rng(2).standard_normal((4, T)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(re.call(w)),
+                               np.asarray(direct(jnp.asarray(w))),
+                               rtol=1e-4, atol=1e-5)
+    with pytest.raises(Exception):  # shape-checked at the artifact boundary
+        re.call(w[:2])
+
+
+def test_export_multi_platform_includes_tpu(tiny, tmp_path):
+    """cpu+tpu lowering (the CLI default) serializes and still executes on
+    the CPU backend the suite runs under."""
+    spec, variables, _ = tiny
+    exported = export_scorer(spec.module, variables, num_samples=T,
+                             batch=2, platforms=("cpu", "tpu"))
+    assert set(exported.platforms) == {"cpu", "tpu"}
+    path = str(tmp_path / "multi.jaxexp")
+    save_exported(exported, path, {"model": spec.name})
+    out = load_exported(path).call(jnp.zeros((2, T), jnp.float32))
+    assert np.all(np.isfinite(np.asarray(out)))
