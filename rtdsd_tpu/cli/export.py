@@ -55,6 +55,145 @@ def export_scorer(module, variables, *, num_samples: int,
     return jexport.export(jax.jit(score), platforms=tuple(platforms))(arg)
 
 
+def export_streaming(module, variables, cfg, *, duration: int,
+                     hop: Optional[int] = None, seg_frames: int = 256,
+                     platforms: Sequence[str] = ("cpu", "tpu")):
+    """Export the incremental streaming scorer as TWO artifacts.
+
+    Mirrors :class:`engine.streaming.IncrementalStreamingScorer`'s split:
+    a conv-segment extractor ``(S, seg_samples) -> (S*seg_frames, C)`` with
+    a symbolic segment count, and a window scorer
+    ``(feats (F, C), idx (B, win_frames)) -> (B,)`` with symbolic F and B —
+    the conv front-end runs ~1x real time once per stream and every
+    grid-aligned window is a feature slice. Host glue (segmenting, grid
+    snapping) is pure integer arithmetic recorded in the metadata;
+    :class:`StreamingArtifact` is the in-repo reference runner.
+
+    Returns ``(conv_exported, score_exported, meta_dict)``.
+    """
+    from jax import export as jexport
+
+    from rtdsd_tpu.models.wav2vec2 import (ConvFeatureExtractor,
+                                           conv_segment_geometry)
+
+    if cfg.extractor_mode != "layer_norm":
+        raise ValueError("streaming export requires the layer_norm "
+                         "extractor (group_norm couples frames across the "
+                         "whole window)")
+    stride = cfg.total_stride
+    hop = hop or duration // 2
+    if hop < stride:
+        raise ValueError(f"hop {hop} is below the conv frame stride "
+                         f"{stride}; window starts snap to the frame grid")
+
+    conv = ConvFeatureExtractor(cfg, module.dtype)
+    conv_params = variables["params"]["ssl_model"]["feature_extractor"]
+    n_ch = cfg.conv_layers[-1][0]
+    seg_samples, seg_hop, _ = conv_segment_geometry(cfg, seg_frames, 1)
+
+    def conv_fn(segs):
+        return conv.apply({"params": conv_params}, segs).reshape(-1, n_ch)
+
+    s, = jexport.symbolic_shape("s")
+    conv_exp = jexport.export(jax.jit(conv_fn), platforms=tuple(platforms))(
+        jax.ShapeDtypeStruct((s, seg_samples), jnp.float32))
+
+    win_frames = cfg.num_frames(duration)
+    feats_dtype = jax.eval_shape(
+        conv_fn, jax.ShapeDtypeStruct((1, seg_samples), jnp.float32)).dtype
+
+    def score_fn(feats_flat, idx):
+        windows = feats_flat[idx]  # (B, win_frames, C) gather
+        logits = module.apply(variables, None, train=False,
+                              conv_feats=windows)
+        return logits[:, 1]
+
+    f, b = jexport.symbolic_shape("f, b")
+    score_exp = jexport.export(jax.jit(score_fn), platforms=tuple(platforms))(
+        jax.ShapeDtypeStruct((f, n_ch), feats_dtype),
+        jax.ShapeDtypeStruct((b, win_frames), jnp.int32))
+
+    meta = {
+        "streaming": True,
+        "duration": int(duration), "hop": int(hop), "stride": int(stride),
+        "receptive_field": int(cfg.conv_receptive_field),
+        "win_frames": int(win_frames), "channels": int(n_ch),
+        "seg_frames": int(seg_frames), "seg_samples": int(seg_samples),
+        "seg_hop": int(seg_hop), "feats_dtype": str(feats_dtype),
+        "semantics": ("window score = bonafide logit on conv-grid-aligned "
+                      "windows; no pre-emphasis"),
+    }
+    return conv_exp, score_exp, meta
+
+
+class StreamingArtifact:
+    """Model-free runner for :func:`export_streaming` bundles.
+
+    Uses ONLY the two serialized programs plus the JSON geometry — no
+    model code, params, or checkpoints — and reproduces
+    ``IncrementalStreamingScorer.window_scores`` exactly
+    (tests/test_export.py)."""
+
+    def __init__(self, conv_exported, score_exported, meta: dict):
+        self._conv = conv_exported
+        self._score = score_exported
+        self.meta = dict(meta)
+
+    @classmethod
+    def load(cls, prefix: str) -> "StreamingArtifact":
+        """Load ``<prefix>.conv`` / ``<prefix>.score`` / ``<prefix>.json``
+        as written by the ``--streaming`` CLI."""
+        with open(prefix + ".json") as fh:
+            meta = json.load(fh)
+        return cls(load_exported(prefix + ".conv"),
+                   load_exported(prefix + ".score"), meta)
+
+    def _num_frames(self, t: int) -> int:
+        m = self.meta
+        return (t - m["receptive_field"]) // m["stride"] + 1
+
+    def window_scores(self, wave) -> "np.ndarray":
+        import numpy as np
+
+        m = self.meta
+        wave = np.asarray(wave, np.float32).squeeze()
+        t = int(wave.shape[-1])
+        if t <= m["duration"]:  # short input: tile like the dataset fit
+            reps = -(-m["duration"] // max(t, 1))
+            wave = np.tile(wave, reps)[: m["duration"]]
+            t = m["duration"]
+
+        # conv features once per audio (symbolic segment count: no bucket)
+        total = self._num_frames(t)
+        n_segs = -(-total // m["seg_frames"])
+        pad_to = (n_segs - 1) * m["seg_hop"] + m["seg_samples"]
+        if t < pad_to:
+            wave = np.pad(wave, (0, pad_to - t))
+        segs = np.stack([wave[i * m["seg_hop"]:
+                              i * m["seg_hop"] + m["seg_samples"]]
+                         for i in range(n_segs)])
+        feats = self._conv.call(segs)
+
+        # window starts on the hop grid (plus a tail window), snapped DOWN
+        # to the frame grid — engine.streaming frame_starts/_grid_starts
+        # semantics, inlined so the runner needs no repo code at all
+        raw = list(range(0, t - m["duration"] + 1, m["hop"])) or [0]
+        if raw[-1] + m["duration"] < t:
+            raw.append(t - m["duration"])
+        starts = sorted(dict.fromkeys(s - (s % m["stride"]) for s in raw))
+        base = np.arange(m["win_frames"], dtype=np.int32)
+        idx = np.stack([s // m["stride"] + base for s in starts])
+        return np.asarray(self._score.call(feats, idx), np.float32)
+
+    def score(self, wave, aggregate: str = "mean") -> float:
+        import numpy as np
+
+        ws = self.window_scores(wave)
+        agg = {"mean": np.mean, "min": np.min, "max": np.max,
+               "median": np.median}[aggregate]
+        return float(agg(ws))
+
+
 def save_exported(exported, path: str, meta: dict) -> None:
     """Write the serialized artifact plus a ``<path>.json`` sidecar."""
     blob = exported.serialize()
@@ -65,6 +204,21 @@ def save_exported(exported, path: str, meta: dict) -> None:
                 platforms=list(exported.platforms),
                 artifact_bytes=len(blob))
     with open(path + ".json", "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def save_streaming(conv_exported, score_exported, prefix: str,
+                   meta: dict) -> None:
+    """Write a streaming bundle: ``<prefix>.conv`` + ``<prefix>.score``
+    programs and one ``<prefix>.json`` with the host-glue geometry."""
+    blobs = {}
+    for ext, exp in ((".conv", conv_exported), (".score", score_exported)):
+        blob = exp.serialize()
+        with open(prefix + ext, "wb") as f:
+            f.write(blob)
+        blobs[ext.lstrip(".") + "_bytes"] = len(blob)
+    meta = dict(meta, platforms=list(conv_exported.platforms), **blobs)
+    with open(prefix + ".json", "w") as f:
         json.dump(meta, f, indent=2)
 
 
@@ -97,6 +251,14 @@ def main(argv=None):
                    help="int8-quantize transformer weights first")
     p.add_argument("--w8a8", action="store_true",
                    help="w8 plus dynamic int8 activations (int8 MXU)")
+    p.add_argument("--streaming", action="store_true",
+                   help="export the incremental streaming scorer instead: "
+                        "<out>.conv + <out>.score + <out>.json "
+                        "(StreamingArtifact bundle)")
+    p.add_argument("--hop_sec", type=float, default=None,
+                   help="streaming hop seconds (default: duration/2)")
+    p.add_argument("--seg_frames", type=int, default=256,
+                   help="conv frames per extractor segment (streaming)")
     p.add_argument("--platforms", type=str, default="cpu,tpu",
                    help="comma-separated lowering platforms")
     args = p.parse_args(argv)
@@ -123,6 +285,25 @@ def main(argv=None):
     batch = None if args.batch == "sym" else int(args.batch)
     platforms = tuple(s.strip() for s in args.platforms.split(",") if s)
 
+    quant = "w8a8" if args.w8a8 else ("w8" if args.w8 else "none")
+    if args.streaming:
+        hop = (int(round(args.hop_sec * exp_config.sample_rate))
+               if args.hop_sec is not None else None)
+        conv_exp, score_exp, meta = export_streaming(
+            spec.module, variables, spec.module.w2v_cfg,
+            duration=num_samples,
+            hop=hop, seg_frames=args.seg_frames, platforms=platforms)
+        meta.update(model=spec.name, ckpt=os.path.abspath(args.ckpt),
+                    duration_sec=dur, sample_rate=exp_config.sample_rate,
+                    quant=quant)
+        save_streaming(conv_exp, score_exp, args.out, meta)
+        sizes = tuple(os.path.getsize(args.out + ext)
+                      for ext in (".conv", ".score"))
+        print(f"exported {spec.name} streaming -> {args.out}.{{conv,score,"
+              f"json}} ({sizes[0]}+{sizes[1]} bytes, platforms={platforms}, "
+              f"win={num_samples} hop={meta['hop']})")
+        return
+
     exported = export_scorer(spec.module, variables,
                              num_samples=num_samples, batch=batch,
                              platforms=platforms)
@@ -132,7 +313,7 @@ def main(argv=None):
         "duration_sec": dur,
         "sample_rate": exp_config.sample_rate,
         "batch": "symbolic" if batch is None else batch,
-        "quant": "w8a8" if args.w8a8 else ("w8" if args.w8 else "none"),
+        "quant": quant,
         "semantics": "score = bonafide logit, no pre-emphasis",
     })
     print(f"exported {spec.name} -> {args.out} "

@@ -203,6 +203,29 @@ def test_cli_export_smoke(trained):
     assert scores.shape == (3,) and np.all(np.isfinite(scores))
 
 
+def test_cli_export_streaming_smoke(trained):
+    """cli.export --streaming: two-program incremental-scorer bundle, then
+    load the model-free StreamingArtifact runner and score long audio."""
+    root, cfg, last = trained
+    prefix = root / "stream_art"
+
+    out = _run(["rtdsd_tpu.cli.export", "--config", cfg, "--ckpt", last,
+                "--streaming", "--seg_frames", "32",
+                "--out", str(prefix)])
+    assert "streaming" in out
+    for ext in (".conv", ".score", ".json"):
+        assert (root / ("stream_art" + ext)).stat().st_size > 0
+
+    from rtdsd_tpu.cli.export import StreamingArtifact
+
+    art = StreamingArtifact.load(str(prefix))
+    wave = np.random.default_rng(0).standard_normal(30000) \
+        .astype(np.float32) * 0.1
+    ws = art.window_scores(wave)
+    assert ws.ndim == 1 and ws.size >= 2 and np.all(np.isfinite(ws))
+    assert np.isfinite(art.score(wave, aggregate="median"))
+
+
 # ------------------------------------------------------------- KD CLI smoke
 
 def _kd_config(root):

@@ -73,6 +73,50 @@ def test_export_fixed_batch_rejects_other_batch(tiny, tmp_path):
         re.call(w[:2])
 
 
+def test_export_streaming_matches_incremental_scorer(tiny, tmp_path):
+    """The two-program streaming bundle, after a full serialize/deserialize
+    cycle, reproduces IncrementalStreamingScorer.window_scores through the
+    model-free StreamingArtifact runner — including the tail window and the
+    frame-grid snap — on long, short (tiled), and exact-length audio."""
+    from rtdsd_tpu.cli.export import (StreamingArtifact, export_streaming,
+                                      save_streaming)
+    from rtdsd_tpu.engine.streaming import IncrementalStreamingScorer
+
+    spec, variables, _ = tiny
+    hop = 2000
+    conv_exp, score_exp, meta = export_streaming(
+        spec.module, variables, spec.module.w2v_cfg, duration=T, hop=hop,
+        seg_frames=32, platforms=("cpu",))
+    prefix = str(tmp_path / "stream")
+    save_streaming(conv_exp, score_exp, prefix, meta)
+    art = StreamingArtifact.load(prefix)
+
+    scorer = IncrementalStreamingScorer(
+        spec.module, variables["params"], variables.get("batch_stats"),
+        spec.module.w2v_cfg, duration=T, hop=hop, seg_frames=32)
+
+    rng = np.random.default_rng(7)
+    for t in (23500, 3000, T):  # long (tail window), short (tiled), exact
+        w = rng.standard_normal(t).astype(np.float32) * 0.1
+        got = art.window_scores(w)
+        want = scorer.window_scores(w)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    assert np.isfinite(art.score(w, aggregate="mean"))
+
+    side = json.loads(open(prefix + ".json").read())
+    assert side["streaming"] and side["hop"] == hop
+
+
+def test_export_streaming_rejects_subframe_hop(tiny):
+    from rtdsd_tpu.cli.export import export_streaming
+
+    spec, variables, _ = tiny
+    with pytest.raises(ValueError, match="frame stride"):
+        export_streaming(spec.module, variables, spec.module.w2v_cfg,
+                         duration=T, hop=1, platforms=("cpu",))
+
+
 def test_export_multi_platform_includes_tpu(tiny, tmp_path):
     """cpu+tpu lowering (the CLI default) serializes and still executes on
     the CPU backend the suite runs under."""
