@@ -226,6 +226,44 @@ def test_cli_export_streaming_smoke(trained):
     assert np.isfinite(art.score(wave, aggregate="median"))
 
 
+def test_cli_infer_smoke(trained):
+    """cli.infer: artifact-only scoring (no config/ckpt on the command
+    line) reproduces cli.main --is_score's score file, including the
+    fixed-batch tail-padding path (batch 2 over 3 files)."""
+    root, cfg, last = trained
+    art = root / "infer_model.jaxexp"
+    _run(["rtdsd_tpu.cli.export", "--config", cfg, "--ckpt", last,
+          "--batch", "2", "--out", str(art)])
+
+    if not (root / "scores_la19.txt").exists():  # independent of test order
+        _run(["rtdsd_tpu.cli.main", "--config", cfg, "--is_eval",
+              "--is_score", "--ckpt", last, "--tracks", "LA19"])
+    want = dict(line.split(" ") for line in
+                (root / "scores_la19.txt").read_text().strip().splitlines())
+    files = [str(root / "audio" / f"{u}.flac")
+             for u in ("LA_E_0000", "LA_E_0001", "LA_E_0002")]
+    out_file = root / "infer_scores.txt"
+    _run(["rtdsd_tpu.cli.infer", "--artifact", str(art),
+          "--audio", *files, "--out", str(out_file)])
+
+    got = out_file.read_text().strip().splitlines()
+    assert len(got) == 3
+    for line in got:
+        uid, score = line.split(" ")
+        assert abs(float(score) - float(want[uid])) < 1e-3
+
+    # streaming bundle through the same consumer CLI
+    sa = root / "infer_stream"
+    _run(["rtdsd_tpu.cli.export", "--config", cfg, "--ckpt", last,
+          "--streaming", "--seg_frames", "32", "--out", str(sa)])
+    audio = _long_audio(root, "infer_long.wav", 2.0, freq=440)
+    out = _run(["rtdsd_tpu.cli.infer", "--artifact", str(sa),
+                "--audio", audio, "--per_window", "--aggregate", "median"])
+    lines = [l for l in out.strip().splitlines() if l.startswith("infer_long")]
+    assert len(lines) >= 3  # per-window rows + the aggregate row
+    assert np.isfinite(float(lines[-1].split(" ")[-1]))
+
+
 # ------------------------------------------------------------- KD CLI smoke
 
 def _kd_config(root):
