@@ -75,6 +75,11 @@ def parse_args(argv=None):
                    help="push float32 samples to the device instead of "
                         "16-bit PCM (int16 is lossless for 16-bit-sourced "
                         "audio and halves upload bytes)")
+    p.add_argument("--transport", default=None,
+                   choices=("float32", "int16", "mulaw8"),
+                   help="sample transport dtype (overrides --f32_transport; "
+                        "mulaw8 = companded 8-bit, halves ingest bytes "
+                        "again at telephony-grade ~38 dB SNR)")
     return p.parse_args(argv)
 
 
@@ -148,7 +153,8 @@ def main(argv=None):
         spec.module, state.params, state.batch_stats, cfg,
         duration=duration, hop=hop,
         max_streams=args.max_streams or n_streams,
-        transport_dtype="float32" if args.f32_transport else "int16",
+        transport_dtype=(args.transport if args.transport else
+                         "float32" if args.f32_transport else "int16"),
         hbm_limit=(None if args.hbm_limit_gb is None
                    else int(args.hbm_limit_gb * 2**30)),
         mesh=mesh, **esc_kwargs)

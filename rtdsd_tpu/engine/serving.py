@@ -49,7 +49,30 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["MultiStreamScorer", "WindowScore"]
+__all__ = ["MultiStreamScorer", "WindowScore",
+           "mulaw_encode", "mulaw_decode"]
+
+_MU = 255.0  # mu-law companding constant (G.711-style continuous form)
+
+
+def mulaw_encode(x: np.ndarray) -> np.ndarray:
+    """float wave in [-1, 1] -> companded int8 in [-127, 127] (host side).
+
+    Continuous mu-law (y = sign(x)·log1p(mu|x|)/log1p(mu)), not the G.711
+    segmented table — same ~38 dB speech SNR, two lines of math on both
+    ends. Quantizes AFTER companding so small samples keep ~1.7e-4
+    resolution while full-scale costs ~4e-2 (speech energy lives near 0).
+    """
+    x = np.clip(np.asarray(x, np.float32), -1.0, 1.0)
+    y = np.sign(x) * np.log1p(_MU * np.abs(x)) / np.log1p(_MU)
+    return np.clip(np.rint(y * 127.0), -127, 127).astype(np.int8)
+
+
+def mulaw_decode(q: jnp.ndarray) -> jnp.ndarray:
+    """Companded int8 -> float32 wave (device side, inside jit)."""
+    y = q.astype(jnp.float32) * (1.0 / 127.0)
+    return jnp.sign(y) * jnp.expm1(jnp.abs(y) * np.log1p(_MU)) \
+        * (1.0 / _MU)
 
 
 def _device_hbm_bytes():
@@ -224,12 +247,15 @@ class MultiStreamScorer:
         # int16 transport halves (and on high-latency relay links, far
         # more than halves) the per-tick host->device sample upload; it
         # is lossless for 16-bit-sourced audio (WAV/FLAC), and the
-        # dequant (x/32768) runs on device inside the extend program
-        if transport_dtype not in ("float32", "int16"):
-            raise ValueError(f"transport_dtype must be float32 or int16, "
-                             f"got {transport_dtype!r}")
-        self._tdtype = np.int16 if transport_dtype == "int16" \
-            else np.float32
+        # dequant (x/32768) runs on device inside the extend program.
+        # mulaw8 halves the bytes AGAIN (lossy: ~38 dB speech SNR,
+        # telephony-grade companding) — for ingest-bound deployments.
+        if transport_dtype not in ("float32", "int16", "mulaw8"):
+            raise ValueError(f"transport_dtype must be float32, int16 or "
+                             f"mulaw8, got {transport_dtype!r}")
+        self._mulaw = transport_dtype == "mulaw8"
+        self._tdtype = {"float32": np.float32, "int16": np.int16,
+                        "mulaw8": np.int8}[transport_dtype]
 
         self.params = params
         self.batch_stats = batch_stats
@@ -278,7 +304,16 @@ class MultiStreamScorer:
         seg_arange = jnp.arange(self.seg_frames, dtype=jnp.int32)
         win_arange = jnp.arange(self.win_frames, dtype=jnp.int32)
 
-        dequant = self._tdtype is np.int16
+        mulaw = self._mulaw
+        dequant = self._tdtype is not np.float32  # device-side decode needed
+
+        def _decode(x):
+            """Transport samples -> float wave, inside jit (on device)."""
+            if mulaw:
+                return mulaw_decode(x)
+            if dequant:
+                return x.astype(jnp.float32) * (1.0 / 32768.0)
+            return x
         # ----- optional cascade escalation: a second (bigger) model that
         # re-scores windows whose screener score lands in the uncertainty
         # band |score - center| <= band. The flagship scores from a RAW
@@ -298,16 +333,15 @@ class MultiStreamScorer:
         # the extend signature stable; ~65 KB/stream, negligible)
         self._swave = jnp.zeros(
             (self._n_slots, self.ring_samples),
-            jnp.int16 if dequant else jnp.float32)
+            {np.float32: jnp.float32, np.int16: jnp.int16,
+             np.int8: jnp.int8}[self._tdtype])
         if self._ring_sharding is not None:
             self._swave = jax.device_put(self._swave, self._ring_sharding)
         samp_arange = jnp.arange(self.seg_samples, dtype=jnp.int32)
         escalate_on = self._escalate
 
         def extend(cp, feats, swave, segs, slots, frame_pos):
-            waves = segs
-            if dequant:
-                waves = segs.astype(jnp.float32) * (1.0 / 32768.0)
+            waves = _decode(segs)
             new = conv.apply({"params": cp}, waves)
             idx = (frame_pos[:, None] + seg_arange) % ring_frames_
             feats = feats.at[slots[:, None], idx].set(
@@ -354,9 +388,7 @@ class MultiStreamScorer:
                     variables["batch_stats"] = stats
                 sidx = (start_frames[:, None] * stride_ + dur_arange) \
                     % ring_samples_
-                waves = swave[slots[:, None], sidx]  # (B, duration)
-                if dequant:
-                    waves = waves.astype(jnp.float32) * (1.0 / 32768.0)
+                waves = _decode(swave[slots[:, None], sidx])  # (B, duration)
                 logits = esc_model.apply(variables, waves, train=False)
                 return logits[:, 1]
 
@@ -539,7 +571,11 @@ class MultiStreamScorer:
             raise RuntimeError("stream is closing (close_stream flush=True)")
         samples = np.asarray(samples).reshape(-1)
         if samples.dtype != self._tdtype:
-            if self._tdtype is np.int16:  # float wave -> 16-bit PCM
+            if self._mulaw:
+                if samples.dtype == np.int16:  # raw PCM -> float first
+                    samples = samples.astype(np.float32) * (1.0 / 32768.0)
+                samples = mulaw_encode(samples)
+            elif self._tdtype is np.int16:  # float wave -> 16-bit PCM
                 samples = np.clip(np.rint(samples * 32768.0),
                                   -32768, 32767).astype(np.int16)
             elif samples.dtype == np.int16:

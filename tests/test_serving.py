@@ -166,6 +166,62 @@ def test_int16_transport_matches_quantized_direct(tiny):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_mulaw_codec_roundtrip():
+    """mulaw8 companding: near-zero samples keep fine resolution (the
+    point of companding), decode(encode(x)) is within the documented
+    error envelope everywhere, and 0/±1 map exactly."""
+    from rtdsd_tpu.engine.serving import mulaw_decode, mulaw_encode
+
+    x = np.linspace(-1.0, 1.0, 4001).astype(np.float32)
+    rt = np.asarray(mulaw_decode(jnp.asarray(mulaw_encode(x))))
+    # companding error grows with |x|: ~2.2e-2 at full scale,
+    # ~1e-4 near zero (where speech energy lives)
+    np.testing.assert_allclose(rt, x, atol=2.3e-2)
+    small = x[np.abs(x) < 0.01]
+    rt_small = np.asarray(mulaw_decode(jnp.asarray(mulaw_encode(small))))
+    np.testing.assert_allclose(rt_small, small, atol=3e-4)
+    exact = np.array([-1.0, 0.0, 1.0], np.float32)
+    np.testing.assert_allclose(
+        np.asarray(mulaw_decode(jnp.asarray(mulaw_encode(exact)))),
+        exact, atol=1e-6)
+    assert mulaw_encode(exact).dtype == np.int8
+
+
+def test_mulaw8_transport_matches_companded_direct(tiny):
+    """mulaw8 transport must equal direct scoring of the companded-
+    roundtripped wave (the transport's exact semantics): the device
+    decode in extend/escalate is decode(encode(x)), nothing else."""
+    from rtdsd_tpu.engine.serving import mulaw_decode, mulaw_encode
+
+    model, params, stats, cfg, duration = tiny
+    hop = duration // 2
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            hop=hop, max_streams=2,
+                            transport_dtype="mulaw8")
+    rng = np.random.default_rng(23)
+    wave = rng.standard_normal(4 * hop + duration).astype(np.float32) * 0.1
+    q16 = np.clip(np.rint(wave[3 * hop:] * 32768.0),
+                  -32768, 32767).astype(np.int16)
+    # exact transport semantics per chunk: float chunks compand directly,
+    # int16 PCM chunks dequantize (x/32768) then compand
+    codes = np.concatenate([
+        mulaw_encode(wave[: 3 * hop]),
+        mulaw_encode(q16.astype(np.float32) * (1.0 / 32768.0))])
+    wave_c = np.asarray(mulaw_decode(jnp.asarray(codes)))
+
+    h = eng.open_stream("mu")
+    eng.push(h, wave[: 3 * hop])   # float chunk
+    eng.push(h, q16)               # raw int16 PCM chunk
+    eng.close_stream(h, flush=True)
+    out = sorted(eng.drain(), key=lambda g: g.start_sample)
+
+    exp = _expected_window_scores(model, params, stats, wave_c, duration,
+                                  hop)
+    assert len(out) == len(exp)
+    np.testing.assert_allclose([g.score for g in out], exp,
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_transport_dtype_validation(tiny):
     model, params, stats, cfg, duration = tiny
     with pytest.raises(ValueError, match="transport_dtype"):

@@ -39,8 +39,9 @@ def main():
                          "window and the flagship escalates ~this fraction "
                          "(band auto-calibrated from the first ticks)")
     ap.add_argument("--transport", default="int16",
-                    choices=("int16", "float32"),
-                    help="sample upload dtype (int16 = 16-bit PCM)")
+                    choices=("int16", "float32", "mulaw8"),
+                    help="sample upload dtype (int16 = 16-bit PCM; mulaw8 "
+                         "= companded 8-bit, half the ingest bytes)")
     args = ap.parse_args()
     sweep = args.streams or [32, 64, 128, 256]
 
