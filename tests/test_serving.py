@@ -222,6 +222,35 @@ def test_mulaw8_transport_matches_companded_direct(tiny):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_serving_conformer_family(tiny):
+    """The engine is model-agnostic: any module with a ``conv_feats=``
+    entry serves (zoo.py). XLSR_Conformer (the reference's second model
+    family, 'Model'/'ConformerModel') must match its own direct scoring
+    through the ring path, same oracle as the AASIST tests."""
+    from rtdsd_tpu.models.zoo import XLSR_Conformer
+
+    cfg = tiny[3]
+    duration = tiny[4]
+    model = XLSR_Conformer(w2v_cfg=cfg, emb_size=16, heads=2,
+                           kernel_size=5, n_encoders=1)
+    variables = model.init(jax.random.key(3), jnp.zeros((1, duration)))
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    hop = duration // 2
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            hop=hop, max_streams=2)
+    rng = np.random.default_rng(29)
+    wave = rng.standard_normal(2 * hop + duration).astype(np.float32) * 0.1
+    h = eng.open_stream("conf")
+    eng.push(h, wave)
+    eng.close_stream(h, flush=True)
+    out = sorted(eng.drain(), key=lambda g: g.start_sample)
+    exp = _expected_window_scores(model, params, stats, wave, duration, hop)
+    assert len(out) == len(exp)
+    np.testing.assert_allclose([g.score for g in out], exp,
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_transport_dtype_validation(tiny):
     model, params, stats, cfg, duration = tiny
     with pytest.raises(ValueError, match="transport_dtype"):
