@@ -70,8 +70,17 @@ def init_state(spec: ModelSpec, sys_config: SysConfig, exp_config: ExpConfig,
 
 
 def load_ssl_params(path: str):
-    """Converted-XLSR pytree (.msgpack dir) or raw fairseq .pt."""
+    """Converted-XLSR pytree (.msgpack dir), an HF ``transformers`` snapshot
+    dir (config.json + model.safetensors / pytorch_model.bin, e.g. a local
+    download of facebook/wav2vec2-xls-r-300m), or a raw fairseq .pt."""
     if os.path.isdir(path):
+        if os.path.exists(os.path.join(path, "config.json")):
+            from rtdsd_tpu.models.convert_hf import (convert_hf_checkpoint,
+                                                     load_hf_dir)
+
+            sd, hf_cfg = load_hf_dir(path)
+            params, _ = convert_hf_checkpoint(sd, hf_cfg)
+            return params
         import flax.serialization as ser
 
         with open(os.path.join(path, "weights.msgpack"), "rb") as f:

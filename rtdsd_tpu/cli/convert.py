@@ -3,6 +3,9 @@
     # fairseq XLSR pretraining checkpoint -> JAX pytree cache
     python -m rtdsd_tpu.cli.convert --fairseq xlsr2_300m.pt --out pretrained/xlsr_jax
 
+    # HF transformers snapshot dir (facebook/wav2vec2-xls-r-300m) -> same cache
+    python -m rtdsd_tpu.cli.convert --hf ~/hf/wav2vec2-xls-r-300m --out pretrained/xlsr_jax
+
     # trained reference model .pt -> framework weights dir
     python -m rtdsd_tpu.cli.convert --reference best.pt --model XLSR_AASIST \\
         --out runs/converted_best
@@ -22,6 +25,9 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--fairseq", type=str, default=None,
                    help="fairseq wav2vec2/XLSR .pt checkpoint")
+    p.add_argument("--hf", type=str, default=None,
+                   help="HF transformers snapshot dir (config.json + "
+                        "model.safetensors / pytorch_model.bin)")
     p.add_argument("--reference", type=str, default=None,
                    help="trained reference model .pt state dict")
     p.add_argument("--model", type=str, default="XLSR_AASIST",
@@ -33,9 +39,16 @@ def main(argv=None):
                                                   convert_w2v_checkpoint,
                                                   load_torch_state_dict)
 
-    if args.fairseq:
-        sd = load_torch_state_dict(args.fairseq)
-        params = convert_w2v_checkpoint(sd)
+    if args.fairseq or args.hf:
+        if args.hf:
+            from rtdsd_tpu.models.convert_hf import (convert_hf_checkpoint,
+                                                     load_hf_dir)
+
+            sd, hf_cfg = load_hf_dir(args.hf)
+            params, _ = convert_hf_checkpoint(sd, hf_cfg)
+        else:
+            sd = load_torch_state_dict(args.fairseq)
+            params = convert_w2v_checkpoint(sd)
         from rtdsd_tpu.cli.common import save_ssl_params
 
         save_ssl_params(args.out, params)
@@ -55,7 +68,7 @@ def main(argv=None):
             f.write(blob)
         print(f"Converted {args.model} -> {args.out}")
     else:
-        p.error("one of --fairseq / --reference required")
+        p.error("one of --fairseq / --hf / --reference required")
 
 
 def _leaves(tree):
