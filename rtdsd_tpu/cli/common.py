@@ -54,6 +54,7 @@ def init_state(spec: ModelSpec, sys_config: SysConfig, exp_config: ExpConfig,
         ssl_params = load_ssl_params(ssl_src)
         ssl_params = select_layers(ssl_params, spec.layer_indices)
         params = dict(state.params)
+        _check_ssl_shapes(params["ssl_model"], ssl_params, ssl_src)
         params["ssl_model"] = jax.tree_util.tree_map(
             lambda a, b: jnp.asarray(b, a.dtype), params["ssl_model"],
             ssl_params)
@@ -67,6 +68,37 @@ def init_state(spec: ModelSpec, sys_config: SysConfig, exp_config: ExpConfig,
                 jax.random.fold_in(rng, 0x5eed))
         state = state.replace(params=params, opt_state=tx.init(params))
     return state
+
+
+def _check_ssl_shapes(model_tree, ckpt_tree, src: str) -> None:
+    """Raise a readable error when a converted SSL checkpoint's dims don't
+    match the model's ``w2v`` config (otherwise the tree_map cast fails
+    with a leaf-less structure error, or silently casts a same-structure /
+    different-shape tree into a shape error deep in jit)."""
+    flat_m = jax.tree_util.tree_flatten_with_path(model_tree)[0]
+    flat_c = {jax.tree_util.keystr(p): np.shape(v) for p, v in
+              jax.tree_util.tree_flatten_with_path(ckpt_tree)[0]}
+    problems = []
+    for path, leaf in flat_m:
+        key = jax.tree_util.keystr(path)
+        got = flat_c.pop(key, None)
+        if got is None:
+            problems.append(f"  missing in checkpoint: {key} "
+                            f"(model wants {np.shape(leaf)})")
+        elif tuple(got) != tuple(np.shape(leaf)):
+            problems.append(f"  {key}: checkpoint {tuple(got)} vs model "
+                            f"{tuple(np.shape(leaf))}")
+    problems += [f"  not in model: {k} {tuple(v)}"
+                 for k, v in flat_c.items()]
+    if problems:
+        shown = "\n".join(problems[:8])
+        more = f"\n  ... and {len(problems) - 8} more" \
+            if len(problems) > 8 else ""
+        raise ValueError(
+            f"SSL checkpoint {src!r} does not match the model's w2v config "
+            f"({len(problems)} mismatched leaves):\n{shown}{more}\n"
+            "Check ExpConfig.kwargs.w2v (encoder dims / conv_layers / "
+            "num_layers) against the checkpoint's architecture.")
 
 
 def load_ssl_params(path: str):

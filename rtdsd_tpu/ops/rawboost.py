@@ -101,6 +101,37 @@ def _conv_full_fixed(a: jax.Array, b: jax.Array, out_len: int) -> jax.Array:
     return jnp.fft.irfft(fa * fb, nfft)[:out_len]
 
 
+def notch_chain_from_params(fcs: jax.Array, bws: jax.Array, cs: jax.Array,
+                            g: jax.Array, fs: float
+                            ) -> Tuple[jax.Array, jax.Array]:
+    """Deterministic core of the multi-notch FIR chain given the raw random
+    draws (ref genNotchCoeffs, RawBoost.py:30-51): per-band center freq /
+    bandwidth / tap-count draws (pre-odd-ification, pre-clamp — exactly
+    what the reference's ``randRange`` returns), plus the gain draw G.
+
+    Split out from :func:`gen_notch_coeffs` so the reference's own scipy
+    code can be replayed draw-for-draw as a numerical oracle
+    (tests/test_rawboost_oracle.py). Returns (taps buffer of
+    MAX_CHAIN_TAPS, actual length L).
+    """
+    b = jnp.zeros((MAX_CHAIN_TAPS,), jnp.float32).at[0].set(1.0)
+    length = jnp.asarray(1, jnp.int32)
+    for i in range(fcs.shape[0]):
+        c = cs[i].astype(jnp.int32)
+        c = c + (c % 2 == 0)  # odd-ify (RawBoost.py:37-38)
+        f1 = jnp.maximum(fcs[i] - bws[i] / 2.0, 1.0 / 1000.0)
+        f2 = jnp.minimum(fcs[i] + bws[i] / 2.0, fs / 2.0 - 1.0 / 1000.0)
+        h = firwin_bandstop(c.astype(jnp.float32), f1, f2, fs)
+        b = _conv_full_fixed(h, b, MAX_CHAIN_TAPS)
+        length = length + c - 1
+
+    # freqz(b, 1, fs)[1] over 512 points on [0, pi): rfft at 2*_FREQZ_N grid
+    spec = jnp.fft.rfft(b, 2 * _FREQZ_N)[:_FREQZ_N]
+    peak = jnp.max(jnp.abs(spec))
+    b = (10.0 ** (g / 20.0)) * b / peak
+    return b, length
+
+
 def gen_notch_coeffs(key: jax.Array, args: RawBoostArgs, fs: float,
                      min_g: jax.Array, max_g: jax.Array
                      ) -> Tuple[jax.Array, jax.Array]:
@@ -108,29 +139,20 @@ def gen_notch_coeffs(key: jax.Array, args: RawBoostArgs, fs: float,
 
     Returns (taps buffer of MAX_CHAIN_TAPS, actual length L).
     """
-    b = jnp.zeros((MAX_CHAIN_TAPS,), jnp.float32).at[0].set(1.0)
-    length = jnp.asarray(1, jnp.int32)
     keys = jax.random.split(key, args.nBands + 1)
+    fcs, bws, cs = [], [], []
     for i in range(args.nBands):
         kf, kb, kc = jax.random.split(keys[i], 3)
-        fc = jax.random.uniform(kf, (), minval=args.minF, maxval=args.maxF)
-        bw = jax.random.uniform(kb, (), minval=args.minBW, maxval=args.maxBW)
-        c = jnp.floor(jax.random.uniform(
-            kc, (), minval=float(args.minCoeff), maxval=float(args.maxCoeff))
-        ).astype(jnp.int32)
-        c = c + (c % 2 == 0)  # odd-ify (RawBoost.py:37-38)
-        f1 = jnp.maximum(fc - bw / 2.0, 1.0 / 1000.0)
-        f2 = jnp.minimum(fc + bw / 2.0, fs / 2.0 - 1.0 / 1000.0)
-        h = firwin_bandstop(c.astype(jnp.float32), f1, f2, fs)
-        b = _conv_full_fixed(h, b, MAX_CHAIN_TAPS)
-        length = length + c - 1
-
+        fcs.append(jax.random.uniform(kf, (), minval=args.minF,
+                                      maxval=args.maxF))
+        bws.append(jax.random.uniform(kb, (), minval=args.minBW,
+                                      maxval=args.maxBW))
+        cs.append(jnp.floor(jax.random.uniform(
+            kc, (), minval=float(args.minCoeff),
+            maxval=float(args.maxCoeff))).astype(jnp.int32))
     g = jax.random.uniform(keys[-1], (), minval=min_g, maxval=max_g)
-    # freqz(b, 1, fs)[1] over 512 points on [0, pi): rfft at 2*_FREQZ_N grid
-    spec = jnp.fft.rfft(b, 2 * _FREQZ_N)[:_FREQZ_N]
-    peak = jnp.max(jnp.abs(spec))
-    b = (10.0 ** (g / 20.0)) * b / peak
-    return b, length
+    return notch_chain_from_params(jnp.stack(fcs), jnp.stack(bws),
+                                   jnp.stack(cs), g, fs)
 
 
 def filter_fir(x: jax.Array, b: jax.Array, length: jax.Array) -> jax.Array:
@@ -154,21 +176,32 @@ def norm_wav(x: jax.Array, always: bool) -> jax.Array:
     return jnp.where(peak > 1.0, x / peak, x)
 
 
+def lnl_from_chains(x: jax.Array, chains) -> jax.Array:
+    """Deterministic core of LnL convolutive noise given the per-stage
+    notch chains (ref RawBoost.py:64-75): sum of filtered signal powers,
+    mean-removed, peak-normalized. ``chains`` is a sequence of
+    (taps buffer, length) — stage i filters ``x ** (i + 1)``."""
+    y = jnp.zeros_like(x)
+    for i, (b, length) in enumerate(chains):
+        y = y + filter_fir(jnp.power(x, i + 1), b, length)
+    y = y - jnp.mean(y)
+    return norm_wav(y, always=False)
+
+
 def lnl_convolutive_noise(key: jax.Array, x: jax.Array,
                           args: RawBoostArgs, fs: float) -> jax.Array:
     """Linear+nonlinear convolutive noise (ref RawBoost.py:64-75)."""
-    y = jnp.zeros_like(x)
     min_g, max_g = float(args.minG), float(args.maxG)
     keys = jax.random.split(key, args.N_f)
+    chains = []
     for i in range(args.N_f):
         if i == 1:  # bias persists for stages >= 1 (RawBoost.py:67-69)
             min_g = min_g - args.minBiasLinNonLin
             max_g = max_g - args.maxBiasLinNonLin
-        b, length = gen_notch_coeffs(keys[i], args, fs,
-                                     jnp.float32(min_g), jnp.float32(max_g))
-        y = y + filter_fir(jnp.power(x, i + 1), b, length)
-    y = y - jnp.mean(y)
-    return norm_wav(y, always=False)
+        chains.append(gen_notch_coeffs(keys[i], args, fs,
+                                       jnp.float32(min_g),
+                                       jnp.float32(max_g)))
+    return lnl_from_chains(x, chains)
 
 
 def isd_additive_noise(key: jax.Array, x: jax.Array,
@@ -188,7 +221,14 @@ def isd_additive_noise(key: jax.Array, x: jax.Array,
     selected = rank < n
     f_r = ((2.0 * jax.random.uniform(k1, (t,)) - 1.0) *
            (2.0 * jax.random.uniform(k2, (t,)) - 1.0))
-    y = jnp.where(selected, x + args.g_sd * x * f_r, x)
+    return isd_from_params(x, selected, f_r, args.g_sd)
+
+
+def isd_from_params(x: jax.Array, selected: jax.Array, f_r: jax.Array,
+                    g_sd: float) -> jax.Array:
+    """Deterministic core of ISD noise given the selection mask and the
+    per-position noise factors (ref RawBoost.py:79-91)."""
+    y = jnp.where(selected, x + g_sd * x * f_r, x)
     return norm_wav(y, always=False)
 
 
@@ -199,9 +239,16 @@ def ssi_additive_noise(key: jax.Array, x: jax.Array,
     noise = jax.random.normal(kn, x.shape)
     b, length = gen_notch_coeffs(kc, args, fs,
                                  jnp.float32(args.minG), jnp.float32(args.maxG))
+    snr = jax.random.uniform(ks, (), minval=args.SNRmin, maxval=args.SNRmax)
+    return ssi_from_params(x, noise, b, length, snr)
+
+
+def ssi_from_params(x: jax.Array, noise: jax.Array, b: jax.Array,
+                    length: jax.Array, snr: jax.Array) -> jax.Array:
+    """Deterministic core of SSI noise given the raw noise vector, notch
+    chain, and SNR draw (ref RawBoost.py:96-106)."""
     noise = filter_fir(noise, b, length)
     noise = norm_wav(noise, always=True)
-    snr = jax.random.uniform(ks, (), minval=args.SNRmin, maxval=args.SNRmax)
     noise = noise / jnp.linalg.norm(noise) * jnp.linalg.norm(x) \
         / (10.0 ** (0.05 * snr))
     return x + noise
