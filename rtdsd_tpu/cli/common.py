@@ -51,7 +51,8 @@ def init_state(spec: ModelSpec, sys_config: SysConfig, exp_config: ExpConfig,
 
     ssl_src = sys_config.ssl_pytree_path or sys_config.ssl_ckpt_path
     if ssl_src:
-        ssl_params = load_ssl_params(ssl_src)
+        ssl_params = load_ssl_params(ssl_src,
+                                     expect_cfg=spec.module.w2v_cfg)
         ssl_params = select_layers(ssl_params, spec.layer_indices)
         params = dict(state.params)
         _check_ssl_shapes(params["ssl_model"], ssl_params, ssl_src)
@@ -101,17 +102,36 @@ def _check_ssl_shapes(model_tree, ckpt_tree, src: str) -> None:
             "num_layers) against the checkpoint's architecture.")
 
 
-def load_ssl_params(path: str):
+def load_ssl_params(path: str, expect_cfg=None):
     """Converted-XLSR pytree (.msgpack dir), an HF ``transformers`` snapshot
     dir (config.json + model.safetensors / pytorch_model.bin, e.g. a local
-    download of facebook/wav2vec2-xls-r-300m), or a raw fairseq .pt."""
+    download of facebook/wav2vec2-xls-r-300m), or a raw fairseq .pt.
+
+    ``expect_cfg`` (the model's ``Wav2Vec2Config``): when the source is an
+    HF snapshot, its config.json is cross-checked for the fields that do
+    NOT change parameter shapes — a wrong ``encoder_heads`` split would
+    otherwise load cleanly past the shape pre-flight and score garbage."""
     if os.path.isdir(path):
         if os.path.exists(os.path.join(path, "config.json")):
             from rtdsd_tpu.models.convert_hf import (convert_hf_checkpoint,
                                                      load_hf_dir)
 
             sd, hf_cfg = load_hf_dir(path)
-            params, _ = convert_hf_checkpoint(sd, hf_cfg)
+            params, derived = convert_hf_checkpoint(sd, hf_cfg)
+            if expect_cfg is not None:
+                # shape-invisible fields only; layer count/dims may be
+                # legitimately pruned (select_layers) and are covered by
+                # the shape pre-flight
+                bad = [f"  {f}: snapshot {getattr(derived, f)!r} vs model "
+                       f"{getattr(expect_cfg, f)!r}"
+                       for f in ("encoder_heads", "layer_norm_first")
+                       if getattr(derived, f) != getattr(expect_cfg, f)]
+                if bad:
+                    raise ValueError(
+                        f"HF snapshot {path!r} config disagrees with the "
+                        "model's w2v config on shape-invisible fields "
+                        "(these would load cleanly but run wrong math):\n"
+                        + "\n".join(bad))
             return params
         import flax.serialization as ser
 

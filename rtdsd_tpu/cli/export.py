@@ -2,12 +2,13 @@
 
 Packages the scoring function — raw bonafide logit, NO pre-emphasis, the
 exact semantics of ``cli.main --is_score`` (ref ``produce_evaluation_file``,
-``/root/reference/main.py:199-221``) — into ONE self-contained artifact with
-the checkpoint's weights baked in as constants. The artifact runs under any
-jax.export-compatible runtime (JAX on CPU/TPU, or downstream StableHLO
-consumers) with no dependency on this repo's Python code: the deployment
-story for the paper's resource-limited targets, where the reference would
-re-install torch+fairseq on the edge device.
+``/root/reference/main.py:199-221``) — into a self-contained artifact: a
+serialized program plus the checkpoint's weights as a msgpack sidecar
+(``<out>.params``). The artifact runs under any jax.export-compatible
+runtime (JAX on CPU/TPU, or downstream StableHLO consumers) with no
+dependency on this repo's model code: the deployment story for the paper's
+resource-limited targets, where the reference would re-install
+torch+fairseq on the edge device.
 
     # flagship (teacher) scorer, symbolic batch, CPU+TPU lowering
     python -m rtdsd_tpu.cli.export --config cfg.yaml --ckpt runs/best \
@@ -18,9 +19,11 @@ re-install torch+fairseq on the edge device.
         --student --w8a8 --batch 64 --out student.jaxexp
 
 The default symbolic batch dimension (``--batch sym``) lets the serving
-side pick its batch at run time; weights-as-constants is intentional here
-(offline one-time lowering — the CLAUDE.md jit-over-host-params landmine
-is about repeated XLA *compiles*, which export never performs).
+side pick its batch at run time. Weights are exported as call-time
+*arguments*, not StableHLO constants: baking a 315M-param tree into the
+program balloons the artifact past a GB and triggers the CLAUDE.md
+jit-over-host-params landmine on the consumer (XLA constant-folds the
+whole network at the edge box's first compile).
 """
 
 from __future__ import annotations
@@ -34,17 +37,27 @@ import jax
 import jax.numpy as jnp
 
 
+def _avals(tree):
+    """Shape/dtype skeleton of a param pytree, for export-time tracing."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        tree)
+
+
 def export_scorer(module, variables, *, num_samples: int,
                   batch: Optional[int] = None,
                   platforms: Sequence[str] = ("cpu", "tpu")):
     """Export ``module``'s scoring forward as a ``jax.export.Exported``.
 
     ``batch=None`` exports a symbolic ("b") leading dimension; an int pins
-    it. ``variables`` (params + batch_stats) are baked into the artifact.
+    it. ``variables`` (params + batch_stats) become the program's FIRST
+    argument — ``exported.call(variables, waves)`` — so the serialized
+    program stays small and the consumer's compile never constant-folds
+    the network (use :class:`ScoringArtifact` to load+call in one step).
     """
     from jax import export as jexport
 
-    def score(waves):
+    def score(variables, waves):
         return module.apply(variables, waves, train=False)[:, 1]
 
     if batch is None:
@@ -52,7 +65,8 @@ def export_scorer(module, variables, *, num_samples: int,
     else:
         b = int(batch)
     arg = jax.ShapeDtypeStruct((b, int(num_samples)), jnp.float32)
-    return jexport.export(jax.jit(score), platforms=tuple(platforms))(arg)
+    return jexport.export(jax.jit(score), platforms=tuple(platforms))(
+        _avals(variables), arg)
 
 
 def export_streaming(module, variables, cfg, *, duration: int,
@@ -67,7 +81,9 @@ def export_streaming(module, variables, cfg, *, duration: int,
     the conv front-end runs ~1x real time once per stream and every
     grid-aligned window is a feature slice. Host glue (segmenting, grid
     snapping) is pure integer arithmetic recorded in the metadata;
-    :class:`StreamingArtifact` is the in-repo reference runner.
+    :class:`StreamingArtifact` is the in-repo reference runner. Both
+    programs take ``variables`` as their first argument (see
+    :func:`export_scorer` for why weights are not baked as constants).
 
     Returns ``(conv_exported, score_exported, meta_dict)``.
     """
@@ -81,28 +97,31 @@ def export_streaming(module, variables, cfg, *, duration: int,
                          "extractor (group_norm couples frames across the "
                          "whole window)")
     stride = cfg.total_stride
-    hop = hop or duration // 2
+    if hop is None:
+        hop = duration // 2
     if hop < stride:
         raise ValueError(f"hop {hop} is below the conv frame stride "
                          f"{stride}; window starts snap to the frame grid")
 
     conv = ConvFeatureExtractor(cfg, module.dtype)
-    conv_params = variables["params"]["ssl_model"]["feature_extractor"]
     n_ch = cfg.conv_layers[-1][0]
     seg_samples, seg_hop, _ = conv_segment_geometry(cfg, seg_frames, 1)
+    var_avals = _avals(variables)
 
-    def conv_fn(segs):
+    def conv_fn(variables, segs):
+        conv_params = variables["params"]["ssl_model"]["feature_extractor"]
         return conv.apply({"params": conv_params}, segs).reshape(-1, n_ch)
 
     s, = jexport.symbolic_shape("s")
     conv_exp = jexport.export(jax.jit(conv_fn), platforms=tuple(platforms))(
-        jax.ShapeDtypeStruct((s, seg_samples), jnp.float32))
+        var_avals, jax.ShapeDtypeStruct((s, seg_samples), jnp.float32))
 
     win_frames = cfg.num_frames(duration)
     feats_dtype = jax.eval_shape(
-        conv_fn, jax.ShapeDtypeStruct((1, seg_samples), jnp.float32)).dtype
+        conv_fn, var_avals,
+        jax.ShapeDtypeStruct((1, seg_samples), jnp.float32)).dtype
 
-    def score_fn(feats_flat, idx):
+    def score_fn(variables, feats_flat, idx):
         windows = feats_flat[idx]  # (B, win_frames, C) gather
         logits = module.apply(variables, None, train=False,
                               conv_feats=windows)
@@ -110,7 +129,7 @@ def export_streaming(module, variables, cfg, *, duration: int,
 
     f, b = jexport.symbolic_shape("f, b")
     score_exp = jexport.export(jax.jit(score_fn), platforms=tuple(platforms))(
-        jax.ShapeDtypeStruct((f, n_ch), feats_dtype),
+        var_avals, jax.ShapeDtypeStruct((f, n_ch), feats_dtype),
         jax.ShapeDtypeStruct((b, win_frames), jnp.int32))
 
     meta = {
@@ -126,33 +145,60 @@ def export_streaming(module, variables, cfg, *, duration: int,
     return conv_exp, score_exp, meta
 
 
+class ScoringArtifact:
+    """Loader/runner for :func:`export_scorer` artifacts: the serialized
+    program plus its ``<path>.params`` weight sidecar.
+
+    ``call(waves)`` scores a ``(B, T)`` float32 batch on the current JAX
+    backend — weights are passed as arguments per call, so the backend
+    compile is the normal fast path, not a constant-folding marathon."""
+
+    def __init__(self, exported, variables):
+        self._exp = exported
+        self._vars = variables
+
+    @classmethod
+    def load(cls, path: str) -> "ScoringArtifact":
+        return cls(load_exported(path), load_params_sidecar(path))
+
+    def call(self, waves):
+        return self._exp.call(self._vars, waves)
+
+
 class StreamingArtifact:
     """Model-free runner for :func:`export_streaming` bundles.
 
-    Uses ONLY the two serialized programs plus the JSON geometry — no
-    model code, params, or checkpoints — and reproduces
+    Uses ONLY the two serialized programs, the weight sidecar, and the
+    JSON geometry — no model code or checkpoints — and reproduces
     ``IncrementalStreamingScorer.window_scores`` exactly
     (tests/test_export.py)."""
 
-    def __init__(self, conv_exported, score_exported, meta: dict):
+    def __init__(self, conv_exported, score_exported, meta: dict,
+                 variables):
         self._conv = conv_exported
         self._score = score_exported
         self.meta = dict(meta)
+        self._vars = variables
 
     @classmethod
     def load(cls, prefix: str) -> "StreamingArtifact":
-        """Load ``<prefix>.conv`` / ``<prefix>.score`` / ``<prefix>.json``
-        as written by the ``--streaming`` CLI."""
+        """Load ``<prefix>.conv`` / ``<prefix>.score`` / ``<prefix>.params``
+        / ``<prefix>.json`` as written by the ``--streaming`` CLI."""
         with open(prefix + ".json") as fh:
             meta = json.load(fh)
         return cls(load_exported(prefix + ".conv"),
-                   load_exported(prefix + ".score"), meta)
+                   load_exported(prefix + ".score"), meta,
+                   load_params_sidecar(prefix))
 
     def _num_frames(self, t: int) -> int:
         m = self.meta
         return (t - m["receptive_field"]) // m["stride"] + 1
 
-    def window_scores(self, wave) -> "np.ndarray":
+    def window_scores(self, wave, return_starts: bool = False):
+        """Per-window bonafide logits; with ``return_starts``, also the
+        actual window start positions in samples (hop-grid starts snapped
+        down to the conv frame grid, plus the tail window — NOT simply
+        ``i * hop``)."""
         import numpy as np
 
         m = self.meta
@@ -172,7 +218,7 @@ class StreamingArtifact:
         segs = np.stack([wave[i * m["seg_hop"]:
                               i * m["seg_hop"] + m["seg_samples"]]
                          for i in range(n_segs)])
-        feats = self._conv.call(segs)
+        feats = self._conv.call(self._vars, segs)
 
         # window starts on the hop grid (plus a tail window), snapped DOWN
         # to the frame grid — engine.streaming frame_starts/_grid_starts
@@ -183,7 +229,11 @@ class StreamingArtifact:
         starts = sorted(dict.fromkeys(s - (s % m["stride"]) for s in raw))
         base = np.arange(m["win_frames"], dtype=np.int32)
         idx = np.stack([s // m["stride"] + base for s in starts])
-        return np.asarray(self._score.call(feats, idx), np.float32)
+        scores = np.asarray(self._score.call(self._vars, feats, idx),
+                            np.float32)
+        if return_starts:
+            return scores, np.asarray(starts, np.int64)
+        return scores
 
     def score(self, wave, aggregate: str = "mean") -> float:
         import numpy as np
@@ -194,39 +244,70 @@ class StreamingArtifact:
         return float(agg(ws))
 
 
-def save_exported(exported, path: str, meta: dict) -> None:
-    """Write the serialized artifact plus a ``<path>.json`` sidecar."""
+def save_params_sidecar(path: str, variables) -> int:
+    """Write ``<path>.params`` (flax msgpack of the variables pytree);
+    returns the byte count."""
+    import flax.serialization as ser
+    import numpy as np
+
+    blob = ser.msgpack_serialize(
+        jax.tree_util.tree_map(np.asarray, variables))
+    with open(path + ".params", "wb") as f:
+        f.write(blob)
+    return len(blob)
+
+
+def load_params_sidecar(path: str):
+    """Read the ``<path>.params`` weight sidecar back into a pytree."""
+    import flax.serialization as ser
+
+    sidecar = path + ".params"
+    if not os.path.exists(sidecar):
+        raise FileNotFoundError(
+            f"{sidecar} not found — artifacts store weights beside the "
+            "program (re-export with this version's cli.export)")
+    with open(sidecar, "rb") as f:
+        return ser.msgpack_restore(f.read())
+
+
+def save_exported(exported, path: str, meta: dict, variables) -> None:
+    """Write the serialized program, the ``<path>.params`` weight sidecar,
+    and a ``<path>.json`` metadata sidecar."""
     blob = exported.serialize()
     with open(path, "wb") as f:
         f.write(blob)
+    params_bytes = save_params_sidecar(path, variables)
     meta = dict(meta, in_avals=[str(a) for a in exported.in_avals],
                 out_avals=[str(a) for a in exported.out_avals],
                 platforms=list(exported.platforms),
-                artifact_bytes=len(blob))
+                artifact_bytes=len(blob), params_bytes=params_bytes)
     with open(path + ".json", "w") as f:
         json.dump(meta, f, indent=2)
 
 
 def save_streaming(conv_exported, score_exported, prefix: str,
-                   meta: dict) -> None:
+                   meta: dict, variables) -> None:
     """Write a streaming bundle: ``<prefix>.conv`` + ``<prefix>.score``
-    programs and one ``<prefix>.json`` with the host-glue geometry."""
+    programs, the ``<prefix>.params`` weight sidecar, and one
+    ``<prefix>.json`` with the host-glue geometry."""
     blobs = {}
     for ext, exp in ((".conv", conv_exported), (".score", score_exported)):
         blob = exp.serialize()
         with open(prefix + ext, "wb") as f:
             f.write(blob)
         blobs[ext.lstrip(".") + "_bytes"] = len(blob)
+    blobs["params_bytes"] = save_params_sidecar(prefix, variables)
     meta = dict(meta, platforms=list(conv_exported.platforms), **blobs)
     with open(prefix + ".json", "w") as f:
         json.dump(meta, f, indent=2)
 
 
 def load_exported(path: str):
-    """Deserialize an artifact written by :func:`save_exported`.
+    """Deserialize a program written by :func:`save_exported`.
 
-    The returned object's ``.call(waves)`` scores a ``(B, T)`` float32
-    batch on the current JAX backend.
+    The returned object's ``.call(variables, ...)`` expects the weight
+    pytree first; use :class:`ScoringArtifact` / :class:`StreamingArtifact`
+    to load program + weights together.
     """
     from jax import export as jexport
 
@@ -296,11 +377,12 @@ def main(argv=None):
         meta.update(model=spec.name, ckpt=os.path.abspath(args.ckpt),
                     duration_sec=dur, sample_rate=exp_config.sample_rate,
                     quant=quant)
-        save_streaming(conv_exp, score_exp, args.out, meta)
+        save_streaming(conv_exp, score_exp, args.out, meta, variables)
         sizes = tuple(os.path.getsize(args.out + ext)
-                      for ext in (".conv", ".score"))
+                      for ext in (".conv", ".score", ".params"))
         print(f"exported {spec.name} streaming -> {args.out}.{{conv,score,"
-              f"json}} ({sizes[0]}+{sizes[1]} bytes, platforms={platforms}, "
+              f"params,json}} ({sizes[0]}+{sizes[1]}+{sizes[2]} bytes, "
+              f"platforms={platforms}, "
               f"win={num_samples} hop={meta['hop']})")
         return
 
@@ -315,7 +397,7 @@ def main(argv=None):
         "batch": "symbolic" if batch is None else batch,
         "quant": quant,
         "semantics": "score = bonafide logit, no pre-emphasis",
-    })
+    }, variables)
     print(f"exported {spec.name} -> {args.out} "
           f"({os.path.getsize(args.out)} bytes, platforms={platforms}, "
           f"batch={'sym' if batch is None else batch}, T={num_samples})")

@@ -46,11 +46,10 @@ def _load_checked(path: str, expect_sr: int) -> np.ndarray:
 
 
 def _fit(wave: np.ndarray, n: int) -> np.ndarray:
-    """Repeat-tile + first-n crop (eval adjust_duration semantics)."""
-    if wave.shape[-1] < n:
-        reps = -(-n // max(wave.shape[-1], 1))
-        wave = np.tile(wave, reps)
-    return wave[:n]
+    """Repeat-tile + first-n crop — the eval datasets' duration fit."""
+    from rtdsd_tpu.data.dataset import adjust_duration
+
+    return adjust_duration(wave, n)
 
 
 def score_batch_artifact(artifact, meta: dict, paths, batch_size: int = 8):
@@ -110,19 +109,21 @@ def main(argv=None):
         art = StreamingArtifact.load(args.artifact)
         sr = int(meta["sample_rate"])
         for path in args.audio:
-            ws = art.window_scores(_load_checked(path, sr))
+            ws, starts = art.window_scores(_load_checked(path, sr),
+                                           return_starts=True)
             if args.per_window:
-                hop_s = meta["hop"] / sr
-                for i, s in enumerate(ws):
-                    print(f"{_utt_id(path)}#{i} {i * hop_s:.2f} {float(s)}")
+                # actual window positions: hop-grid starts snapped to the
+                # conv frame grid plus the tail window — not i * hop
+                for i, (s, st) in enumerate(zip(ws, starts)):
+                    print(f"{_utt_id(path)}#{i} {st / sr:.2f} {float(s)}")
             agg = {"mean": np.mean, "min": np.min, "max": np.max,
                    "median": np.median}[args.aggregate]
             names.append(_utt_id(path))
             scores.append(float(agg(ws)))
     else:
-        from rtdsd_tpu.cli.export import load_exported
+        from rtdsd_tpu.cli.export import ScoringArtifact
 
-        art = load_exported(args.artifact)
+        art = ScoringArtifact.load(args.artifact)
         names, scores = score_batch_artifact(art, meta, args.audio,
                                              args.batch_size)
 

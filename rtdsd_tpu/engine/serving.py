@@ -69,8 +69,14 @@ def mulaw_encode(x: np.ndarray) -> np.ndarray:
 
 
 def mulaw_decode(q: jnp.ndarray) -> jnp.ndarray:
-    """Companded int8 -> float32 wave (device side, inside jit)."""
-    y = q.astype(jnp.float32) * (1.0 / 127.0)
+    """Companded int8 -> float32 wave (device side, inside jit).
+
+    Clamps to the encoder's [-127, 127] code range first: a raw int8
+    buffer pushed by a client may contain -128 (e.g. true G.711 bytes,
+    which use a different sign-magnitude layout and must be transcoded
+    host-side anyway), which would otherwise decode to ~-1.045, outside
+    the [-1, 1] amplitude contract of every other transport."""
+    y = jnp.clip(q.astype(jnp.float32), -127.0, 127.0) * (1.0 / 127.0)
     return jnp.sign(y) * jnp.expm1(jnp.abs(y) * np.log1p(_MU)) \
         * (1.0 / _MU)
 

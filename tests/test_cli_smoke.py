@@ -195,9 +195,9 @@ def test_cli_export_smoke(trained):
     assert meta["sample_rate"] == 16000
     assert sorted(meta["platforms"]) == ["cpu", "tpu"]
 
-    from rtdsd_tpu.cli.export import load_exported
+    from rtdsd_tpu.cli.export import ScoringArtifact
 
-    re = load_exported(str(out_path))
+    re = ScoringArtifact.load(str(out_path))
     t = int(0.5 * 16000)
     scores = np.asarray(re.call(np.zeros((3, t), np.float32)))
     assert scores.shape == (3,) and np.all(np.isfinite(scores))
@@ -213,7 +213,7 @@ def test_cli_export_streaming_smoke(trained):
                 "--streaming", "--seg_frames", "32",
                 "--out", str(prefix)])
     assert "streaming" in out
-    for ext in (".conv", ".score", ".json"):
+    for ext in (".conv", ".score", ".params", ".json"):
         assert (root / ("stream_art" + ext)).stat().st_size > 0
 
     from rtdsd_tpu.cli.export import StreamingArtifact

@@ -136,3 +136,29 @@ def test_export_carries_pretraining_only_keys():
     # converted keys win over source keys of the same name
     assert out["ssl_model.model.post_extract_proj.weight"].shape[0] == \
         variables["params"]["ssl_model"]["post_extract_proj"]["kernel"].shape[1]
+
+
+def test_ssl_shape_mismatch_raises_readably():
+    """Loading an SSL checkpoint whose dims don't match the model's w2v
+    config must fail with a named-leaf error, not a deep tree_map/jit
+    shape error (the realistic failure: pointing ssl_pytree_path at an HF
+    snapshot of a different-sized model). Lives here, torch-free, so the
+    guard stays covered in environments without torch/transformers."""
+    import pytest
+
+    from rtdsd_tpu.cli.common import _check_ssl_shapes
+
+    model = {"encoder": {"w": np.zeros((4, 8)), "b": np.zeros(8)},
+             "proj": {"w": np.zeros((8, 2))}}
+    okay = {"encoder": {"w": np.ones((4, 8)), "b": np.ones(8)},
+            "proj": {"w": np.ones((8, 2))}}
+    _check_ssl_shapes(model, okay, "ok")  # no raise
+
+    bad = {"encoder": {"w": np.ones((4, 16)), "b": np.ones(16)},
+           "proj": {"w": np.ones((16, 2))}}
+    with pytest.raises(ValueError, match="does not match the model's w2v"):
+        _check_ssl_shapes(model, bad, "snap")
+    missing = {"encoder": {"w": np.ones((4, 8))},
+               "proj": {"w": np.ones((8, 2)), "extra": np.ones(3)}}
+    with pytest.raises(ValueError, match="missing in checkpoint"):
+        _check_ssl_shapes(model, missing, "snap")

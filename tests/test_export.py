@@ -14,7 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from rtdsd_tpu.cli.export import export_scorer, load_exported, save_exported
+from rtdsd_tpu.cli.export import (ScoringArtifact, export_scorer,
+                                  save_exported)
 from rtdsd_tpu.models.registry import get_model
 from rtdsd_tpu.utils.init_host import init_variables_host
 
@@ -41,8 +42,8 @@ def test_export_symbolic_batch_roundtrip(tiny, tmp_path):
     exported = export_scorer(spec.module, variables, num_samples=T,
                              batch=None, platforms=("cpu",))
     path = str(tmp_path / "model.jaxexp")
-    save_exported(exported, path, {"model": spec.name})
-    re = load_exported(path)
+    save_exported(exported, path, {"model": spec.name}, variables)
+    re = ScoringArtifact.load(path)
 
     for b, seed in [(3, 0), (5, 1)]:  # symbolic dim: two distinct batches
         w = np.random.default_rng(seed).standard_normal((b, T)) \
@@ -55,6 +56,10 @@ def test_export_symbolic_batch_roundtrip(tiny, tmp_path):
     meta = json.loads(open(path + ".json").read())
     assert meta["platforms"] == ["cpu"]
     assert meta["artifact_bytes"] > 0
+    # weights live in the sidecar, NOT as StableHLO constants: the program
+    # must be far smaller than the params it scores with
+    assert meta["params_bytes"] > 0
+    assert meta["artifact_bytes"] < meta["params_bytes"]
 
 
 def test_export_fixed_batch_rejects_other_batch(tiny, tmp_path):
@@ -62,8 +67,8 @@ def test_export_fixed_batch_rejects_other_batch(tiny, tmp_path):
     exported = export_scorer(spec.module, variables, num_samples=T,
                              batch=4, platforms=("cpu",))
     path = str(tmp_path / "fixed.jaxexp")
-    save_exported(exported, path, {"model": spec.name})
-    re = load_exported(path)
+    save_exported(exported, path, {"model": spec.name}, variables)
+    re = ScoringArtifact.load(path)
 
     w = np.random.default_rng(2).standard_normal((4, T)).astype(np.float32)
     np.testing.assert_allclose(np.asarray(re.call(w)),
@@ -88,7 +93,7 @@ def test_export_streaming_matches_incremental_scorer(tiny, tmp_path):
         spec.module, variables, spec.module.w2v_cfg, duration=T, hop=hop,
         seg_frames=32, platforms=("cpu",))
     prefix = str(tmp_path / "stream")
-    save_streaming(conv_exp, score_exp, prefix, meta)
+    save_streaming(conv_exp, score_exp, prefix, meta, variables)
     art = StreamingArtifact.load(prefix)
 
     scorer = IncrementalStreamingScorer(
@@ -98,10 +103,16 @@ def test_export_streaming_matches_incremental_scorer(tiny, tmp_path):
     rng = np.random.default_rng(7)
     for t in (23500, 3000, T):  # long (tail window), short (tiled), exact
         w = rng.standard_normal(t).astype(np.float32) * 0.1
-        got = art.window_scores(w)
+        got, starts = art.window_scores(w, return_starts=True)
         want = scorer.window_scores(w)
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+        # starts are the actual grid-snapped positions incl. the tail
+        assert starts.shape == got.shape
+        assert all(s % art.meta["stride"] == 0 for s in starts)
+        if t > T:  # tail window present and tail-aligned (grid-snapped)
+            tail = (t - T) - ((t - T) % art.meta["stride"])
+            assert starts[-1] == tail
     assert np.isfinite(art.score(w, aggregate="mean"))
 
     side = json.loads(open(prefix + ".json").read())
@@ -112,9 +123,10 @@ def test_export_streaming_rejects_subframe_hop(tiny):
     from rtdsd_tpu.cli.export import export_streaming
 
     spec, variables, _ = tiny
-    with pytest.raises(ValueError, match="frame stride"):
-        export_streaming(spec.module, variables, spec.module.w2v_cfg,
-                         duration=T, hop=1, platforms=("cpu",))
+    for hop in (1, 0):  # 0 must trip the guard, not fall back to default
+        with pytest.raises(ValueError, match="frame stride"):
+            export_streaming(spec.module, variables, spec.module.w2v_cfg,
+                             duration=T, hop=hop, platforms=("cpu",))
 
 
 def test_export_multi_platform_includes_tpu(tiny, tmp_path):
@@ -125,6 +137,6 @@ def test_export_multi_platform_includes_tpu(tiny, tmp_path):
                              batch=2, platforms=("cpu", "tpu"))
     assert set(exported.platforms) == {"cpu", "tpu"}
     path = str(tmp_path / "multi.jaxexp")
-    save_exported(exported, path, {"model": spec.name})
-    out = load_exported(path).call(jnp.zeros((2, T), jnp.float32))
+    save_exported(exported, path, {"model": spec.name}, variables)
+    out = ScoringArtifact.load(path).call(jnp.zeros((2, T), jnp.float32))
     assert np.all(np.isfinite(np.asarray(out)))

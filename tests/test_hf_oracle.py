@@ -127,29 +127,6 @@ def test_group_norm_rename_targets_layer0_groupnorm():
     assert list(out) == ["feature_extractor.conv_layers.0.2.1.weight"]
 
 
-def test_ssl_shape_mismatch_raises_readably():
-    """Loading an SSL checkpoint whose dims don't match the model's w2v
-    config must fail with a named-leaf error, not a deep tree_map/jit
-    shape error (the realistic failure: pointing ssl_pytree_path at an HF
-    snapshot of a different-sized model)."""
-    from rtdsd_tpu.cli.common import _check_ssl_shapes
-
-    model = {"encoder": {"w": np.zeros((4, 8)), "b": np.zeros(8)},
-             "proj": {"w": np.zeros((8, 2))}}
-    okay = {"encoder": {"w": np.ones((4, 8)), "b": np.ones(8)},
-            "proj": {"w": np.ones((8, 2))}}
-    _check_ssl_shapes(model, okay, "ok")  # no raise
-
-    bad = {"encoder": {"w": np.ones((4, 16)), "b": np.ones(16)},
-           "proj": {"w": np.ones((16, 2))}}
-    with pytest.raises(ValueError, match="does not match the model's w2v"):
-        _check_ssl_shapes(model, bad, "snap")
-    missing = {"encoder": {"w": np.ones((4, 8))},
-               "proj": {"w": np.ones((8, 2)), "extra": np.ones(3)}}
-    with pytest.raises(ValueError, match="missing in checkpoint"):
-        _check_ssl_shapes(model, missing, "snap")
-
-
 def test_load_hf_dir_safetensors(tmp_path):
     """End-to-end snapshot-dir path: config.json + model.safetensors on disk
     -> identical forward to the in-memory conversion."""
@@ -190,3 +167,29 @@ def test_load_hf_dir_safetensors(tmp_path):
     for k, v in _flatten(params).items():
         np.testing.assert_array_equal(np.asarray(v),
                                       np.asarray(_flatten(cached)[k]))
+
+
+def test_load_ssl_params_rejects_shape_invisible_config_mismatch(tmp_path):
+    """An HF snapshot whose heads count disagrees with the model's w2v
+    config must be rejected: every attention projection is (D, D), so the
+    shape pre-flight cannot see a wrong head split — the math would run
+    and score garbage (cli.common.load_ssl_params expect_cfg check)."""
+    safetensors = pytest.importorskip("safetensors")
+    from safetensors.numpy import save_file
+
+    from rtdsd_tpu.cli.common import load_ssl_params
+
+    model, hf_cfg = _hf_model(seed=4)
+    snap = tmp_path / "hf_snapshot"
+    os.makedirs(snap)
+    with open(snap / "config.json", "w") as f:
+        json.dump(hf_cfg.to_dict(), f)
+    save_file({k: np.ascontiguousarray(v) for k, v in _np_sd(model).items()},
+              str(snap / "model.safetensors"))
+
+    good = w2v_config_from_hf(hf_cfg.to_dict())
+    load_ssl_params(str(snap), expect_cfg=good)  # matching: no raise
+
+    bad = dataclasses.replace(good, encoder_heads=good.encoder_heads * 2)
+    with pytest.raises(ValueError, match="encoder_heads"):
+        load_ssl_params(str(snap), expect_cfg=bad)

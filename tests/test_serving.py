@@ -185,6 +185,11 @@ def test_mulaw_codec_roundtrip():
         np.asarray(mulaw_decode(jnp.asarray(mulaw_encode(exact)))),
         exact, atol=1e-6)
     assert mulaw_encode(exact).dtype == np.int8
+    # decode clamps raw int8 input: -128 (never produced by our encoder,
+    # but representable in a client-pushed buffer) must not escape [-1, 1]
+    raw = jnp.asarray(np.array([-128, -127, 127], np.int8))
+    dec = np.asarray(mulaw_decode(raw))
+    assert dec[0] == dec[1] == -1.0 and dec[2] == 1.0
 
 
 def test_mulaw8_transport_matches_companded_direct(tiny):
