@@ -518,3 +518,39 @@ def test_rejects_sparse_hop_and_multiaxis_mesh(tiny):
     with pytest.raises(ValueError, match="one axis"):
         MultiStreamScorer(model, params, stats, cfg, duration=duration,
                           mesh=Mesh(devs, ("data", "model")))
+
+
+def test_overload_fairness_no_stream_starves(tiny):
+    """Under sustained overload (due windows per poll > score_batch), the
+    round-robin rotation must spread capacity over every stream instead of
+    letting low-index slots monopolize the batch (high-index starvation)."""
+    model, params, stats, cfg, duration = tiny
+    hop = duration // 2
+    n_streams, per_stream_wins = 6, 4
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            hop=hop, max_streams=n_streams,
+                            score_batch=2, extend_batch=4)
+    rng = np.random.default_rng(3)
+    handles = [eng.open_stream(f"s{i}") for i in range(n_streams)]
+    # extra tail so the first per_stream_wins windows are scoreable
+    # without a flush (the final window's conv frames need the
+    # receptive-field tail beyond the last hop boundary)
+    t = (per_stream_wins + 1) * hop + duration
+    for h in handles:
+        eng.push(h, rng.standard_normal(t).astype(np.float32) * 0.1)
+
+    first_scored_at = {}
+    counts = {f"s{i}": 0 for i in range(n_streams)}
+    for tick in range(200):
+        for ws in eng.poll():
+            counts[ws.stream_id] += 1
+            first_scored_at.setdefault(ws.stream_id, tick)
+        if all(c >= per_stream_wins for c in counts.values()):
+            break
+    # every stream fully scored, and nobody waited for everyone else to
+    # finish first: the last stream to start must begin well before the
+    # backlog is done (strict FIFO-by-slot would put it at the very end)
+    assert all(c >= per_stream_wins for c in counts.values()), counts
+    total_polls = max(first_scored_at.values())
+    backlog_polls = n_streams * per_stream_wins / 2  # score_batch=2
+    assert total_polls < backlog_polls * 0.75, (first_scored_at, counts)
