@@ -32,10 +32,51 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _wait_for_device(budget_s: float = 900.0, probe_timeout_s: float = 240.0):
+    """Fail fast (and readably) when the TPU relay is wedged.
+
+    The axon relay grants the chip to one process at a time and a wedged
+    claim hangs ``jax.devices()`` forever (observed: 12+ h, CLAUDE.md).
+    Probe the claim in a subprocess with a timeout and retry within a
+    bounded budget so the driver gets an error in minutes, not a hang.
+    CPU runs skip the probe."""
+    import os
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return
+    budget_s = float(os.environ.get("BENCH_CLAIM_BUDGET_S", budget_s))
+    deadline = time.time() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                timeout=probe_timeout_s, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            return
+        except subprocess.TimeoutExpired:
+            if time.time() >= deadline:
+                print(f"bench: TPU claim unavailable after {attempt} "
+                      f"probes / {budget_s:.0f}s budget — relay wedged? "
+                      "(see CLAUDE.md); aborting instead of hanging",
+                      file=sys.stderr)
+                sys.exit(1)
+            print(f"bench: claim probe {attempt} timed out; retrying "
+                  f"({deadline - time.time():.0f}s left)", file=sys.stderr)
+            time.sleep(30)
+        except subprocess.CalledProcessError:
+            # backend raised (not a hang): let the real run surface it
+            return
+
+
 def main():
     from rtdsd_tpu.models.registry import get_model
     from rtdsd_tpu.utils.init_host import init_variables_host
 
+    _wait_for_device()
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
