@@ -2,8 +2,10 @@
 ONCE, then sweep (remat_policy, optimizer, donation) variants in-process —
 each fresh process would re-upload ~4 GB of state through the relay.
 
-    python tools/train_opt_probe.py [B] [variant ...]
-variants: base mu16 hidden_mu16 dots af dbatch  (default: all)
+    python tools/train_opt_probe.py [B[,B2,...]] [variant ...]
+variants: base mu16 hidden_mu16 dots af dbatch dots_mu16 combo
+(default: all; every variant donates the TrainState like the production
+trainer — the batch list shares one param upload across the whole sweep)
 """
 
 import os
@@ -29,7 +31,8 @@ from rtdsd_tpu.engine.steps import (TrainState, make_optimizer,
 from rtdsd_tpu.models.registry import get_model
 from rtdsd_tpu.utils.init_host import init_variables_host
 
-B = int(sys.argv[1]) if len(sys.argv) > 1 else 192
+BATCHES = ([int(b) for b in sys.argv[1].split(",")] if len(sys.argv) > 1
+           else [192])
 VARIANTS = sys.argv[2:] or ["base", "mu16", "hidden_mu16", "dots", "af",
                             "dbatch", "dots_mu16", "combo"]
 
@@ -46,12 +49,7 @@ stats = jax.device_put(variables.get("batch_stats", {}))
 log(f"params uploaded: {float(jax.tree_util.tree_leaves(params)[0].reshape(-1)[0].astype(jnp.float32)):.3f} "
     f"in {time.time() - t0:.0f}s")
 
-waves = jax.device_put(jnp.asarray(
-    (np.random.default_rng(0).standard_normal((B, 64000)) * 0.1)
-    .astype(np.float32)))
-labels = jax.device_put(jnp.asarray(np.arange(B) % 2, jnp.int32))
 key = jax.random.key(0)
-gen = jax.jit(lambda k: jax.random.normal(k, (B, 64000), jnp.float32) * 0.1)
 
 CFG = {
     "base":        dict(w2v={}, opt="adamw", mu=None, dbatch=False),
@@ -69,22 +67,30 @@ CFG = {
                         mu="bfloat16", dbatch=True),
 }
 
-for name in VARIANTS:
+for B in BATCHES:
+  waves = jax.device_put(jnp.asarray(
+      (np.random.default_rng(0).standard_normal((B, 64000)) * 0.1)
+      .astype(np.float32)))
+  labels = jax.device_put(jnp.asarray(np.arange(B) % 2, jnp.int32))
+  gen = jax.jit(
+      lambda k, n=B: jax.random.normal(k, (n, 64000), jnp.float32) * 0.1)
+  for name in VARIANTS:
     c = CFG[name]
     w2v = dict(c["w2v"], fast_softmax_train=True)
     spec = get_model("XLSR_AASIST", dtype=jnp.bfloat16, remat=True, w2v=w2v)
     tx = make_optimizer(1e-6, 1e-4, optimizer=c["opt"], mu_dtype=c["mu"])
-    p, st = params, stats
-    if c["dbatch"]:
-        # this variant donates the state: give it device-side COPIES so
-        # the shared uploaded params/stats survive for later variants
-        copy = jax.jit(lambda t: jax.tree_util.tree_map(lambda x: x + 0, t))
-        p, st = copy(params), copy(stats)
+    # Every variant donates the TrainState (matches the production trainer,
+    # engine/steps.py donate=True default) — running non-donated doubles
+    # the ~3.8 GB state's footprint during the step and OOMs b192 given the
+    # extra shared pristine copy this probe retains. Give each variant
+    # device-side COPIES so the uploaded params/stats survive donation.
+    copy = jax.jit(lambda t: jax.tree_util.tree_map(lambda x: x + 0, t))
+    p, st = copy(params), copy(stats)
     opt_state = jax.jit(tx.init)(p)  # built on device, no upload
     state = TrainState(step=jnp.zeros((), jnp.int32), params=p,
                        batch_stats=st, opt_state=opt_state)
     step = make_train_step(spec.module, tx, preemph=0.97, rawboost_algo=4,
-                           aug_list=("ACN", "GAN"), donate=c["dbatch"],
+                           aug_list=("ACN", "GAN"), donate=True,
                            donate_batch=c["dbatch"])
     fresh_lab = lambda: jax.device_put(
         jnp.asarray(np.arange(B) % 2, jnp.int32))
