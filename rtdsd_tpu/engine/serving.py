@@ -247,8 +247,14 @@ class MultiStreamScorer:
                 batch_stats = jax.device_put(batch_stats, self._replicated)
         n_ = self._mesh_n
         self.max_streams = max_streams
-        # batch shapes and the slot axis must tile evenly over the mesh
-        self.extend_batch = -(-(extend_batch or max_streams) // n_) * n_
+        # batch shapes and the slot axis must tile evenly over the mesh.
+        # A capped score_batch is the documented HBM escape hatch for
+        # large S; the extend batch follows the same cap unless set
+        # explicitly — an uncapped extend's conv activations are
+        # ~6.6 MB/row f32 at this geometry, the largest single term in
+        # the HBM estimate at large S (PERFORMANCE.md).
+        self.extend_batch = -(-(extend_batch or score_batch
+                                or max_streams) // n_) * n_
         self.score_batch = -(-(score_batch or max_streams) // n_) * n_
         # int16 transport halves (and on high-latency relay links, far
         # more than halves) the per-tick host->device sample upload; it

@@ -383,6 +383,20 @@ def test_hbm_preflight_guard(tiny):
     assert eng.hbm_estimate > 1000  # the guard would have tripped
 
 
+def test_capped_score_batch_caps_extend_batch(tiny):
+    """The one-knob HBM escape hatch: capping score_batch alone also caps
+    the extend batch (r3: at S=1024 an uncapped extend's conv activations
+    faulted the worker even though score_batch was capped), while an
+    explicit extend_batch still wins."""
+    model, params, stats, cfg, duration = tiny
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            max_streams=8, score_batch=2)
+    assert eng.extend_batch == 2
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            max_streams=8, score_batch=2, extend_batch=4)
+    assert eng.extend_batch == 4
+
+
 def test_dispatch_counts_and_device_costs(tiny):
     """Capacity accounting: dispatch_counts tracks one increment per device
     program call (the O(1)-dispatches-per-poll claim), and device_costs

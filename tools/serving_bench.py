@@ -33,6 +33,12 @@ def main():
     ap.add_argument("--hop_sec", type=float, default=0.5)
     ap.add_argument("--ticks", type=int, default=12)
     ap.add_argument("--w8a8", action="store_true", default=False)
+    ap.add_argument("--score_batch", type=int, default=None,
+                    help="cap the window-score batch below max_streams "
+                         "(the HBM escape hatch for large S); the tick "
+                         "then drains the backlog with multiple dispatches")
+    ap.add_argument("--extend_batch", type=int, default=None,
+                    help="cap the conv-extend batch below max_streams")
     ap.add_argument("--model", default="XLSR_AASIST")
     ap.add_argument("--cascade", type=float, default=None,
                     help="cascade mode: an XLSR-6 student screens every "
@@ -101,6 +107,8 @@ def main():
         eng = MultiStreamScorer(screener, sparams, sstats, cfg,
                                 duration=duration, hop=hop, max_streams=S,
                                 transport_dtype=args.transport,
+                                score_batch=args.score_batch,
+                                extend_batch=args.extend_batch,
                                 **esc_kwargs)
         t0 = time.time()
         eng.warmup()
@@ -113,7 +121,7 @@ def main():
             for _ in range(4):
                 for i, h in enumerate(handles):
                     eng.push(h, chunk[i])
-                cal.extend(ws.score for ws in eng.poll())
+                cal.extend(ws.score for ws in eng.drain())
             cal = np.asarray(cal)
             eng.escalate_center = float(np.median(cal))
             eng.escalate_band = float(np.quantile(
@@ -128,7 +136,9 @@ def main():
             t0 = time.perf_counter()
             for i, h in enumerate(handles):
                 eng.push(h, chunk[i])
-            out = eng.poll()
+            # drain, not poll: with a capped score_batch the per-tick
+            # backlog needs ceil(S / score_batch) score dispatches
+            out = eng.drain()
             n_scores += len(out)
             n_esc += sum(ws.escalated for ws in out)
             dt = time.perf_counter() - t0
