@@ -59,6 +59,18 @@ def parse_args(argv=None):
                    help="screener YAML (default: --config)")
     p.add_argument("--cascade_band", type=float, default=2.0)
     p.add_argument("--cascade_center", type=float, default=0.0)
+    p.add_argument("--score_batch", type=int, default=None,
+                   help="cap the window-score batch below max_streams — the "
+                        "HBM escape hatch for large stream counts; each tick "
+                        "then needs ceil(due/score_batch) score dispatches, "
+                        "trading tick latency for memory headroom")
+    p.add_argument("--extend_batch", type=int, default=None,
+                   help="cap the conv-extend batch (default: follows "
+                        "--score_batch)")
+    p.add_argument("--auto_batch", action="store_true", default=False,
+                   help="when the pre-flight HBM estimate exceeds the "
+                        "device limit, shrink the dispatch batches to fit "
+                        "instead of raising")
     p.add_argument("--hbm_limit_gb", type=float, default=None,
                    help="override the pre-flight HBM guard's device limit "
                         "(GiB); 0 disables the guard entirely")
@@ -153,6 +165,8 @@ def main(argv=None):
         spec.module, state.params, state.batch_stats, cfg,
         duration=duration, hop=hop,
         max_streams=args.max_streams or n_streams,
+        score_batch=args.score_batch, extend_batch=args.extend_batch,
+        auto_batch=args.auto_batch,
         transport_dtype=(args.transport if args.transport else
                          "float32" if args.f32_transport else "int16"),
         hbm_limit=(None if args.hbm_limit_gb is None
@@ -207,6 +221,13 @@ def main(argv=None):
             print("\n".join(pending_lines))
             pending_lines.clear()
 
+    # with a capped score/extend batch (explicit or auto_batch-shrunk)
+    # each tick needs several dispatches to clear the due backlog —
+    # drain it instead of single-polling
+    capped = (eng.score_batch < eng.max_streams
+              or eng.extend_batch < eng.max_streams)
+    tick_poll = eng.drain if capped else eng.poll
+
     while handles or queue:
         t0 = time.perf_counter()
         done = []
@@ -218,7 +239,7 @@ def main(argv=None):
                 cursors[h] = c + hop
             if cursors[h] >= len(w):
                 done.append(h)
-        for ws in eng.poll():
+        for ws in tick_poll():
             take(ws)
         for h in done:
             eng.close_stream(h, flush=True)

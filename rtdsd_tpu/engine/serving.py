@@ -43,6 +43,7 @@ before any subsequent extend can overwrite the ring rows.
 from __future__ import annotations
 
 import collections
+import sys
 from typing import Dict, List, NamedTuple, Optional
 
 import jax
@@ -163,6 +164,7 @@ class MultiStreamScorer:
                  esc_batch: Optional[int] = None,
                  transport_dtype: str = "float32",
                  hbm_limit: Optional[int] = None,
+                 auto_batch: bool = False,
                  mesh=None):
         if cfg.extractor_mode != "layer_norm":
             raise ValueError(
@@ -282,6 +284,28 @@ class MultiStreamScorer:
         self.hbm_estimate = self._estimate_hbm(model, cfg, params,
                                                escalate)
         limit = hbm_limit if hbm_limit is not None else _device_hbm_bytes()
+        if limit and auto_batch and self.hbm_estimate > limit:
+            # shrink the dispatch batches (halving, mesh-tiled) until the
+            # estimate fits — each tick then drains the due backlog with
+            # ceil(due/batch) dispatches instead of one. Rings and params
+            # are fixed terms; if they alone exceed the limit, the raise
+            # below still fires with the floor batches.
+            req = self.hbm_estimate
+            while self.hbm_estimate > limit and self.score_batch > n_:
+                sb = max(n_, -(-(self.score_batch // 2) // n_) * n_)
+                self.score_batch = sb
+                self.extend_batch = min(self.extend_batch, sb)
+                self.esc_batch = max(n_, -(-max(1, sb // 4) // n_) * n_)
+                self.hbm_estimate = self._estimate_hbm(model, cfg, params,
+                                                       escalate)
+            if self.hbm_estimate <= limit:
+                print(f"[serving] auto_batch: ~{req / 2**30:.2f} GiB "
+                      f"estimate exceeded the {limit / 2**30:.2f} GiB "
+                      f"limit; shrank batches to extend={self.extend_batch}"
+                      f" score={self.score_batch} esc={self.esc_batch} "
+                      f"(~{self.hbm_estimate / 2**30:.2f} GiB) — ticks "
+                      f"drain the backlog with multiple dispatches",
+                      file=sys.stderr)
         if limit and self.hbm_estimate > limit:
             err = ValueError(
                 f"serving configuration needs ~{self.hbm_estimate / 2**30:.2f}"
@@ -289,7 +313,8 @@ class MultiStreamScorer:
                 f"(max_streams={max_streams}, ring_frames={self.ring_frames},"
                 f" extend_batch={self.extend_batch}, "
                 f"score_batch={self.score_batch}, esc_batch={self.esc_batch})"
-                f" — lower max_streams or the batch sizes, or pass "
+                f" — lower max_streams or the batch sizes, pass "
+                f"auto_batch=True to shrink the batches to fit, or pass "
                 f"hbm_limit=0 to override the guard")
             # structured access for tools (message wording is not an API)
             err.hbm_estimate = self.hbm_estimate

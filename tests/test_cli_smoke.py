@@ -176,6 +176,19 @@ def test_cli_serve_smoke(trained):
     # into _run's assertion output only on failure; check stdout+stderr)
     assert "device" in out and "ms/tick" in out
 
+    # the HBM escape hatch: a capped score batch drains the per-tick
+    # backlog with multiple dispatches yet scores the same windows to
+    # the same values (rows are batch-independent in eval mode)
+    capped_file = root / "serve_scores_capped.txt"
+    _run(["rtdsd_tpu.cli.serve", "--config", cfg, "--ckpt", last,
+          "--audio", a, b, "--window_sec", "0.5", "--hop_sec", "0.25",
+          "--score_batch", "1", "--out", str(capped_file)])
+    capped = {l.split(" ")[0]: float(l.split(" ")[1])
+              for l in capped_file.read_text().strip().splitlines()}
+    assert set(capped) == set(agg)
+    for path in agg:
+        np.testing.assert_allclose(capped[path], agg[path], atol=1e-5)
+
 
 def test_cli_export_smoke(trained):
     """cli.export end-to-end: checkpoint -> serialized StableHLO artifact +

@@ -383,6 +383,47 @@ def test_hbm_preflight_guard(tiny):
     assert eng.hbm_estimate > 1000  # the guard would have tripped
 
 
+def test_auto_batch_shrinks_to_fit(tiny):
+    """auto_batch=True turns the HBM guard's ValueError into an automatic
+    batch shrink: with a limit between the full-batch and min-batch
+    estimates the engine picks smaller dispatch batches and still scores
+    streams exactly (drain covers the multi-dispatch backlog)."""
+    model, params, stats, cfg, duration = tiny
+    full = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                             max_streams=8, hbm_limit=0)
+    floor = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                              max_streams=8, score_batch=1, extend_batch=1,
+                              esc_batch=1, hbm_limit=0)
+    assert floor.hbm_estimate < full.hbm_estimate
+    limit = (floor.hbm_estimate + full.hbm_estimate) // 2
+
+    # without auto_batch this limit raises; with it, batches shrink
+    with pytest.raises(ValueError, match="auto_batch"):
+        MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                          max_streams=8, hbm_limit=limit)
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            max_streams=8, hbm_limit=limit, auto_batch=True)
+    assert eng.score_batch < full.score_batch
+    assert eng.hbm_estimate <= limit
+
+    # a shrink below the fixed terms (rings+params) still raises
+    with pytest.raises(ValueError, match="HBM"):
+        MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                          max_streams=8, hbm_limit=1000, auto_batch=True)
+
+    # exactness: capped-auto engine reproduces the full-batch engine
+    rng = np.random.default_rng(3)
+    wave = rng.standard_normal(duration * 2).astype(np.float32)
+    got, want = [], []
+    for e, acc in ((eng, got), (full, want)):
+        h = e.open_stream("s")
+        e.push(h, wave)
+        acc.extend(ws.score for ws in e.drain())
+        e.close_stream(h)
+    assert len(got) == len(want) > 0
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_capped_score_batch_caps_extend_batch(tiny):
     """The one-knob HBM escape hatch: capping score_batch alone also caps
     the extend batch (r3: at S=1024 an uncapped extend's conv activations
