@@ -203,13 +203,16 @@ class MultiStreamScorer:
         self._seg_geometry = lambda n: conv_segment_geometry(
             cfg, self.seg_frames, n)
         self._escalate = escalate is not None
-        # Escalation stores whole overlapping segments in the sample ring
-        # (each segment's rf-stride tail = the next segment's head), so a
-        # window due with ZERO spare segment frames still has the rf-1
-        # samples its last conv frame needs; the write overruns the
-        # frame-aligned region by rf-stride samples (< 1 frame), so the
-        # escalating engine keeps one extra ring frame of margin.
-        self._ring_margin = 1 if self._escalate else 0
+        # Escalation keeps raw samples in a frame-row ring; each segment
+        # writes its seg_frames full rows plus an rf-stride sample tail
+        # (the next segment's head — the samples a window due with ZERO
+        # spare segment frames still needs for its last conv frame), so
+        # the write overruns the frame-aligned region by tail_rows rows
+        # and the escalating engine keeps that much extra ring margin.
+        self._tail_len = self.seg_samples - self.seg_frames * stride
+        self._tail_rows = -(-self._tail_len // stride) if self._tail_len \
+            else 0
+        self._ring_margin = self._tail_rows if self._escalate else 0
         # Ring must hold a full window plus the segments that can land
         # while its windows are still pending; 2 extra segments give the
         # scheduler slack before backpressure defers a stream's extends.
@@ -364,18 +367,35 @@ class MultiStreamScorer:
         self.escalate_center = escalate_center
         self.ring_samples = self.ring_frames * stride
         stride_ = stride
-        seg_hop_ = self.seg_hop
-        ring_samples_ = self.ring_samples
+        # The sample ring is laid out in FRAME ROWS of ``stride`` samples
+        # — (slots, ring_frames, stride) — so scatters and gathers move
+        # contiguous rows instead of single elements (a flat per-sample
+        # scatter of extend_batch x seg_samples int16s measured ~30 ms at
+        # S=512, ~2x the whole conv extend; row-granular it fuses into a
+        # cheap dynamic-update loop).
+        # A segment is seg_frames full rows plus an rf-stride sample tail
+        # (< 1 row for XLSR). The tail rows are written FIRST, padded with
+        # zeros, and full rows second: when segments k and k+1 land in one
+        # batch, k's zero-padded tail row and k+1's first full row target
+        # the same ring row, and the ordered writes make the real data
+        # win deterministically. An unoverwritten tail row's padding is
+        # never read: a window only touches that row as its FINAL row,
+        # and the escalation conv's VALID padding uses just its first
+        # rf-stride samples (the backpressure margin set with the ring
+        # geometry above keeps live windows clear of the tail-row
+        # overrun).
+        tail_rows_ = self._tail_rows
+        tail_pad = self._tail_rows * stride - self._tail_len
         # allocated even without escalation (donated pass-through keeps
         # the extend signature stable; ~65 KB/stream, negligible)
         self._swave = jnp.zeros(
-            (self._n_slots, self.ring_samples),
+            (self._n_slots, self.ring_frames, stride),
             {np.float32: jnp.float32, np.int16: jnp.int16,
              np.int8: jnp.int8}[self._tdtype])
         if self._ring_sharding is not None:
             self._swave = jax.device_put(self._swave, self._ring_sharding)
-        samp_arange = jnp.arange(self.seg_samples, dtype=jnp.int32)
         escalate_on = self._escalate
+        seg_frames_ = self.seg_frames
 
         def extend(cp, feats, swave, segs, slots, frame_pos):
             waves = _decode(segs)
@@ -384,14 +404,17 @@ class MultiStreamScorer:
             feats = feats.at[slots[:, None], idx].set(
                 new.astype(feats.dtype))
             if escalate_on:
-                # whole overlapping segments: segment k's rf-stride tail
-                # equals segment k+1's head (same stream samples), so
-                # in-batch duplicate indices write identical values and
-                # the ring always holds the last frame's full receptive
-                # field even for zero-spare-frame window geometries
-                sidx = (frame_pos[:, None] * stride_ + samp_arange) \
-                    % ring_samples_
-                swave = swave.at[slots[:, None], sidx].set(segs)
+                if tail_rows_:
+                    tail = segs[:, seg_frames_ * stride_:]
+                    tail = jnp.pad(tail, ((0, 0), (0, tail_pad)))
+                    tidx = (frame_pos[:, None] + seg_frames_
+                            + jnp.arange(tail_rows_, dtype=jnp.int32)) \
+                        % ring_frames_
+                    swave = swave.at[slots[:, None], tidx].set(
+                        tail.reshape(-1, tail_rows_, stride_))
+                rows = segs[:, :seg_frames_ * stride_].reshape(
+                    -1, seg_frames_, stride_)
+                swave = swave.at[slots[:, None], idx].set(rows)
             return feats, swave
 
         def score(p, stats, feats, slots, start_frames):
@@ -418,14 +441,21 @@ class MultiStreamScorer:
             self._esc_params = esc_params
             self._esc_stats = esc_stats
             dur_arange = jnp.arange(self.duration, dtype=jnp.int32)
+            ring_samples_ = self.ring_samples
 
             def score_esc(p, stats, swave, slots, start_frames):
                 variables = {"params": p}
                 if stats:
                     variables["batch_stats"] = stats
+                # flat per-sample gather on the row ring reshaped
+                # contiguously: a row-granular gather here (B, rows, 320)
+                # reproducibly faulted the TPU worker at S=1024 while this
+                # form is proven at that scale (PERFORMANCE.md); the
+                # reshape is metadata-only
+                flat = swave.reshape(swave.shape[0], ring_samples_)
                 sidx = (start_frames[:, None] * stride_ + dur_arange) \
                     % ring_samples_
-                waves = _decode(swave[slots[:, None], sidx])  # (B, duration)
+                waves = _decode(flat[slots[:, None], sidx])  # (B, duration)
                 logits = esc_model.apply(variables, waves, train=False)
                 return logits[:, 1]
 
