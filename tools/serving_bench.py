@@ -41,9 +41,13 @@ def main():
                     help="cap the conv-extend batch below max_streams")
     ap.add_argument("--model", default="XLSR_AASIST")
     ap.add_argument("--cascade", type=float, default=None,
-                    help="cascade mode: an XLSR-6 student screens every "
+                    help="cascade mode: an XLSR student screens every "
                          "window and the flagship escalates ~this fraction "
                          "(band auto-calibrated from the first ticks)")
+    ap.add_argument("--cascade_layers", type=int, default=6,
+                    help="screener encoder depth (6 = XLSR-6 student, "
+                         "2 = XLSR-2; the screen is the cascade's largest "
+                         "per-tick device cost once extend is row-granular)")
     ap.add_argument("--transport", default="int16",
                     choices=("int16", "float32", "mulaw8"),
                     help="sample upload dtype (int16 = 16-bit PCM; mulaw8 "
@@ -84,7 +88,7 @@ def main():
     esc_kwargs = {}
     if args.cascade is not None:
         stud_spec = get_model("My_XLSR_AASIST", dtype=jnp.bfloat16,
-                              num_layers=6)
+                              num_layers=args.cascade_layers)
         screener = stud_spec.module
         svars = init_variables_host(screener,
                                     jnp.zeros((2, duration), jnp.float32),
