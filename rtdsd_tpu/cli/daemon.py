@@ -1,0 +1,110 @@
+"""Network serving daemon — live audio in over a socket, scores out.
+
+The last mile past ``cli.serve`` (which replays FILES as streams): a
+long-running process that owns the TPU engine and accepts concurrent
+live PCM streams from external producers over a Unix or TCP socket,
+answering with per-window CM scores as they are computed. Protocol and
+engine-threading notes: rtdsd_tpu/engine/netserve.py.
+
+    python -m rtdsd_tpu.cli.daemon --config cfg.yaml --ckpt best \\
+        --max_streams 256 --listen unix:/run/rtdsd.sock
+    python -m rtdsd_tpu.cli.daemon ... --listen 0.0.0.0:7750
+
+All of ``cli.serve``'s engine flags apply (--window_sec/--hop_sec,
+--w8a8, --cascade_ckpt, --score_batch/--auto_batch, --transport,
+--shard, ...). --max_streams is required: a daemon has no file list to
+infer the slot count from, and the compiled batch shapes are fixed at
+startup.
+
+Reference parity note: the reference has no serving daemon at all —
+its inference surface is ``main.py --score_all_folder_path`` batch
+scoring (/root/reference/main.py:199-221); this is framework-added
+deployment capability.
+"""
+
+import argparse
+import asyncio
+import signal
+import sys
+
+from rtdsd_tpu.utils.cache import enable_persistent_compile_cache
+
+enable_persistent_compile_cache()
+
+
+def parse_args(argv=None):
+    from rtdsd_tpu.cli.serve import add_engine_args
+
+    p = argparse.ArgumentParser()
+    add_engine_args(p)
+    p.add_argument("--listen", required=True, type=str,
+                   help="unix:/path/to.sock or host:port")
+    p.add_argument("--tick_sec", type=float, default=None,
+                   help="poll cadence (default: the hop interval)")
+    p.add_argument("--stats_every", type=float, default=60.0,
+                   help="stderr stats interval in seconds (0 = off)")
+    args = p.parse_args(argv)
+    if not args.max_streams:
+        p.error("--max_streams is required for the daemon (fixed compiled "
+                "batch shapes; no file list to infer it from)")
+    return args
+
+
+async def _amain(args):
+    import os
+
+    from rtdsd_tpu.cli.serve import build_engine
+    from rtdsd_tpu.engine.netserve import ServeDaemon
+
+    eng, sr = build_engine(args, args.max_streams)
+    daemon = ServeDaemon(eng, int(sr), tick_sec=args.tick_sec)
+
+    if args.listen.startswith("unix:"):
+        path = args.listen[len("unix:"):]
+        if os.path.exists(path):
+            os.unlink(path)  # stale socket from a previous run
+        await daemon.start(unix_path=path)
+        where = f"unix:{path}"
+    else:
+        host, _, port = args.listen.rpartition(":")
+        if not host or not port.isdigit():
+            raise SystemExit(f"--listen must be unix:/path or host:port, "
+                             f"got {args.listen!r}")
+        await daemon.start(host=host, port=int(port))
+        where = f"{host}:{port}"
+    print(f"[daemon] serving on {where} — {eng.max_streams} slots, "
+          f"window {eng.duration / sr:.2f}s hop {eng.hop / sr:.2f}s, "
+          f"transport {daemon.engine._tdtype.__name__}, "
+          f"~{eng.hbm_estimate / 2**30:.2f} GiB HBM", file=sys.stderr,
+          flush=True)
+
+    stop = asyncio.Event()
+    loop = asyncio.get_event_loop()
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        try:
+            loop.add_signal_handler(sig, stop.set)
+        except NotImplementedError:  # non-unix
+            pass
+
+    async def stats():
+        while args.stats_every > 0:
+            await asyncio.sleep(args.stats_every)
+            print(f"[daemon] streams={eng.active_streams}/"
+                  f"{eng.max_streams} ticks={daemon.ticks} "
+                  f"scores={daemon.scores_sent} "
+                  f"dispatches={dict(eng.dispatch_counts)}",
+                  file=sys.stderr, flush=True)
+
+    stats_task = asyncio.ensure_future(stats())
+    await stop.wait()
+    stats_task.cancel()
+    await daemon.stop()
+    print("[daemon] stopped", file=sys.stderr)
+
+
+def main(argv=None):
+    asyncio.run(_amain(parse_args(argv)))
+
+
+if __name__ == "__main__":
+    main()

@@ -31,24 +31,16 @@ enable_persistent_compile_cache()
 from rtdsd_tpu.config import load_yaml_config
 
 
-def parse_args(argv=None):
-    p = argparse.ArgumentParser()
+def add_engine_args(p):
+    """Engine/model flags shared with the network daemon (cli/daemon.py)."""
     p.add_argument("--config", required=True, type=str)
     p.add_argument("--ckpt", required=True, type=str)
-    p.add_argument("--audio", required=True, nargs="+",
-                   help="WAV/FLAC file(s); each is served as a live stream")
     p.add_argument("--window_sec", type=float, default=None,
                    help="window length (default: ExpConfig.test_duration_sec)")
     p.add_argument("--hop_sec", type=float, default=None,
                    help="hop between windows (default: window / 2)")
     p.add_argument("--max_streams", type=int, default=None,
                    help="compiled stream-slot count (default: #files)")
-    p.add_argument("--realtime", action="store_true", default=False,
-                   help="pace the feed to the wall clock (true serving "
-                        "latency); default fast-forwards")
-    p.add_argument("--per_window", action="store_true", default=False)
-    p.add_argument("--out", type=str, default=None,
-                   help="write '{path} {score}' aggregate lines here too")
     p.add_argument("--w8", action="store_true", default=False)
     p.add_argument("--w8a8", action="store_true", default=False)
     p.add_argument("--cascade_ckpt", type=str, default=None,
@@ -92,6 +84,19 @@ def parse_args(argv=None):
                    help="sample transport dtype (overrides --f32_transport; "
                         "mulaw8 = companded 8-bit, halves ingest bytes "
                         "again at telephony-grade ~38 dB SNR)")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    add_engine_args(p)
+    p.add_argument("--audio", required=True, nargs="+",
+                   help="WAV/FLAC file(s); each is served as a live stream")
+    p.add_argument("--realtime", action="store_true", default=False,
+                   help="pace the feed to the wall clock (true serving "
+                        "latency); default fast-forwards")
+    p.add_argument("--per_window", action="store_true", default=False)
+    p.add_argument("--out", type=str, default=None,
+                   help="write '{path} {score}' aggregate lines here too")
     return p.parse_args(argv)
 
 
@@ -103,15 +108,13 @@ def snap_to_stride(n: int, stride: int, what: str) -> int:
     return snapped
 
 
-def main(argv=None):
-    args = parse_args(argv)
+def build_engine(args, n_streams: int):
+    """Construct a warmed :class:`MultiStreamScorer` from the shared
+    engine flags (``add_engine_args``); used by this CLI and the network
+    daemon (cli/daemon.py). Returns ``(engine, sample_rate_hz)``."""
     sys_config, exp_config = load_yaml_config(args.config)
 
-    import numpy as np
-
     from rtdsd_tpu.cli.common import load_eval_model
-    from rtdsd_tpu.data.dataset import resample
-    from rtdsd_tpu.data.io import load_audio
     from rtdsd_tpu.engine.serving import MultiStreamScorer
 
     sr = float(exp_config.sample_rate)
@@ -149,7 +152,6 @@ def main(argv=None):
     hop = snap_to_stride(int(round(hop_sec * sr)), cfg.total_stride,
                          "--hop_sec")
 
-    n_streams = len(args.audio)
     mesh = None
     if args.shard:
         import jax
@@ -173,6 +175,20 @@ def main(argv=None):
                    else int(args.hbm_limit_gb * 2**30)),
         mesh=mesh, **esc_kwargs)
     eng.warmup()
+    return eng, sr
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import numpy as np
+
+    from rtdsd_tpu.data.dataset import resample
+    from rtdsd_tpu.data.io import load_audio
+
+    n_streams = len(args.audio)
+    eng, sr = build_engine(args, n_streams)
+    hop = eng.hop
 
     waves = []
     for path in args.audio:

@@ -626,6 +626,13 @@ class MultiStreamScorer:
     def active_streams(self) -> int:
         return len(self._slots)
 
+    def is_open(self, handle: int) -> bool:
+        """True while ``handle`` owns a slot (including a closing stream
+        whose final windows are still draining). Slot numbers are reused
+        after release, so callers tracking lifetimes must check this
+        before opening new streams (see engine/netserve.py)."""
+        return handle in self._slots
+
     # ------------------------------------------------------------------ i/o
 
     def push(self, handle: int, samples: np.ndarray) -> None:

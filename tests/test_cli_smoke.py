@@ -190,6 +190,58 @@ def test_cli_serve_smoke(trained):
         np.testing.assert_allclose(capped[path], agg[path], atol=1e-5)
 
 
+def test_cli_daemon_smoke(trained, tmp_path):
+    """cli.daemon end-to-end: subprocess daemon on a Unix socket, a live
+    ServeClient producer streams audio in and receives per-window scores
+    + CLOSED, then SIGTERM stops the daemon gracefully (exit 0).
+    Score exactness vs direct window scoring is unit-tested in
+    tests/test_netserve.py; this smoke covers the CLI entry surface."""
+    import signal
+    import time
+
+    from rtdsd_tpu.data.io import load_audio
+    from rtdsd_tpu.engine.netserve import ServeClient
+
+    root, cfg, last = trained
+    a = _long_audio(root, "daemon_bona.wav", 1.5, freq=440)
+    sock = str(tmp_path / "rtdsd.sock")
+    # log to a FILE, not a PIPE: an undrained pipe fills with XLA's
+    # chatty stderr and blocks the daemon before it opens the socket
+    log_path = tmp_path / "daemon.log"
+    with open(log_path, "w") as log:
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "rtdsd_tpu.cli.daemon", "--config", cfg,
+             "--ckpt", last, "--max_streams", "2", "--window_sec", "0.5",
+             "--hop_sec", "0.25", "--listen", f"unix:{sock}",
+             "--stats_every", "0"],
+            cwd=REPO, stdout=log, stderr=subprocess.STDOUT, text=True)
+    try:
+        deadline = time.time() + 600
+        while not os.path.exists(sock):
+            assert proc.poll() is None, log_path.read_text()[-2000:]
+            assert time.time() < deadline, "daemon never opened its socket"
+            time.sleep(0.5)
+        client = ServeClient(unix_path=sock)
+        assert client.hop == 4000 and client.duration == 8000
+        wave = np.asarray(load_audio(a)[0], np.float32).squeeze()
+        h = client.open(a)
+        for c in range(0, len(wave), 3000):  # live-producer chunking
+            client.push(h, wave[c:c + 3000])
+        client.close(h, flush=True)
+        got = client.collect({h})
+        # 1.5 s at 0.5 s windows / 0.25 s hop -> 5 hop-grid windows
+        assert [s for s, _, _ in sorted(got[h])] == \
+            [k * 4000 for k in range(5)]
+        assert all(np.isfinite(v) for _, v, _ in got[h])
+        client.close_socket()
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=120)
+    log_text = log_path.read_text()
+    assert proc.returncode == 0, log_text[-2000:]
+    assert "[daemon] stopped" in log_text
+
+
 def test_cli_export_smoke(trained):
     """cli.export end-to-end: checkpoint -> serialized StableHLO artifact +
     JSON sidecar, then deserialize in-process and score a batch."""

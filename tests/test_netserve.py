@@ -1,0 +1,179 @@
+"""Network serving daemon tests (engine/netserve.py, cli/daemon.py).
+
+The daemon is a socket front-end over MultiStreamScorer, so the oracle
+is the same as test_serving's: window scores received over the wire
+must equal direct window scoring of the same samples. The daemon runs
+on a private asyncio loop in a background thread; the blocking
+ServeClient talks to it over a Unix socket — exactly a producer's view.
+"""
+
+import asyncio
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtdsd_tpu.engine.netserve import ServeClient, ServeDaemon, _frame
+from rtdsd_tpu.engine.serving import MultiStreamScorer
+from rtdsd_tpu.engine.steps import make_score_step
+from rtdsd_tpu.models.wav2vec2 import Wav2Vec2Config
+from rtdsd_tpu.models.zoo import XLSR_AASIST
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = Wav2Vec2Config(conv_layers=((8, 10, 5), (8, 4, 4), (8, 2, 2)),
+                         encoder_embed_dim=8, encoder_ffn_dim=16,
+                         encoder_heads=2, encoder_layers=2, conv_pos=4,
+                         conv_pos_groups=2)
+    model = XLSR_AASIST(w2v_cfg=cfg)
+    duration = 80 * cfg.total_stride  # 3200 samples, stride 40
+    variables = model.init(jax.random.key(0), jnp.zeros((1, duration)))
+    return (model, variables["params"], variables.get("batch_stats", {}),
+            cfg, duration)
+
+
+class _DaemonThread:
+    """Run a ServeDaemon on its own loop in a background thread."""
+
+    def __init__(self, engine, sock_path, tick_sec=0.02):
+        self.daemon = ServeDaemon(engine, 16000, tick_sec=tick_sec)
+        self.sock_path = str(sock_path)
+        self.loop = asyncio.new_event_loop()
+        self._started = threading.Event()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+        assert self._started.wait(30), "daemon failed to start"
+
+    def _run(self):
+        asyncio.set_event_loop(self.loop)
+
+        async def go():
+            await self.daemon.start(unix_path=self.sock_path)
+            self._started.set()
+
+        self.loop.run_until_complete(go())
+        self.loop.run_forever()
+
+    def stop(self):
+        async def halt():
+            await self.daemon.stop()
+            self.loop.stop()
+
+        asyncio.run_coroutine_threadsafe(halt(), self.loop)
+        self.thread.join(timeout=30)
+        self.loop.close()
+
+
+@pytest.fixture()
+def served(tiny, tmp_path):
+    model, params, stats, cfg, duration = tiny
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            hop=duration // 2, max_streams=3,
+                            transport_dtype="int16")
+    dt = _DaemonThread(eng, tmp_path / "rtdsd.sock")
+    yield dt, duration
+    dt.stop()
+
+
+def _expected(tiny, wave, duration, hop):
+    """Direct window scoring of the int16-quantized wave (the daemon's
+    wire transport quantizes exactly like the engine's own push)."""
+    model, params, stats, _, _ = tiny
+    q = np.clip(np.rint(wave * 32768.0), -32768, 32767).astype(np.int16)
+    w = q.astype(np.float32) / 32768.0
+    step = make_score_step(model)
+    starts = range(0, len(w) - duration + 1, hop)
+    windows = np.stack([w[s:s + duration] for s in starts])
+    return np.asarray(step(params, stats, jnp.asarray(windows)))
+
+
+def test_daemon_scores_match_direct(served, tiny):
+    """Two concurrent wire streams, pushed in uneven chunks, score
+    exactly like direct window scoring; CLOSED arrives after the final
+    flush window and frees the slot."""
+    dt, duration = served
+    hop = duration // 2
+    cli = ServeClient(unix_path=dt.sock_path)
+    assert cli.transport == "int16"
+    assert cli.duration == duration and cli.hop == hop
+
+    rng = np.random.default_rng(5)
+    waves = [rng.standard_normal(4 * hop + duration).astype(np.float32)
+             * 0.1,
+             rng.standard_normal(2 * hop + duration).astype(np.float32)
+             * 0.1]
+    handles = [cli.open(f"wire{i}") for i in range(2)]
+    cursors = [0, 0]
+    while any(c < len(w) for c, w in zip(cursors, waves)):
+        for i, (h, w) in enumerate(zip(handles, waves)):
+            n = int(rng.integers(300, 2000))
+            if cursors[i] < len(w):
+                cli.push(h, w[cursors[i]:cursors[i] + n])
+                cursors[i] += n
+    for h in handles:
+        cli.close(h, flush=True)
+    got = cli.collect(set(handles))
+
+    for i, (h, w) in enumerate(zip(handles, waves)):
+        exp = _expected(tiny, w, duration, hop)
+        scores = sorted(got[h])  # (start_sample, score, escalated)
+        assert [s for s, _, _ in scores] == \
+            [k * hop for k in range(len(exp))]
+        np.testing.assert_allclose([v for _, v, _ in scores], exp,
+                                   rtol=2e-4, atol=2e-5)
+    cli.close_socket()
+    # slots freed: a new client can claim all three
+    cli2 = ServeClient(unix_path=dt.sock_path)
+    hs = [cli2.open() for _ in range(3)]
+    assert len(set(hs)) == 3
+    cli2.close_socket()
+
+
+def test_daemon_error_paths(served):
+    dt, _ = served
+    cli = ServeClient(unix_path=dt.sock_path)
+    cli.ping()
+
+    # foreign/unknown handle is rejected per-stream, connection survives
+    cli._sock.sendall(_frame(0x02, b"\x63\x00\x00\x00" + b"\x00\x00"))
+    with pytest.raises(RuntimeError, match="not an open stream"):
+        next(cli.events())
+    cli.ping()  # still connected
+
+    # slot exhaustion answers ERROR (engine has 3 slots)
+    hs = [cli.open() for _ in range(3)]
+    with pytest.raises(RuntimeError, match="busy"):
+        cli.open()
+    for h in hs:
+        cli.close(h, flush=False)  # nothing pushed: CLOSED is immediate
+    seen = set()
+    for ev in cli.events():
+        assert ev[0] == "closed"
+        seen.add(ev[1])
+        if seen == set(hs):
+            break
+    cli.close_socket()
+
+
+def test_daemon_disconnect_releases_slots(served):
+    """A vanished producer's streams are abandoned (no flush) and the
+    slots return to the pool."""
+    dt, duration = served
+    cli = ServeClient(unix_path=dt.sock_path)
+    h = cli.open("drop")
+    cli.push(h, np.zeros(duration // 4, np.float32))
+    cli.close_socket()  # vanish without CLOSE
+
+    deadline = __import__("time").time() + 20
+    cli2 = ServeClient(unix_path=dt.sock_path)
+    hs = []
+    while len(hs) < 3 and __import__("time").time() < deadline:
+        try:
+            hs.append(cli2.open())
+        except RuntimeError:  # cleanup hasn't run yet
+            __import__("time").sleep(0.05)
+    assert len(hs) == 3
+    cli2.close_socket()
