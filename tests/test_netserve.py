@@ -158,6 +158,60 @@ def test_daemon_error_paths(served):
     cli.close_socket()
 
 
+def test_daemon_tcp_listener(tiny):
+    """The TCP listener path (host/port) speaks the same protocol as the
+    Unix-socket path: HELLO, OPEN, short-stream flush (repeat-tiled to
+    one window), CLOSED."""
+    model, params, stats, cfg, duration = tiny
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            hop=duration // 2, max_streams=2,
+                            transport_dtype="int16")
+    dt = _DaemonTCP(eng)
+    try:
+        cli = ServeClient(host="127.0.0.1", port=dt.port)
+        cli.ping()
+        h = cli.open("tcp")
+        cli.push(h, np.random.default_rng(0)
+                 .standard_normal(duration // 2).astype(np.float32) * 0.1)
+        cli.close(h, flush=True)  # < one window: repeat-tiled
+        got = cli.collect({h})
+        assert len(got[h]) == 1 and np.isfinite(got[h][0][1])
+        cli.close_socket()
+    finally:
+        dt.stop()
+
+
+class _DaemonTCP:
+    def __init__(self, engine, tick_sec=0.02):
+        self.daemon = ServeDaemon(engine, 16000, tick_sec=tick_sec)
+        self.loop = asyncio.new_event_loop()
+        self.port = None
+        self._started = threading.Event()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+        assert self._started.wait(30), "daemon failed to start"
+
+    def _run(self):
+        asyncio.set_event_loop(self.loop)
+
+        async def go():
+            server = await self.daemon.start(host="127.0.0.1", port=0)
+            self.port = server.sockets[0].getsockname()[1]
+            self._started.set()
+
+        self.loop.run_until_complete(go())
+        self.loop.run_forever()
+
+    def stop(self):
+        async def halt():
+            await self.daemon.stop()
+            self.loop.stop()
+
+        asyncio.run_coroutine_threadsafe(halt(), self.loop)
+        self.thread.join(timeout=30)
+        self.loop.close()
+
+
 def test_daemon_disconnect_releases_slots(served):
     """A vanished producer's streams are abandoned (no flush) and the
     slots return to the pool."""
