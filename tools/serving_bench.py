@@ -107,7 +107,14 @@ def main():
     rng = np.random.default_rng(0)
     for S in sweep:
         if args.cascade is not None:
-            esc_kwargs["esc_batch"] = max(8, int(np.ceil(S * args.cascade)))
+            # escalations arrive per SCORE dispatch: with a capped
+            # score_batch each dispatch yields ~rate*score_batch in-band
+            # windows, so sizing the esc batch from S runs it half-empty
+            # (fixed-shape dispatch cost is paid on padding rows). 1.25x
+            # headroom absorbs per-dispatch variance in the band.
+            per_dispatch = min(S, args.score_batch or S)
+            esc_kwargs["esc_batch"] = max(
+                8, int(np.ceil(per_dispatch * args.cascade * 1.25)))
         eng = MultiStreamScorer(screener, sparams, sstats, cfg,
                                 duration=duration, hop=hop, max_streams=S,
                                 transport_dtype=args.transport,
