@@ -212,6 +212,81 @@ class _DaemonTCP:
         self.loop.close()
 
 
+def test_daemon_mulaw8_wire(tiny, tmp_path):
+    """mulaw8 transport over the wire: the client compands float waves
+    to int8, the daemon's device-side expand scores them — scores match
+    an engine fed the same mulaw-encoded samples directly."""
+    from rtdsd_tpu.engine.serving import mulaw_encode
+
+    model, params, stats, cfg, duration = tiny
+    hop = duration // 2
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            hop=hop, max_streams=2,
+                            transport_dtype="mulaw8")
+    dt = _DaemonThread(eng, tmp_path / "mu.sock")
+    try:
+        cli = ServeClient(unix_path=dt.sock_path)
+        assert cli.transport == "mulaw8"
+        rng = np.random.default_rng(9)
+        wave = rng.standard_normal(2 * hop + duration).astype(
+            np.float32) * 0.1
+        h = cli.open()
+        cli.push(h, wave)
+        cli.close(h, flush=True)
+        got = cli.collect({h})
+        cli.close_socket()
+
+        ref = MultiStreamScorer(model, params, stats, cfg,
+                                duration=duration, hop=hop, max_streams=2,
+                                transport_dtype="mulaw8")
+        rh = ref.open_stream()
+        ref.push(rh, mulaw_encode(wave))
+        ref.close_stream(rh, flush=True)
+        want = {ws.start_sample: ws.score for ws in ref.drain()}
+        assert {s for s, _, _ in got[h]} == set(want)
+        for s, v, _ in got[h]:
+            np.testing.assert_allclose(v, want[s], rtol=2e-4, atol=2e-5)
+    finally:
+        dt.stop()
+
+
+def test_daemon_cascade_escalation_over_wire(tiny, tmp_path):
+    """A cascade engine behind the daemon: with an everything-escalates
+    band the wire scores are exactly the flagship's, and the escalated
+    flag survives the protocol round-trip."""
+    model, params, stats, cfg, duration = tiny
+    hop = duration // 2
+    # screener = the same model re-initialized (any pair works)
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    svars = model.init(_jax.random.key(1), _jnp.zeros((1, duration)))
+    eng = MultiStreamScorer(model, svars["params"],
+                            svars.get("batch_stats", {}), cfg,
+                            duration=duration, hop=hop, max_streams=2,
+                            transport_dtype="int16",
+                            escalate=(model, params, stats),
+                            escalate_band=1e9)
+    dt = _DaemonThread(eng, tmp_path / "casc.sock")
+    try:
+        cli = ServeClient(unix_path=dt.sock_path)
+        rng = np.random.default_rng(13)
+        wave = rng.standard_normal(2 * hop + duration).astype(
+            np.float32) * 0.1
+        h = cli.open()
+        cli.push(h, wave)
+        cli.close(h, flush=True)
+        got = cli.collect({h})
+        cli.close_socket()
+        assert len(got[h]) == 3
+        assert all(esc for _, _, esc in got[h])  # flag over the wire
+        exp = _expected(tiny, wave, duration, hop)  # flagship direct
+        np.testing.assert_allclose(
+            [v for _, v, _ in sorted(got[h])], exp, rtol=2e-4, atol=2e-5)
+    finally:
+        dt.stop()
+
+
 def test_daemon_disconnect_releases_slots(served):
     """A vanished producer's streams are abandoned (no flush) and the
     slots return to the pool."""

@@ -424,6 +424,30 @@ def test_auto_batch_shrinks_to_fit(tiny):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_auto_batch_respects_mesh_tiling(tiny):
+    """Under a mesh, auto_batch's shrunken dispatch batches must stay
+    multiples of the mesh axis (the batch rows shard evenly)."""
+    from jax.sharding import Mesh
+
+    model, params, stats, cfg, duration = tiny
+    mesh = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
+    n = mesh.shape["data"]
+    full = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                             max_streams=16, hbm_limit=0, mesh=mesh)
+    floor = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                              max_streams=16, score_batch=n,
+                              extend_batch=n, esc_batch=n, hbm_limit=0,
+                              mesh=mesh)
+    limit = (floor.hbm_estimate + full.hbm_estimate) // 2
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            max_streams=16, hbm_limit=limit,
+                            auto_batch=True, mesh=mesh)
+    assert eng.score_batch < full.score_batch
+    assert eng.score_batch % n == 0
+    assert eng.extend_batch % n == 0
+    assert eng.esc_batch % n == 0
+
+
 def test_capped_score_batch_caps_extend_batch(tiny):
     """The one-knob HBM escape hatch: capping score_batch alone also caps
     the extend batch (r3: at S=1024 an uncapped extend's conv activations
