@@ -29,7 +29,7 @@ from rtdsd_tpu.engine.steps import TrainState, make_optimizer
 from rtdsd_tpu.models.registry import get_model
 from rtdsd_tpu.utils.init_host import init_variables_host
 
-B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+BS = [int(a) for a in sys.argv[1:]] or [32]
 T = 64000
 
 teacher_spec = get_model("XLSR_AASIST", dtype=jnp.bfloat16)
@@ -66,24 +66,33 @@ t_vars = jax.device_put(t_vars)
 float(jnp.sum(jax.tree_util.tree_leaves(state.params)[0]
               .astype(jnp.float32)))
 
-waves = jax.device_put(jnp.asarray(
-    (np.random.default_rng(0).standard_normal((B, T)) * 0.1), jnp.float32))
-labels = jax.device_put(jnp.asarray(np.arange(B) % 2, jnp.int32))
-
 step = make_kd_train_step(teacher, student, tx, kd_kwargs,
                           preemph=0.97, rawboost_algo=4,
                           aug_list=("ACN", "GAN"))
-t0 = time.time()
-state, metrics = step(state, t_vars, waves, labels, jax.random.key(0))
-m0 = {k: float(v) for k, v in metrics.items()}
-log(f"compile+first: {time.time() - t0:.1f}s  metrics={m0}")
-
-ts = []
-for _ in range(6):
-    t0 = time.perf_counter()
-    state, metrics = step(state, t_vars, waves, labels, jax.random.key(1))
-    float(metrics["total_loss"])
-    ts.append(time.perf_counter() - t0)
-best = min(ts) * 1000
-log(f"KD step b{B}: {best:.1f} ms/step  {B / best * 1000:.1f} utt/s "
-    f"({best / B:.2f} ms/utt)")
+# sweep batch sizes inside ONE process: params upload once, each batch
+# shape compiles (persistent cache) and times against the same state
+for B in BS:
+    waves = jax.device_put(jnp.asarray(
+        (np.random.default_rng(0).standard_normal((B, T)) * 0.1),
+        jnp.float32))
+    labels = jax.device_put(jnp.asarray(np.arange(B) % 2, jnp.int32))
+    t0 = time.time()
+    try:
+        state, metrics = step(state, t_vars, waves, labels,
+                              jax.random.key(0))
+        m0 = {k: float(v) for k, v in metrics.items()}
+    except Exception as e:
+        log(f"b{B}: FAILED ({type(e).__name__}: {str(e)[:100]})")
+        continue
+    log(f"b{B} compile+first: {time.time() - t0:.1f}s  "
+        f"loss={m0['total_loss']:.3f}")
+    ts = []
+    for _ in range(6):
+        t0 = time.perf_counter()
+        state, metrics = step(state, t_vars, waves, labels,
+                              jax.random.key(1))
+        float(metrics["total_loss"])
+        ts.append(time.perf_counter() - t0)
+    best = min(ts) * 1000
+    log(f"KD step b{B}: {best:.1f} ms/step  {B / best * 1000:.1f} utt/s "
+        f"({best / B:.2f} ms/utt)")
