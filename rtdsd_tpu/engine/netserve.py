@@ -160,6 +160,14 @@ class ServeDaemon:
                     try:
                         scores = await loop.run_in_executor(None,
                                                             self._poll)
+                    except RuntimeError as e:
+                        if "cannot schedule new futures" in str(e):
+                            # interpreter (or loop executor) shutdown:
+                            # retrying every tick would spin forever
+                            # re-raising — stop the ticker for good
+                            return
+                        traceback.print_exc(file=sys.stderr)
+                        scores = []
                     except Exception:
                         # a dying ticker would silently stop all scoring;
                         # surface the fault and keep serving the streams

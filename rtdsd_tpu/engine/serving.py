@@ -149,6 +149,17 @@ class MultiStreamScorer:
     ``model`` must accept ``conv_feats=`` (models/zoo.py) and ``cfg`` is
     its ``Wav2Vec2Config`` with the ``layer_norm`` extractor (group_norm
     couples frames across a whole window and cannot stream).
+
+    Scoring latency: features are extracted in fixed conv segments whose
+    sample span overlaps the next segment by the conv receptive-field
+    tail (``seg_samples - seg_hop``, e.g. 80 samples = 5 ms for XLSR).
+    A window is scored once the segment containing its last conv frame
+    is extractable, i.e. up to that tail's worth of samples AFTER the
+    window's nominal end — with fine-grained pushes (telephony frames)
+    that is milliseconds, but a producer that pushes exactly one hop at
+    a time sees each window's score one push later (the tail of hop k
+    rides in with hop k+1). ``close_stream(flush=True)`` pads and scores
+    whatever remains.
     """
 
     def __init__(self, model, params, batch_stats, cfg, *,
