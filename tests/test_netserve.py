@@ -287,6 +287,35 @@ def test_daemon_cascade_escalation_over_wire(tiny, tmp_path):
         dt.stop()
 
 
+def test_ticker_stops_on_executor_shutdown(tiny, tmp_path):
+    """Executor (interpreter) shutdown must END the ticker task, not
+    spin it: the old catch-all retry turned process exit into a busy
+    loop re-raising 'cannot schedule new futures after shutdown' every
+    tick (found by tools/netserve_bench.py teardown)."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    model, params, stats, cfg, duration = tiny
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            hop=duration // 2, max_streams=2,
+                            transport_dtype="int16")
+    dt = _DaemonThread(eng, tmp_path / "shut.sock", tick_sec=0.01)
+    try:
+        cli = ServeClient(unix_path=dt.sock_path)
+        cli.open()  # non-empty _owners: the ticker's poll branch runs
+        ex = ThreadPoolExecutor(1)
+        dt.loop.call_soon_threadsafe(dt.loop.set_default_executor, ex)
+        ex.shutdown(wait=False)  # next run_in_executor submit raises
+        deadline = time.time() + 15
+        while not dt.daemon._ticker.done() and time.time() < deadline:
+            time.sleep(0.05)
+        assert dt.daemon._ticker.done(), \
+            "ticker kept spinning after executor shutdown"
+        cli.close_socket()
+    finally:
+        dt.stop()
+
+
 def test_daemon_disconnect_releases_slots(served):
     """A vanished producer's streams are abandoned (no flush) and the
     slots return to the pool."""

@@ -1,21 +1,29 @@
-"""Wire overhead of the serving daemon (engine/netserve.py).
+"""Ingest wire overhead of the serving daemon (engine/netserve.py).
 
 The capacity tables in PERFORMANCE.md are engine-direct (tools/
 serving_bench.py); a real deployment talks to the daemon over a socket.
-This probe isolates what the socket front-end ADDS per stream-tick on
-the host — frame encode/send (producer side), kernel copy, asyncio
-reader, frame parse, and the engine-lock handoff — by running the same
-S-stream hop-push workload twice on a tiny CPU model (so device compute
-is negligible and does not confound the host numbers):
+This probe isolates what the socket front-end ADDS per stream-push on
+the serving host — producer sendall, kernel copy, asyncio reader,
+frame parse, and the per-frame engine-lock handoff — by timing the
+same S hop-sized pushes two ways:
 
-  A) direct:  eng.push() x S + eng.drain() per round, in-process
-  B) daemon:  the same pre-encoded int16 PCM frames over a Unix socket
-              to a ServeDaemon, paced per round by collecting the S
-              expected window scores back over the wire
+  A) direct:  eng.push() x S per round, in-process
+  B) daemon:  the same pre-encoded int16 PUSH frames as one blob over a
+              Unix socket, paced by a trailing PING: the reader handles
+              frames in order, so PONG arrives only after every PUSH
+              has reached the engine
 
-overhead/stream-tick = (B - A) / S. Both sides share the one CPU core
-here (worst case: a co-located producer); a remote producer leaves only
-the reader+parse+push share on the serving host.
+overhead/stream-push = (B - A) / S. The daemon's ticker is parked
+(tick_sec=forever) so neither side dispatches device work — scoring
+cost is serving_bench's job, and a paced-tick A/B at machine speed
+mostly measures eager-dispatch waste: a tick far faster than the hop
+makes every poll pad a nearly-empty fixed-shape extend batch (measured
+2.2x the direct cost at S=256 with tick_sec=1 ms on one core — keep
+``tick_sec`` at its default, the hop).
+
+Both sides share one CPU core here (worst case: a co-located
+producer); a remote producer leaves only the reader+parse+push share
+on the serving host.
 
 Run on CPU:  env -u PYTHONPATH JAX_PLATFORMS=cpu \
                  python tools/netserve_bench.py [S ...] [--rounds 30]
@@ -46,7 +54,8 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from rtdsd_tpu.engine.netserve import ServeClient, ServeDaemon
+    from rtdsd_tpu.engine.netserve import (PING, PUSH, ServeClient,
+                                           ServeDaemon, _U32, _frame)
     from rtdsd_tpu.engine.serving import MultiStreamScorer
     from rtdsd_tpu.models.wav2vec2 import Wav2Vec2Config
     from rtdsd_tpu.models.zoo import XLSR_AASIST
@@ -73,29 +82,22 @@ def main():
         chunk = np.clip(np.rint(rng.standard_normal((S, hop)) * 3000),
                         -32768, 32767).astype(np.int16)
 
-        # ---- A) engine-direct rounds -------------------------------------
+        # ---- A) direct ingest: eng.push x S per round --------------------
         eng = build(S)
-        eng.warmup()
         handles = [eng.open_stream(i) for i in range(S)]
-        # prime: first window completes after ceil(duration/hop) pushes
-        for _ in range(2):
-            for i, h in enumerate(handles):
-                eng.push(h, chunk[i])
-            eng.drain()
         direct = []
-        for _ in range(args.rounds):
+        for r in range(args.rounds + 2):
             t0 = time.perf_counter()
             for i, h in enumerate(handles):
                 eng.push(h, chunk[i])
-            got = len(eng.drain())
-            direct.append(time.perf_counter() - t0)
-            assert got == S, f"direct: expected {S} scores, got {got}"
+            if r >= 2:  # first rounds warm allocators/caches
+                direct.append(time.perf_counter() - t0)
         a_ms = float(np.percentile(direct, 50)) * 1000
 
-        # ---- B) the same rounds over the daemon socket -------------------
+        # ---- B) the same pushes over the daemon socket --------------------
         eng2 = build(S)
-        eng2.warmup()
-        daemon = ServeDaemon(eng2, 16000, tick_sec=0.001)
+        # park the ticker: this probe times INGEST only (see module doc)
+        daemon = ServeDaemon(eng2, 16000, tick_sec=1e9)
         loop = asyncio.new_event_loop()
         started = threading.Event()
         sock = f"/tmp/netserve_bench_{os.getpid()}_{S}.sock"
@@ -116,45 +118,26 @@ def main():
 
         cli = ServeClient(unix_path=sock, timeout=120)
         wire = [cli.open() for _ in range(S)]
-        # pre-encode each stream's PUSH frame once: the producer-side
-        # encode cost is paid here, not inside the timed rounds — the
-        # timed region is send+parse+push+poll+score-routing
-        from rtdsd_tpu.engine.netserve import PUSH, _U32, _frame
-        frames = [_frame(PUSH, _U32.pack(h) + chunk[i].tobytes())
-                  for i, h in enumerate(wire)]
-        blob = b"".join(frames)  # one sendall per round
+        # pre-encode each stream's PUSH frame once: producer-side encode
+        # is paid here, not inside the timed rounds
+        blob = b"".join(_frame(PUSH, _U32.pack(h) + chunk[i].tobytes())
+                        for i, h in enumerate(wire))
+        blob += _frame(PING)  # reader is in-order: PONG = all pushed
 
-        def round_trip():
-            cli._sock.sendall(blob)
-            got = 0
-            for ev in cli.events():
-                if ev[0] == "score":
-                    got += 1
-                    if got == S:
-                        return
-
-        # prime: no window completes until TWO hops of samples plus the
-        # conv receptive-field tail have arrived (segment lookahead —
-        # see MultiStreamScorer docstring), so under hop-sized pushes
-        # scores trail the pushes by one round. Send two unpaced hops to
-        # fill the pipeline, then warm with paced rounds (each round k
-        # receives the scores unlocked by hop k).
-        for _ in range(2):
-            cli._sock.sendall(blob)
-            time.sleep(0.3)
-        for _ in range(2):
-            round_trip()
         wired = []
-        for _ in range(args.rounds):
+        for r in range(args.rounds + 2):
             t0 = time.perf_counter()
-            round_trip()
-            wired.append(time.perf_counter() - t0)
+            cli._sock.sendall(blob)
+            cli._expect(0x84)  # PONG
+            if r >= 2:
+                wired.append(time.perf_counter() - t0)
         b_ms = float(np.percentile(wired, 50)) * 1000
 
-        over = (b_ms - a_ms) / S * 1000  # us per stream-tick
-        log(f"S={S}: direct {a_ms:.1f} ms/round, daemon {b_ms:.1f} ms/round "
-            f"-> wire overhead {b_ms - a_ms:.1f} ms/round "
-            f"= {over:.0f} us/stream-tick (one shared core, "
+        over = (b_ms - a_ms) / S * 1000  # us per stream-push
+        mb = len(blob) / 1e6
+        log(f"S={S}: direct {a_ms:.2f} ms/round, daemon {b_ms:.2f} ms/round "
+            f"({mb:.1f} MB blob) -> wire overhead {b_ms - a_ms:.2f} ms/round "
+            f"= {over:.0f} us/stream-push (one shared core, "
             f"co-located producer)")
 
         cli.close_socket()
