@@ -40,7 +40,13 @@ def parse_args(argv=None):
     p.add_argument("--listen", required=True, type=str,
                    help="unix:/path/to.sock or host:port")
     p.add_argument("--tick_sec", type=float, default=None,
-                   help="poll cadence (default: the hop interval)")
+                   help="poll cadence (default: the hop interval; do not "
+                        "set it far below the hop — every poll pads a "
+                        "fixed-shape batch, see PERFORMANCE.md)")
+    p.add_argument("--max_pending_sec", type=float, default=30.0,
+                   help="shed a stream once this many seconds of its "
+                        "audio are buffered but unscored (producer "
+                        "outrunning the engine); 0 disables")
     p.add_argument("--stats_every", type=float, default=60.0,
                    help="stderr stats interval in seconds (0 = off)")
     args = p.parse_args(argv)
@@ -57,7 +63,8 @@ async def _amain(args):
     from rtdsd_tpu.engine.netserve import ServeDaemon
 
     eng, sr = build_engine(args, args.max_streams)
-    daemon = ServeDaemon(eng, int(sr), tick_sec=args.tick_sec)
+    daemon = ServeDaemon(eng, int(sr), tick_sec=args.tick_sec,
+                         max_pending_sec=args.max_pending_sec)
 
     if args.listen.startswith("unix:"):
         path = args.listen[len("unix:"):]
@@ -92,6 +99,7 @@ async def _amain(args):
             print(f"[daemon] streams={eng.active_streams}/"
                   f"{eng.max_streams} ticks={daemon.ticks} "
                   f"scores={daemon.scores_sent} "
+                  f"overruns={daemon.overruns} "
                   f"dispatches={dict(eng.dispatch_counts)}",
                   file=sys.stderr, flush=True)
 

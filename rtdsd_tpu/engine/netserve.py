@@ -41,6 +41,11 @@ Design notes (TPU-shaped):
   ticker emits CLOSED (and releases the server-side owner entry) while
   still holding the lock — an OPEN racing a close can never observe a
   recycled handle as someone else's stream.
+- Overload shedding: the engine buffers pushed-but-unscored samples in
+  host memory without bound (offline replay relies on that), so the
+  daemon bounds it per stream: past ``max_pending_sec`` of backlog the
+  stream is shed (ERROR then CLOSED, slot freed); the connection and
+  its other streams live on.
 - Transport bytes on the wire are exactly the engine's transport dtype
   (int16 PCM by default — the same bytes a capture card produces;
   ``mulaw8`` for ingest-bound links). No server-side resampling: the
@@ -95,11 +100,21 @@ class ServeDaemon:
     """
 
     def __init__(self, engine, sample_rate: int,
-                 tick_sec: Optional[float] = None):
+                 tick_sec: Optional[float] = None,
+                 max_pending_sec: Optional[float] = 30.0):
         self.engine = engine
         self.sample_rate = int(sample_rate)
         self.tick_sec = (engine.hop / sample_rate if tick_sec is None
                          else tick_sec)
+        # ingest-overrun guard: the engine buffers pushed-but-unscored
+        # samples in host memory without bound (deliberate — offline
+        # replay pushes whole files), so a producer faster than the
+        # engine would grow the daemon's RSS forever. Past this many
+        # seconds of backlog a stream is shed: ERROR + CLOSED, slot
+        # freed, connection (and its other streams) kept alive.
+        self.max_pending = (int(max_pending_sec * sample_rate)
+                            if max_pending_sec else 0)
+        self.overruns = 0
         self._lock = asyncio.Lock()
         # handle -> (writer, flushing) for OPEN streams; the ticker owns
         # removal (CLOSED emission) so handle reuse stays race-free
@@ -212,6 +227,13 @@ class ServeDaemon:
             PROTO_VERSION, self.sample_rate, eng.duration, eng.hop,
             code, eng.max_streams)))
         mine = set()  # handles owned by this connection
+        # handles this connection had shed out from under it (ingest
+        # overrun): the producer keeps pushing until it sees the ERROR,
+        # so in-flight PUSH/CLOSE frames for a tombstoned handle are
+        # dropped silently instead of bouncing "not an open stream"
+        # ERRORs (which would poison the client's event iterator). A
+        # later OPEN that recycles the handle clears the tombstone.
+        shed = set()
         try:
             while True:
                 hdr = await reader.readexactly(_HDR.size)
@@ -237,6 +259,7 @@ class ServeDaemon:
                         # so _route can key scores on the wire handle
                         self._owners[h] = writer
                         mine.add(h)
+                        shed.discard(h)  # recycled slot: fresh stream
                         self._send(writer, _frame(OPENED, _U32.pack(h)))
                     elif ftype in (PUSH, CLOSE):
                         if ln < 4:
@@ -245,6 +268,8 @@ class ServeDaemon:
                                 + b"short frame"))
                             continue
                         h = _U32.unpack_from(payload)[0]
+                        if h in shed:  # in-flight frames after a shed
+                            continue
                         if h not in mine or h not in self._owners:
                             self._send(writer, _frame(
                                 ERROR, _U32.pack(h)
@@ -262,6 +287,24 @@ class ServeDaemon:
                                 continue
                             eng.push(h, np.frombuffer(body,
                                                       self._dtype))
+                            if (self.max_pending and
+                                    eng.pending_samples(h)
+                                    > self.max_pending):
+                                backlog = (eng.pending_samples(h)
+                                           / self.sample_rate)
+                                self.overruns += 1
+                                self._send(writer, _frame(
+                                    ERROR, _U32.pack(h)
+                                    + (f"ingest overrun: {backlog:.1f}s"
+                                       f" of unscored audio buffered "
+                                       f"(producer outruns the engine);"
+                                       f" stream dropped").encode()))
+                                eng.close_stream(h, flush=False)
+                                mine.discard(h)
+                                shed.add(h)
+                                del self._owners[h]
+                                self._send(writer,
+                                           _frame(CLOSED, _U32.pack(h)))
                         else:
                             flush = bool(payload[4]) if ln > 4 else True
                             eng.close_stream(h, flush=flush)

@@ -637,6 +637,14 @@ class MultiStreamScorer:
     def active_streams(self) -> int:
         return len(self._slots)
 
+    def pending_samples(self, handle: int) -> int:
+        """Samples pushed but not yet extracted into conv segments —
+        the host-side ingest backlog. Stays ~one hop when polling keeps
+        up; grows without bound if a producer outruns the engine (the
+        network daemon uses this to shed overrunning streams)."""
+        st = self._slots.get(handle)
+        return int(st.pending_samples) if st is not None else 0
+
     def is_open(self, handle: int) -> bool:
         """True while ``handle`` owns a slot (including a closing stream
         whose final windows are still draining). Slot numbers are reused

@@ -38,8 +38,8 @@ def tiny():
 class _DaemonThread:
     """Run a ServeDaemon on its own loop in a background thread."""
 
-    def __init__(self, engine, sock_path, tick_sec=0.02):
-        self.daemon = ServeDaemon(engine, 16000, tick_sec=tick_sec)
+    def __init__(self, engine, sock_path, tick_sec=0.02, **kw):
+        self.daemon = ServeDaemon(engine, 16000, tick_sec=tick_sec, **kw)
         self.sock_path = str(sock_path)
         self.loop = asyncio.new_event_loop()
         self._started = threading.Event()
@@ -58,13 +58,14 @@ class _DaemonThread:
         self.loop.run_forever()
 
     def stop(self):
-        async def halt():
-            await self.daemon.stop()
-            self.loop.stop()
-
-        asyncio.run_coroutine_threadsafe(halt(), self.loop)
-        self.thread.join(timeout=30)
-        self.loop.close()
+        fut = asyncio.run_coroutine_threadsafe(self.daemon.stop(),
+                                               self.loop)
+        try:
+            fut.result(timeout=25)  # surface stop() exceptions
+        finally:
+            self.loop.call_soon_threadsafe(self.loop.stop)
+            self.thread.join(timeout=30)
+            self.loop.close()
 
 
 @pytest.fixture()
@@ -283,6 +284,54 @@ def test_daemon_cascade_escalation_over_wire(tiny, tmp_path):
         exp = _expected(tiny, wave, duration, hop)  # flagship direct
         np.testing.assert_allclose(
             [v for _, v, _ in sorted(got[h])], exp, rtol=2e-4, atol=2e-5)
+    finally:
+        dt.stop()
+
+
+def test_daemon_sheds_overrunning_stream(tiny, tmp_path):
+    """A producer pushing faster than the engine scores must not grow
+    daemon memory without bound: past max_pending_sec of buffered
+    backlog the stream is shed (ERROR then CLOSED, slot freed) while
+    the connection and its other streams stay alive."""
+    import time
+
+    model, params, stats, cfg, duration = tiny
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            hop=duration // 2, max_streams=3,
+                            transport_dtype="int16")
+    # ticker parked: backlog can only grow, so the shed is deterministic
+    dt = _DaemonThread(eng, tmp_path / "shed.sock", tick_sec=1e9,
+                       max_pending_sec=0.5)  # 8000 samples
+    try:
+        cli = ServeClient(unix_path=dt.sock_path)
+        keeper = cli.open("slow")
+        fast = cli.open("fast")
+        wave = np.zeros(4000, np.float32)
+        for _ in range(3):  # 12000 samples > the 8000 cap
+            cli.push(fast, wave)
+        # ERROR raised by the client iterator names the overrun...
+        with pytest.raises(RuntimeError, match="overrun"):
+            next(cli.events())
+        # ...after which CLOSED for the shed stream is on the wire
+        ftype, payload = cli._read_frame()
+        assert ftype == 0x83 and int.from_bytes(payload[:4], "little") \
+            == fast
+        deadline = time.time() + 10
+        while eng.is_open(fast) and time.time() < deadline:
+            time.sleep(0.02)
+        assert not eng.is_open(fast), "shed slot was not freed"
+        assert dt.daemon.overruns == 1
+        # in-flight pushes racing the shed (producer hasn't seen the
+        # ERROR yet) are tombstoned — silently dropped, no ERROR bounce
+        cli.push(fast, wave)
+        cli.close(fast, flush=True)
+        # the connection and its other stream survive
+        cli.ping()
+        cli.push(keeper, np.zeros(1000, np.float32))
+        # the shed slot returned to the pool: all 3 slots are claimable
+        h3, h4 = cli.open(), cli.open()
+        assert {keeper, h3, h4} == {0, 1, 2}
+        cli.close_socket()
     finally:
         dt.stop()
 
