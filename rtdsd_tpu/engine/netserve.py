@@ -354,6 +354,9 @@ class ServeClient:
                                                    timeout=timeout)
         self._sock.settimeout(timeout)
         self._buf = b""
+        # SCORE/CLOSED frames read while waiting for an OPENED/PONG
+        # reply; drained first by events()
+        self._pending = []
         ftype, payload = self._read_frame()
         if ftype != HELLO:
             raise RuntimeError(f"expected HELLO, got 0x{ftype:02x}")
@@ -381,14 +384,23 @@ class ServeClient:
         return data
 
     def _expect(self, want):
-        """Next frame of type ``want``; ERROR frames raise."""
-        ftype, payload = self._read_frame()
-        if ftype == ERROR:
-            raise RuntimeError(payload[4:].decode() or "daemon error")
-        if ftype != want:
-            raise RuntimeError(
-                f"expected 0x{want:02x}, got 0x{ftype:02x}")
-        return payload
+        """Next reply frame of type ``want``; ERROR frames raise.
+
+        SCORE/CLOSED frames the ticker interleaves ahead of the reply
+        (routine on a live daemon — another stream scores while this
+        one OPENs or PINGs) are queued for :meth:`events`, not errors.
+        """
+        while True:
+            ftype, payload = self._read_frame()
+            if ftype in (SCORE, CLOSED):
+                self._pending.append((ftype, payload))
+                continue
+            if ftype == ERROR:
+                raise RuntimeError(payload[4:].decode() or "daemon error")
+            if ftype != want:
+                raise RuntimeError(
+                    f"expected 0x{want:02x}, got 0x{ftype:02x}")
+            return payload
 
     # ------------------------------------------------------------------- api
 
@@ -429,7 +441,10 @@ class ServeClient:
         """Yield ("score", handle, start_sample, score, escalated) and
         ("closed", handle) events until the socket times out or closes."""
         while True:
-            ftype, payload = self._read_frame()
+            if self._pending:
+                ftype, payload = self._pending.pop(0)
+            else:
+                ftype, payload = self._read_frame()
             if ftype == SCORE:
                 h, start, score, esc = _SCORE.unpack(payload)
                 yield ("score", h, start, score, bool(esc))
