@@ -47,6 +47,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("streams", nargs="*", type=int, default=None)
     ap.add_argument("--rounds", type=int, default=30)
+    ap.add_argument("--clients", action="store_true",
+                    help="also compare producer-side per-push cost: "
+                         "Python ServeClient.push (numpy encode + "
+                         "sendall) vs the native C client rtdsd_push "
+                         "(serve_client.cpp)")
     args = ap.parse_args()
     sweep = args.streams or [64, 256, 512]
 
@@ -96,8 +101,10 @@ def main():
 
         # ---- B) the same pushes over the daemon socket --------------------
         eng2 = build(S)
-        # park the ticker: this probe times INGEST only (see module doc)
-        daemon = ServeDaemon(eng2, 16000, tick_sec=1e9)
+        # park the ticker: this probe times INGEST only (see module doc);
+        # disable overrun shedding — backlog grows by design here
+        daemon = ServeDaemon(eng2, 16000, tick_sec=1e9,
+                             max_pending_sec=0)
         loop = asyncio.new_event_loop()
         started = threading.Event()
         sock = f"/tmp/netserve_bench_{os.getpid()}_{S}.sock"
@@ -139,6 +146,53 @@ def main():
             f"({mb:.1f} MB blob) -> wire overhead {b_ms - a_ms:.2f} ms/round "
             f"= {over:.0f} us/stream-push (one shared core, "
             f"co-located producer)")
+
+        if args.clients:
+            # producer-side per-push cost: float wave in, encode + frame
+            # + sendall per call (what a real feeder pays per hop).
+            # Same parked daemon; trailing PING paces each round.
+            fwave = chunk.astype(np.float32) / 32768.0
+
+            def timed_rounds(push_one, ping):
+                out = []
+                for r in range(args.rounds + 2):
+                    t0 = time.perf_counter()
+                    for i in range(S):
+                        push_one(i)
+                    ping()
+                    if r >= 2:
+                        out.append(time.perf_counter() - t0)
+                return float(np.percentile(out, 50)) * 1000
+
+            py_ms = timed_rounds(
+                lambda i: cli.push(wire[i], fwave[i]), cli.ping)
+
+            # free the slots for the native client (max_streams == S)
+            for h in wire:
+                cli.close(h, flush=False)
+            closed = 0
+            for ev in cli.events():
+                if ev[0] == "closed":
+                    closed += 1
+                    if closed == S:
+                        break
+
+            from rtdsd_tpu.native import client as nclient
+
+            try:
+                nclient.build()
+            except Exception as e:
+                log(f"  (native client unavailable: {e})")
+            else:
+                nc = nclient.NativeServeClient(unix_path=sock)
+                nwire = [nc.open() for _ in range(S)]
+                c_ms = timed_rounds(
+                    lambda i: nc.push(nwire[i], fwave[i]), nc.ping)
+                nc.close_socket()
+                log(f"  producer per-push (float in, int16 out): python "
+                    f"{py_ms / S * 1000:.0f} us vs native C "
+                    f"{c_ms / S * 1000:.0f} us "
+                    f"({py_ms / max(c_ms, 1e-9):.2f}x)")
 
         cli.close_socket()
 
