@@ -47,6 +47,11 @@ def parse_args(argv=None):
                    help="shed a stream once this many seconds of its "
                         "audio are buffered but unscored (producer "
                         "outrunning the engine); 0 disables")
+    p.add_argument("--idle_timeout_sec", type=float, default=0.0,
+                   help="shed a stream with no PUSH for this long "
+                        "(its connection stays up; re-OPEN resumes) — "
+                        "frees slots held by stalled producers; "
+                        "0 disables (default)")
     p.add_argument("--stats_every", type=float, default=60.0,
                    help="stderr stats interval in seconds (0 = off)")
     args = p.parse_args(argv)
@@ -64,7 +69,19 @@ async def _amain(args):
 
     eng, sr = build_engine(args, args.max_streams)
     daemon = ServeDaemon(eng, int(sr), tick_sec=args.tick_sec,
-                         max_pending_sec=args.max_pending_sec)
+                         max_pending_sec=args.max_pending_sec,
+                         idle_timeout_sec=args.idle_timeout_sec)
+
+    # register handlers BEFORE the socket exists: a supervisor that
+    # TERMs as soon as it sees the socket must not catch the process
+    # with default signal disposition (observed under a saturated core)
+    stop = asyncio.Event()
+    loop = asyncio.get_event_loop()
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        try:
+            loop.add_signal_handler(sig, stop.set)
+        except NotImplementedError:  # non-unix
+            pass
 
     if args.listen.startswith("unix:"):
         path = args.listen[len("unix:"):]
@@ -85,14 +102,6 @@ async def _amain(args):
           f"~{eng.hbm_estimate / 2**30:.2f} GiB HBM", file=sys.stderr,
           flush=True)
 
-    stop = asyncio.Event()
-    loop = asyncio.get_event_loop()
-    for sig in (signal.SIGINT, signal.SIGTERM):
-        try:
-            loop.add_signal_handler(sig, stop.set)
-        except NotImplementedError:  # non-unix
-            pass
-
     async def stats():
         while args.stats_every > 0:
             await asyncio.sleep(args.stats_every)
@@ -100,6 +109,7 @@ async def _amain(args):
                   f"{eng.max_streams} ticks={daemon.ticks} "
                   f"scores={daemon.scores_sent} "
                   f"overruns={daemon.overruns} "
+                  f"idle_sheds={daemon.idle_sheds} "
                   f"dispatches={dict(eng.dispatch_counts)}",
                   file=sys.stderr, flush=True)
 

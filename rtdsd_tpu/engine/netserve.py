@@ -101,7 +101,8 @@ class ServeDaemon:
 
     def __init__(self, engine, sample_rate: int,
                  tick_sec: Optional[float] = None,
-                 max_pending_sec: Optional[float] = 30.0):
+                 max_pending_sec: Optional[float] = 30.0,
+                 idle_timeout_sec: Optional[float] = None):
         self.engine = engine
         self.sample_rate = int(sample_rate)
         self.tick_sec = (engine.hop / sample_rate if tick_sec is None
@@ -115,11 +116,24 @@ class ServeDaemon:
         self.max_pending = (int(max_pending_sec * sample_rate)
                             if max_pending_sec else 0)
         self.overruns = 0
+        # idle-slot reaper: a producer that keeps its connection open
+        # but stops pushing would hold a slot forever (a VANISHED
+        # producer's slots are freed by the disconnect path). Streams
+        # with no PUSH for this long are shed by the ticker the same
+        # way overruns are. None/0 disables.
+        self.idle_timeout = float(idle_timeout_sec or 0)
+        self.idle_sheds = 0
+        self._last_push: Dict[int, float] = {}  # handle -> monotonic ts
         self._lock = asyncio.Lock()
         # handle -> (writer, flushing) for OPEN streams; the ticker owns
         # removal (CLOSED emission) so handle reuse stays race-free
         self._owners: Dict[int, asyncio.StreamWriter] = {}
         self._closing: Dict[int, asyncio.StreamWriter] = {}
+        # writer -> handles shed out from under that connection (ingest
+        # overrun / idle timeout): the producer keeps sending until it
+        # sees the ERROR, so in-flight PUSH/CLOSE for a shed handle are
+        # dropped silently; OPEN re-claiming the handle clears it
+        self._shed: Dict[asyncio.StreamWriter, set] = {}
         self._dtype = engine._tdtype
         self._server = None
         self._ticker = None
@@ -197,8 +211,32 @@ class ServeDaemon:
                               if not self.engine.is_open(h)]:
                         w = self._closing.pop(h)
                         self._send(w, _frame(CLOSED, _U32.pack(h)))
+                    if self.idle_timeout:
+                        self._reap_idle()
             dt = time.perf_counter() - t0
             await asyncio.sleep(max(0.0, self.tick_sec - dt))
+
+    def _reap_idle(self):
+        """Shed OPEN streams with no PUSH for ``idle_timeout`` seconds
+        (ticker-side, under the engine lock): the connection stays up —
+        only the silent stream's slot is reclaimed, exactly like an
+        ingest-overrun shed. A producer that merely paused re-OPENs."""
+        now = time.monotonic()
+        for h, w in list(self._owners.items()):
+            ts = self._last_push.get(h)
+            if ts is None or now - ts <= self.idle_timeout:
+                continue
+            self.idle_sheds += 1
+            self._send(w, _frame(
+                ERROR, _U32.pack(h)
+                + (f"idle timeout: no audio for {now - ts:.1f}s; "
+                   f"stream dropped (re-OPEN to resume)").encode()))
+            self.engine.close_stream(h, flush=False)
+            del self._owners[h]
+            del self._last_push[h]
+            if w in self._shed:  # tombstone in-flight frames
+                self._shed[w].add(h)
+            self._send(w, _frame(CLOSED, _U32.pack(h)))
 
     def _route(self, scores):
         for ws in scores:
@@ -227,13 +265,15 @@ class ServeDaemon:
             PROTO_VERSION, self.sample_rate, eng.duration, eng.hop,
             code, eng.max_streams)))
         mine = set()  # handles owned by this connection
-        # handles this connection had shed out from under it (ingest
-        # overrun): the producer keeps pushing until it sees the ERROR,
-        # so in-flight PUSH/CLOSE frames for a tombstoned handle are
-        # dropped silently instead of bouncing "not an open stream"
+        # handles shed out from under this connection (ingest overrun /
+        # idle timeout): the producer keeps pushing until it sees the
+        # ERROR, so in-flight PUSH/CLOSE frames for a tombstoned handle
+        # are dropped silently instead of bouncing "not an open stream"
         # ERRORs (which would poison the client's event iterator). A
         # later OPEN that recycles the handle clears the tombstone.
-        shed = set()
+        # Registered daemon-wide so the ticker's idle reaper can
+        # tombstone too.
+        shed = self._shed[writer] = set()
         try:
             while True:
                 hdr = await reader.readexactly(_HDR.size)
@@ -260,6 +300,9 @@ class ServeDaemon:
                         self._owners[h] = writer
                         mine.add(h)
                         shed.discard(h)  # recycled slot: fresh stream
+                        # idle clock starts at OPEN so a stream that
+                        # never pushes can still be reaped
+                        self._last_push[h] = time.monotonic()
                         self._send(writer, _frame(OPENED, _U32.pack(h)))
                     elif ftype in (PUSH, CLOSE):
                         if ln < 4:
@@ -287,6 +330,7 @@ class ServeDaemon:
                                 continue
                             eng.push(h, np.frombuffer(body,
                                                       self._dtype))
+                            self._last_push[h] = time.monotonic()
                             if (self.max_pending and
                                     eng.pending_samples(h)
                                     > self.max_pending):
@@ -303,6 +347,7 @@ class ServeDaemon:
                                 mine.discard(h)
                                 shed.add(h)
                                 del self._owners[h]
+                                self._last_push.pop(h, None)
                                 self._send(writer,
                                            _frame(CLOSED, _U32.pack(h)))
                         else:
@@ -310,6 +355,7 @@ class ServeDaemon:
                             eng.close_stream(h, flush=flush)
                             mine.discard(h)
                             del self._owners[h]
+                            self._last_push.pop(h, None)
                             if eng.is_open(h):  # flush: windows pending
                                 self._closing[h] = writer
                             else:
@@ -325,10 +371,14 @@ class ServeDaemon:
         finally:
             async with self._lock:
                 for h in mine:  # producer vanished: abandon, don't flush
-                    if h in self._owners:
+                    # ownership check: a ticker-shed handle may have
+                    # been recycled to ANOTHER connection by now
+                    if self._owners.get(h) is writer:
                         del self._owners[h]
+                        self._last_push.pop(h, None)
                         if self.engine.is_open(h):
                             self.engine.close_stream(h, flush=False)
+                self._shed.pop(writer, None)
             writer.close()
 
 
@@ -362,6 +412,10 @@ class ServeClient:
             raise RuntimeError(f"expected HELLO, got 0x{ftype:02x}")
         (self.proto, self.sample_rate, self.duration, self.hop,
          code, self.max_streams) = _HELLO.unpack(payload)
+        if self.proto != PROTO_VERSION:
+            raise RuntimeError(
+                f"daemon speaks protocol v{self.proto}, this client "
+                f"v{PROTO_VERSION}")
         self.transport = {v: k for k, v in TRANSPORT_CODES.items()}[code]
         self._dtype = _TRANSPORT_DTYPES[code]
 

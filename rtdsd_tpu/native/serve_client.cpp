@@ -224,6 +224,14 @@ rtdsd_client* finish_connect(int fd, char* err, int errlen) {
   }
   const uint8_t* p = hello.payload.data();
   c->proto = ld_u32(p);
+  if (c->proto != 1) {
+    if (err && errlen > 0)
+      std::snprintf(err, size_t(errlen),
+                    "daemon speaks protocol v%u, this client v1", c->proto);
+    delete c;
+    ::close(fd);
+    return nullptr;
+  }
   c->sample_rate = ld_u32(p + 4);
   c->duration = ld_u32(p + 8);
   c->hop = ld_u32(p + 12);

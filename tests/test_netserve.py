@@ -384,3 +384,191 @@ def test_daemon_disconnect_releases_slots(served):
             __import__("time").sleep(0.05)
     assert len(hs) == 3
     cli2.close_socket()
+
+
+def test_daemon_survives_malformed_frames(served, tiny):
+    """The daemon parses untrusted network bytes; no byte sequence may
+    take down the process or the ticker. Feed adversarial frames on
+    throwaway connections, then prove a fresh connection still scores
+    exactly."""
+    import socket
+    import time
+
+    dt, duration = served
+    hop = duration // 2
+
+    def raw_conn():
+        s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        s.connect(dt.sock_path)
+        s.settimeout(10)
+        return s
+
+    attacks = [
+        b"\x00" * 5,                                   # unknown type 0
+        _frame(0x7F, b"\x01\x02\x03"),                 # unknown type
+        b"\x02\xff\xff\xff\xff",                       # 4 GiB PUSH claim
+        _frame(0x02, b""),                             # PUSH no handle
+        _frame(0x02, b"\x00\x00\x00\x00\x01"),         # odd int16 payload
+        _frame(0x03, b"\x07"),                         # CLOSE short
+        _frame(0x01, b"\xff" * 300),                   # OPEN garbage name
+        b"\x82\x10",                                   # truncated header
+        bytes(range(256)) * 8,                         # plain garbage
+    ]
+    for blob in attacks:
+        s = raw_conn()
+        try:
+            s.sendall(blob)
+            # read whatever comes back (HELLO/ERRORs) until the daemon
+            # closes or goes quiet; the point is no daemon crash
+            s.settimeout(0.5)
+            try:
+                while s.recv(4096):
+                    pass
+            except socket.timeout:
+                pass
+        except (BrokenPipeError, ConnectionResetError):
+            pass  # daemon dropped the connection — acceptable
+        finally:
+            s.close()
+
+    # fresh connection still scores exactly after every attack
+    deadline = time.time() + 20
+    cli = None
+    while cli is None:
+        try:
+            cli = ServeClient(unix_path=dt.sock_path)
+        except (ConnectionError, RuntimeError):
+            assert time.time() < deadline, "daemon dead after fuzzing"
+            time.sleep(0.1)
+    cli.ping()
+    rng = np.random.default_rng(17)
+    wave = rng.standard_normal(2 * hop + duration).astype(np.float32) * 0.1
+    h = cli.open("post-fuzz")
+    cli.push(h, wave)
+    cli.close(h, flush=True)
+    got = sorted(cli.collect({h})[h])
+    exp = _expected(tiny, wave, duration, hop)
+    np.testing.assert_allclose([v for _, v, _ in got], exp,
+                               rtol=2e-4, atol=2e-5)
+    cli.close_socket()
+
+
+def test_daemon_concurrent_connections_interleaved(tiny, tmp_path):
+    """Several producer threads on separate connections, pushing
+    concurrently in ragged chunks: every stream's scores must equal
+    direct window scoring of its own wave (no cross-stream mixups under
+    interleaving), and every slot returns to the pool."""
+    import threading as th
+    import time
+
+    model, params, stats, cfg, duration = tiny
+    hop = duration // 2
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            hop=hop, max_streams=8,
+                            transport_dtype="int16")
+    dt = _DaemonThread(eng, tmp_path / "many.sock", tick_sec=0.02)
+    try:
+        rng = np.random.default_rng(23)
+        waves = [rng.standard_normal(
+            int(rng.integers(2, 5)) * hop + duration).astype(np.float32)
+            * 0.1 for _ in range(8)]
+        results = {}
+        errors = []
+
+        def producer(idx):
+            try:
+                cli = ServeClient(unix_path=str(tmp_path / "many.sock"))
+                h = cli.open(f"conn{idx}")
+                w = waves[idx]
+                cur = 0
+                r = np.random.default_rng(100 + idx)
+                while cur < len(w):
+                    n = int(r.integers(200, 1500))
+                    cli.push(h, w[cur:cur + n])
+                    cur += n
+                    time.sleep(0.001)
+                cli.close(h, flush=True)
+                results[idx] = sorted(cli.collect({h})[h])
+                cli.close_socket()
+            except Exception as e:  # pragma: no cover
+                errors.append((idx, e))
+
+        threads = [th.Thread(target=producer, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors
+        assert len(results) == 8
+        for idx, got in results.items():
+            exp = _expected(tiny, waves[idx], duration, hop)
+            assert [s for s, _, _ in got] == \
+                [k * hop for k in range(len(exp))]
+            np.testing.assert_allclose([v for _, v, _ in got], exp,
+                                       rtol=2e-4, atol=2e-5)
+        # all 8 slots back in the pool
+        deadline = time.time() + 20
+        cli = ServeClient(unix_path=str(tmp_path / "many.sock"))
+        hs = []
+        while len(hs) < 8 and time.time() < deadline:
+            try:
+                hs.append(cli.open())
+            except RuntimeError:
+                time.sleep(0.05)
+        assert len(hs) == 8
+        cli.close_socket()
+    finally:
+        dt.stop()
+
+
+def test_daemon_reaps_idle_streams(tiny, tmp_path):
+    """A producer that keeps its connection open but stops pushing must
+    not hold a slot forever: past idle_timeout_sec the ticker sheds the
+    stream (ERROR + CLOSED), the slot returns to the pool, and the
+    connection plus its active streams keep working."""
+    import time
+
+    model, params, stats, cfg, duration = tiny
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            hop=duration // 2, max_streams=2,
+                            transport_dtype="int16")
+    dt = _DaemonThread(eng, tmp_path / "idle.sock", tick_sec=0.02,
+                       idle_timeout_sec=0.3)
+    try:
+        cli = ServeClient(unix_path=dt.sock_path)
+        silent = cli.open("silent")  # OPENed, never pushed
+        active = cli.open("active")
+        # keep the active stream pushing past the silent one's timeout
+        deadline = time.time() + 10
+        shed_seen = False
+        while time.time() < deadline and not shed_seen:
+            cli.push(active, np.zeros(400, np.float32))
+            cli._sock.settimeout(0.1)
+            try:
+                ftype, payload = cli._read_frame()
+            except Exception:
+                continue
+            finally:
+                cli._sock.settimeout(60)
+            if ftype == 0xFF:
+                h = int.from_bytes(payload[:4], "little")
+                assert h == silent
+                assert b"idle timeout" in payload[4:]
+                shed_seen = True
+            elif ftype == 0x82:
+                pass  # scores from the active stream
+        assert shed_seen, "idle stream was never shed"
+        # CLOSED for the silent stream follows
+        for ev in cli.events():
+            if ev == ("closed", silent):
+                break
+            assert ev[0] in ("score",)
+        assert dt.daemon.idle_sheds == 1
+        # the active stream survived; the freed slot is claimable
+        cli.push(active, np.zeros(400, np.float32))
+        cli.ping()
+        h2 = cli.open("reclaim")
+        assert h2 == silent  # the reaped slot, recycled
+        cli.close_socket()
+    finally:
+        dt.stop()
