@@ -15,6 +15,12 @@ t-DCF (pass the official ASV operating point via --pmiss-asv / --pfa-asv /
 --pmiss-spoof-asv; the ASV scores themselves only ship with the official
 package, the cost math is in utils/metrics.py::compute_min_tdcf).
 
+``--calibrate`` turns a labeled dev score file into a deployment
+operating point (JSON): the EER threshold, accept thresholds meeting
+``--target-far`` / ``--target-frr`` budgets with both achieved rates,
+and Platt scaling coefficients for calibrated probabilities
+``P(bonafide|s) = sigmoid(a*s + b)`` (utils/metrics.py::calibrate_scores).
+
 ``--cascade-sweep flagship_scores.txt`` calibrates a cascade band from a
 dev set entirely offline: score the set once with the screener (--scores)
 and once with the flagship, and the sweep prints escalation rate and
@@ -89,6 +95,16 @@ def main(argv=None):
                         "trials); prints escalation rate + cascade EER per "
                         "band so you can pick --cascade_band")
     p.add_argument("--cascade-center", type=float, default=0.0)
+    p.add_argument("--calibrate", action="store_true", default=False,
+                   help="print a deployment operating point as JSON: EER "
+                        "threshold, thresholds at --target-far/--target-frr"
+                        " budgets, and Platt scaling (a, b) for "
+                        "P(bonafide|s) = sigmoid(a*s + b)")
+    p.add_argument("--target-far", type=float, nargs="*",
+                   default=[0.01, 0.05, 0.10],
+                   help="FAR budgets (fractions) for --calibrate")
+    p.add_argument("--target-frr", type=float, nargs="*", default=[],
+                   help="FRR budgets (fractions) for --calibrate")
     args = p.parse_args(argv)
 
     protocol = args.protocol
@@ -153,6 +169,17 @@ def main(argv=None):
             merged = np.where(esc, f, s)
             c_eer = compute_eer(merged, y, pos_label=1)
             print(f"{band:7.3f}  {esc.mean() * 100:6.1f} %  {c_eer:.4f}")
+    if args.calibrate:
+        import json
+
+        from rtdsd_tpu.utils.metrics import calibrate_scores
+
+        cal = calibrate_scores(s, y, target_fars=tuple(args.target_far),
+                               target_frrs=tuple(args.target_frr))
+        # JSON keys must be strings; keep the rate as the printed key
+        cal["at_far"] = {f"{k:g}": v for k, v in cal["at_far"].items()}
+        cal["at_frr"] = {f"{k:g}": v for k, v in cal["at_frr"].items()}
+        print(json.dumps(cal))
     if args.tdcf:
         from rtdsd_tpu.utils.metrics import compute_min_tdcf
 

@@ -59,6 +59,95 @@ def compute_eer(scores: np.ndarray, labels: np.ndarray, pos_label: int = 1) -> f
     return float(eer * 100.0)
 
 
+def calibrate_scores(scores: np.ndarray, labels: np.ndarray, *,
+                     target_fars=(0.01, 0.05, 0.10),
+                     target_frrs=(),
+                     platt_iters: int = 50) -> dict:
+    """Deployment calibration from a labeled dev set.
+
+    The reference stops at raw CM score files; a deployment needs an
+    operating point (accept threshold) and, often, calibrated
+    probabilities. Returns a dict with:
+
+    - ``eer_pct`` / ``eer_threshold``: the equal-error operating point
+      (accept when ``score >= threshold``);
+    - ``at_far`` / ``at_frr``: for each requested rate, the threshold
+      whose achieved FAR (spoof accepted) / FRR (bonafide rejected) is
+      the largest value <= the target, with both achieved rates;
+    - ``platt_a`` / ``platt_b``: Platt scaling
+      ``P(bonafide | s) = sigmoid(a*s + b)`` fit by Newton-Raphson on
+      the log-loss with Platt's label smoothing (so a separable dev set
+      cannot push ``a`` to infinity).
+
+    ``labels``: 1 = bonafide, 0 = spoof (reference convention).
+    """
+    s = np.asarray(scores, np.float64).ravel()
+    y = np.asarray(labels).ravel().astype(np.int64)
+    bona, spoof = s[y == 1], s[y == 0]
+    if len(bona) == 0 or len(spoof) == 0:
+        raise ValueError("calibration needs both bonafide and spoof trials")
+
+    # candidate thresholds: every distinct score plus one above the max
+    # (accept-none); FAR falls and FRR rises as the threshold increases
+    cand = np.unique(s)
+    cand = np.append(cand, cand[-1] + 1.0)
+    far = (spoof[None, :] >= cand[:, None]).mean(axis=1) \
+        if len(s) * len(cand) <= 10 ** 7 else \
+        np.array([(spoof >= t).mean() for t in cand])
+    frr = (bona[None, :] < cand[:, None]).mean(axis=1) \
+        if len(s) * len(cand) <= 10 ** 7 else \
+        np.array([(bona < t).mean() for t in cand])
+
+    i = int(np.argmin(np.abs(far - frr)))
+    out = {
+        "eer_pct": compute_eer(s, y),
+        "eer_threshold": float(cand[i]),
+        "eer_far": float(far[i]),
+        "eer_frr": float(frr[i]),
+        "at_far": {},
+        "at_frr": {},
+    }
+    for x in target_fars:
+        ok = np.nonzero(far <= x)[0]
+        j = int(ok[0])  # smallest threshold meeting the FAR budget
+        out["at_far"][x] = {"threshold": float(cand[j]),
+                            "far": float(far[j]), "frr": float(frr[j])}
+    for x in target_frrs:
+        ok = np.nonzero(frr <= x)[0]
+        j = int(ok[-1])  # largest threshold meeting the FRR budget
+        out["at_frr"][x] = {"threshold": float(cand[j]),
+                            "far": float(far[j]), "frr": float(frr[j])}
+
+    # ---- Platt scaling (Platt 1999): smoothed targets keep the fit
+    # finite on separable data
+    n_pos, n_neg = len(bona), len(spoof)
+    t_pos = (n_pos + 1.0) / (n_pos + 2.0)
+    t_neg = 1.0 / (n_neg + 2.0)
+    t = np.where(y == 1, t_pos, t_neg)
+    a, b = 1.0, 0.0
+    for _ in range(platt_iters):
+        z = np.clip(a * s + b, -60.0, 60.0)
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - t  # d loss / d z
+        w = np.maximum(p * (1.0 - p), 1e-12)
+        ga = float(np.dot(g, s))
+        gb = float(np.sum(g))
+        haa = float(np.dot(w, s * s)) + 1e-9
+        hab = float(np.dot(w, s))
+        hbb = float(np.sum(w)) + 1e-9
+        det = haa * hbb - hab * hab
+        if abs(det) < 1e-18:
+            break
+        da = (hbb * ga - hab * gb) / det
+        db = (haa * gb - hab * ga) / det
+        a, b = a - da, b - db
+        if abs(da) + abs(db) < 1e-12:
+            break
+    out["platt_a"] = float(a)
+    out["platt_b"] = float(b)
+    return out
+
+
 def compute_min_tdcf(cm_scores: np.ndarray, labels: np.ndarray, *,
                      p_tar: float = 0.9405, p_non: float = 0.0095,
                      p_spoof: float = 0.05, c_miss: float = 1.0,

@@ -297,3 +297,93 @@ def test_tag_score_path_and_shortfall_guard():
     _check_score_shortfall(_DS(), ["a", "b", "c"])  # full coverage: ok
     with _pytest.raises(RuntimeError, match="scored 2/3"):
         _check_score_shortfall(_DS(), ["a", "b"])
+
+
+# ----------------------------------------------------------- calibration
+
+
+def test_calibrate_thresholds_match_bruteforce():
+    """EER/FAR/FRR operating points vs an exhaustive threshold sweep."""
+    from rtdsd_tpu.utils.metrics import calibrate_scores
+
+    rng = np.random.default_rng(3)
+    bona = rng.normal(2.0, 1.0, 400)
+    spoof = rng.normal(-2.0, 1.5, 600)
+    s = np.concatenate([bona, spoof])
+    y = np.concatenate([np.ones(400, int), np.zeros(600, int)])
+
+    cal = calibrate_scores(s, y, target_fars=(0.01, 0.1),
+                           target_frrs=(0.02,))
+
+    def far(t):
+        return float((spoof >= t).mean())
+
+    def frr(t):
+        return float((bona < t).mean())
+
+    # the EER threshold really sits at the FAR/FRR crossing
+    t = cal["eer_threshold"]
+    assert abs(far(t) - frr(t)) <= 2.0 / 400
+    assert cal["eer_far"] == pytest.approx(far(t))
+    assert cal["eer_frr"] == pytest.approx(frr(t))
+    assert abs((far(t) + frr(t)) / 2 * 100 - cal["eer_pct"]) < 0.5
+
+    # FAR budgets: achieved <= target, and no smaller threshold (=
+    # better FRR) could also meet the budget
+    for x, op in cal["at_far"].items():
+        t = op["threshold"]
+        assert far(t) <= x + 1e-12
+        assert op["far"] == pytest.approx(far(t))
+        assert op["frr"] == pytest.approx(frr(t))
+        tighter = np.unique(s)[np.unique(s) < t]
+        assert all(far(tt) > x for tt in tighter)
+    for x, op in cal["at_frr"].items():
+        t = op["threshold"]
+        assert frr(t) <= x + 1e-12
+        looser = np.unique(s)[np.unique(s) > t]
+        assert all(frr(float(tt)) > x for tt in looser)
+
+
+def test_calibrate_platt_matches_scipy_oracle():
+    """The Newton Platt fit must agree with scipy.optimize minimizing
+    the identical smoothed log-loss."""
+    from rtdsd_tpu.utils.metrics import calibrate_scores
+
+    scipy_opt = pytest.importorskip("scipy.optimize")
+    rng = np.random.default_rng(11)
+    s = np.concatenate([rng.normal(1.5, 1.2, 300),
+                        rng.normal(-1.0, 1.0, 500)])
+    y = np.concatenate([np.ones(300, int), np.zeros(500, int)])
+
+    cal = calibrate_scores(s, y)
+
+    n_pos, n_neg = 300, 500
+    t = np.where(y == 1, (n_pos + 1.0) / (n_pos + 2.0),
+                 1.0 / (n_neg + 2.0))
+
+    def loss(ab):
+        z = np.clip(ab[0] * s + ab[1], -60, 60)
+        # cross-entropy against the smoothed targets
+        return float(np.sum(np.logaddexp(0, z) - t * z))
+
+    res = scipy_opt.minimize(loss, x0=[1.0, 0.0], method="Nelder-Mead",
+                             options={"xatol": 1e-8, "fatol": 1e-12,
+                                      "maxiter": 4000})
+    assert cal["platt_a"] == pytest.approx(res.x[0], abs=2e-3)
+    assert cal["platt_b"] == pytest.approx(res.x[1], abs=2e-3)
+    # calibrated probabilities are ordered with the scores
+    p = 1 / (1 + np.exp(-(cal["platt_a"] * s + cal["platt_b"])))
+    assert p[np.argmax(s)] > 0.9 and p[np.argmin(s)] < 0.1
+
+
+def test_calibrate_separable_scores_stay_finite():
+    """Perfectly separable dev sets must not blow up the Platt slope
+    (the smoothed targets bound it)."""
+    from rtdsd_tpu.utils.metrics import calibrate_scores
+
+    s = np.concatenate([np.linspace(1, 2, 50), np.linspace(-2, -1, 50)])
+    y = np.concatenate([np.ones(50, int), np.zeros(50, int)])
+    cal = calibrate_scores(s, y)
+    assert np.isfinite(cal["platt_a"]) and np.isfinite(cal["platt_b"])
+    assert cal["eer_pct"] == 0.0
+    assert cal["at_far"][0.01]["frr"] == 0.0  # separable: both rates 0
