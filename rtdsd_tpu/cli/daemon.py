@@ -110,6 +110,7 @@ async def _amain(args):
                   f"scores={daemon.scores_sent} "
                   f"overruns={daemon.overruns} "
                   f"idle_sheds={daemon.idle_sheds} "
+                  f"gated={eng.gated_windows} "
                   f"dispatches={dict(eng.dispatch_counts)}",
                   file=sys.stderr, flush=True)
 

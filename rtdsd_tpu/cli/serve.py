@@ -84,6 +84,15 @@ def add_engine_args(p):
                    help="sample transport dtype (overrides --f32_transport; "
                         "mulaw8 = companded 8-bit, halves ingest bytes "
                         "again at telephony-grade ~38 dB SNR)")
+    p.add_argument("--gate_db", type=float, default=None,
+                   help="energy gate: windows below this RMS dBFS "
+                        "(re full scale 1.0; try -50) emit --gate_score "
+                        "without a model dispatch — scoring is ~90%% of "
+                        "serving device cost, so silence-heavy streams "
+                        "cost ~nothing while silent")
+    p.add_argument("--gate_score", type=float, default=0.0,
+                   help="CM score emitted for energy-gated (silent) "
+                        "windows (default 0.0 = undecided)")
 
 
 def parse_args(argv=None):
@@ -173,6 +182,7 @@ def build_engine(args, n_streams: int):
                          "float32" if args.f32_transport else "int16"),
         hbm_limit=(None if args.hbm_limit_gb is None
                    else int(args.hbm_limit_gb * 2**30)),
+        gate_rms_dbfs=args.gate_db, gate_score=args.gate_score,
         mesh=mesh, **esc_kwargs)
     eng.warmup()
     return eng, sr
@@ -229,8 +239,11 @@ def main(argv=None):
             # "#tail" so it never collides with a hop-grid index
             w_idx = (ws.start_sample // hop
                      if ws.start_sample % hop == 0 else "tail")
+            mark = " gated" if ws.gated else \
+                   " escalated" if ws.escalated else ""
             pending_lines.append(
-                f"{path}#{w_idx} {ws.start_sample / sr:.2f} {ws.score}")
+                f"{path}#{w_idx} {ws.start_sample / sr:.2f} "
+                f"{ws.score}{mark}")
 
     def flush_lines():
         if pending_lines:
@@ -304,6 +317,11 @@ def main(argv=None):
         n_esc = sum(w.escalated for ws_list in per_file for w in ws_list)
         print(f"  [cascade: {n_esc}/{total_windows} windows escalated "
               f"(band {args.cascade_band} around {args.cascade_center})]",
+              file=sys.stderr)
+    if args.gate_db is not None:
+        print(f"  [energy gate: {eng.gated_windows}/{total_windows} "
+              f"windows below {args.gate_db} dBFS scored as "
+              f"{args.gate_score} with no model dispatch]",
               file=sys.stderr)
     if args.device_ms and tick:
         costs = eng.device_costs()

@@ -97,12 +97,14 @@ class WindowScore(NamedTuple):
     start_sample: int  # window start in absolute stream samples
     score: float  # bonafide CM score (logit), higher = more bonafide
     escalated: bool = False  # scored by the escalation model (cascade)
+    gated: bool = False  # energy-gated silence: score is gate_score,
+    #                      no model ran (see gate_rms_dbfs)
 
 
 class _StreamState:
     __slots__ = ("stream_id", "buf", "chunks", "chunks_len", "next_seg",
                  "next_win", "final_win", "tail_frame", "head", "head_len",
-                 "head_cap")
+                 "head_cap", "engsq")
 
     def __init__(self, stream_id, dtype=np.float32, head_cap=0):
         self.stream_id = stream_id
@@ -118,6 +120,9 @@ class _StreamState:
         self.head = []
         self.head_len = 0
         self.head_cap = head_cap
+        # per-segment mean-square energy (seg_idx -> float), kept only
+        # while the energy gate may still need it (gate_rms_dbfs)
+        self.engsq = {}
 
     def coalesce(self):
         if self.chunks:
@@ -176,6 +181,8 @@ class MultiStreamScorer:
                  transport_dtype: str = "float32",
                  hbm_limit: Optional[int] = None,
                  auto_batch: bool = False,
+                 gate_rms_dbfs: Optional[float] = None,
+                 gate_score: float = 0.0,
                  mesh=None):
         if cfg.extractor_mode != "layer_norm":
             raise ValueError(
@@ -284,6 +291,25 @@ class MultiStreamScorer:
         self._mulaw = transport_dtype == "mulaw8"
         self._tdtype = {"float32": np.float32, "int16": np.int16,
                         "mulaw8": np.int8}[transport_dtype]
+
+        # ---- energy gate: windows whose RMS (dBFS re full scale 1.0)
+        # sits below the threshold emit ``gate_score`` WITHOUT a model
+        # dispatch. Scoring is ~90% of serving device cost
+        # (PERFORMANCE.md), so on silence-heavy audio (telephony) this
+        # is nearly a full capacity multiplier on the silent fraction.
+        # Per-segment mean squares are tracked host-side at consume time
+        # (one vectorized pass over samples already in hand); the conv
+        # extend still runs for every segment so ring state stays exact
+        # for neighboring loud windows.
+        if gate_rms_dbfs is not None and gate_rms_dbfs > 0:
+            raise ValueError(
+                f"gate_rms_dbfs is dBFS relative to full scale 1.0 and "
+                f"must be <= 0 (typical speech gate: -45 .. -60), got "
+                f"{gate_rms_dbfs}")
+        self.gate_msq = (None if gate_rms_dbfs is None
+                         else 10.0 ** (gate_rms_dbfs / 10.0))
+        self.gate_score = float(gate_score)
+        self.gated_windows = 0  # observability counter
 
         self.params = params
         self.batch_stats = batch_stats
@@ -733,11 +759,35 @@ class MultiStreamScorer:
 
     def _consume(self, taken):
         """Advance per-stream state for the segments actually dispatched."""
+        if self.gate_msq is not None:
+            # segment k's NEW samples are its first seg_hop (the rest is
+            # receptive-field overlap with segment k+1) — their mean
+            # square stands in for frames [k*seg_frames, (k+1)*seg_frames)
+            for slot, k, samples in taken:
+                self._slots[slot].engsq[k] = self._mean_square(
+                    samples[:self.seg_hop])
         by_slot = collections.Counter(slot for slot, _, _ in taken)
         for slot, n in by_slot.items():
             st = self._slots[slot]
             st.next_seg += n
             st.buf = st.buf[n * self.seg_hop:]
+
+    def _mean_square(self, samples) -> float:
+        """Mean square of transport-encoded samples on the float [-1, 1]
+        amplitude scale (matches the device-side dequant exactly for
+        float32/int16; continuous mu-law decode for mulaw8)."""
+        if len(samples) == 0:
+            return 0.0
+        if self._tdtype is np.int16:
+            x = samples.astype(np.float32) * (1.0 / 32768.0)
+        elif self._mulaw:
+            y = np.clip(samples.astype(np.float32), -127.0, 127.0) \
+                * (1.0 / 127.0)
+            x = np.sign(y) * np.expm1(np.abs(y) * np.log1p(_MU)) \
+                * (1.0 / _MU)
+        else:
+            x = samples
+        return float(np.mean(np.square(x, dtype=np.float32)))
 
     def _due_windows(self, limit=None):
         """Scoreable (slot, window, start_frame) triples in round-robin
@@ -757,6 +807,61 @@ class MultiStreamScorer:
                     return out
                 w += 1
         return out
+
+    def _window_msq(self, st, start: int) -> Optional[float]:
+        """Mean-square energy of the window starting at frame ``start``
+        from per-segment sums; None when a covering segment's energy is
+        unknown (then score it — never silently gate on missing data)."""
+        sf = self.seg_frames
+        k0 = start // sf
+        k1 = -(-(start + self.win_frames) // sf)
+        total = 0.0
+        for k in range(k0, k1):
+            e = st.engsq.get(k)
+            if e is None:
+                return None
+            total += e
+        return total / max(1, k1 - k0)
+
+    def _due_windows_gated(self, limit):
+        """Gate-aware :meth:`_due_windows`: returns (to_score, gated)
+        where gated windows resolve without device work and don't spend
+        batch slots. Per-stream window order is preserved — a stream
+        stops contributing at its first loud window that doesn't fit the
+        batch, so next_win always advances contiguously."""
+        to_score, gated = [], []
+        gate_cap = 4 * self.score_batch  # bound per-poll host work
+        for slot, st in self._iter_slots():
+            frames_done = st.next_seg * self.seg_frames
+            w = st.next_win
+            while st.final_win is None or w < st.final_win:
+                start = self._win_start_frame(st, w)
+                if start + self.win_frames > frames_done:
+                    break
+                msq = self._window_msq(st, start)
+                if msq is not None and msq < self.gate_msq:
+                    if len(gated) >= gate_cap:
+                        return to_score, gated
+                    gated.append((slot, w, start))
+                else:
+                    if len(to_score) >= limit:
+                        break  # this stream stops; others may still gate
+                    to_score.append((slot, w, start))
+                w += 1
+        return to_score, gated
+
+    def _prune_engsq(self, slot) -> None:
+        """Drop per-segment energies older than anything next_win (or a
+        not-yet-extracted segment's window) can still need."""
+        st = self._slots.get(slot)
+        if st is None:
+            return
+        if st.final_win is not None and st.next_win >= st.final_win:
+            st.engsq.clear()
+            return
+        oldest = self._win_start_frame(st, st.next_win) // self.seg_frames
+        for k in [k for k in st.engsq if k < oldest]:
+            del st.engsq[k]
 
     def poll(self) -> List[WindowScore]:
         """Run at most one ``extend`` and one ``score`` dispatch; returns
@@ -782,7 +887,21 @@ class MultiStreamScorer:
             self.dispatch_counts["extend"] += 1
             self._consume(segs)
 
-        wins = self._due_windows(limit=self.score_batch)
+        gated = []
+        if self.gate_msq is None:
+            wins = self._due_windows(limit=self.score_batch)
+        else:
+            wins, gated = self._due_windows_gated(self.score_batch)
+            if gated:
+                self._last_poll_work = True
+                self.gated_windows += len(gated)
+                for slot, w, start in gated:
+                    st = self._slots[slot]
+                    st.next_win = max(st.next_win, w + 1)
+                    results.append(WindowScore(st.stream_id,
+                                               start * self.stride,
+                                               self.gate_score,
+                                               False, True))
         if wins:
             self._last_poll_work = True
             slots = np.full((self.score_batch,), self._scratch, np.int32)
@@ -818,11 +937,17 @@ class MultiStreamScorer:
                         escalated[i] = True
             for i, (slot, w, start) in enumerate(wins):
                 st = self._slots[slot]
-                st.next_win = w + 1
+                # max(): a later GATED window of this stream may already
+                # have advanced past this scored one within this poll
+                st.next_win = max(st.next_win, w + 1)
                 results.append(WindowScore(st.stream_id,
                                            start * self.stride,
                                            float(scores[i]),
                                            bool(escalated[i])))
+        if self.gate_msq is not None:
+            for slot in ({s for s, _, _ in wins}
+                         | {s for s, _, _ in gated}):
+                self._prune_engsq(slot)
         # release closing streams whose final window has been scored
         for slot in [s for s, st in self._slots.items()
                      if st.final_win is not None

@@ -633,3 +633,150 @@ def test_overload_fairness_no_stream_starves(tiny):
     total_polls = max(first_scored_at.values())
     backlog_polls = n_streams * per_stream_wins / 2  # score_batch=2
     assert total_polls < backlog_polls * 0.75, (first_scored_at, counts)
+
+
+# ---------------------------------------------------------- energy gate
+
+
+def _gated_wave(rng, duration, hop):
+    """[loud window | silence | loud tail] on the hop grid: windows that
+    cover only the silent span must gate; windows touching loud audio
+    must score normally."""
+    loud1 = rng.standard_normal(duration).astype(np.float32) * 0.1
+    silence = np.zeros(2 * duration, np.float32)
+    loud2 = rng.standard_normal(duration).astype(np.float32) * 0.1
+    return np.concatenate([loud1, silence, loud2])
+
+
+def test_energy_gate_skips_silent_windows(tiny):
+    """Windows fully inside silence emit gate_score with gated=True and
+    NO score dispatch; every window that touches loud audio scores
+    byte-identically to an ungated engine; ordering and slot release
+    are unaffected."""
+    model, params, stats, cfg, duration = tiny
+    hop = duration // 2
+    rng = np.random.default_rng(31)
+    wave = _gated_wave(rng, duration, hop)
+
+    def run(**kw):
+        eng = MultiStreamScorer(model, params, stats, cfg,
+                                duration=duration, hop=hop,
+                                max_streams=2, **kw)
+        h = eng.open_stream("g")
+        for i in range(0, len(wave), 700):
+            eng.push(h, wave[i:i + 700])
+        eng.close_stream(h, flush=True)
+        out = sorted(eng.drain(), key=lambda g: g.start_sample)
+        return eng, out
+
+    base_eng, base = run()
+    gate_eng, gated = run(gate_rms_dbfs=-50.0, gate_score=-7.5)
+
+    assert [g.start_sample for g in gated] == \
+        [g.start_sample for g in base]
+    n_gated = 0
+    for b, g in zip(base, gated):
+        # a window is all-silence iff its sample span lies in the
+        # silent middle [duration, 3*duration)
+        silent = (b.start_sample >= duration
+                  and b.start_sample + duration <= 3 * duration)
+        if silent:
+            assert g.gated and g.score == -7.5 and not g.escalated
+            n_gated += 1
+        else:
+            assert not g.gated
+            assert g.score == pytest.approx(b.score, abs=0.0)
+    assert n_gated >= 2  # the construction guarantees silent windows
+    assert gate_eng.gated_windows == n_gated
+    # the gate actually saved score dispatches
+    assert gate_eng.dispatch_counts["score"] < \
+        base_eng.dispatch_counts["score"]
+    assert gate_eng.active_streams == 0  # flush still releases the slot
+
+
+def test_energy_gate_threshold_semantics(tiny):
+    """A quiet-but-present tone above the threshold must NOT gate; the
+    same tone below the threshold must. Threshold is RMS dBFS: a
+    sine of amplitude a has RMS a/sqrt(2)."""
+    model, params, stats, cfg, duration = tiny
+    hop = duration // 2
+
+    def run(amp, gate_db):
+        eng = MultiStreamScorer(model, params, stats, cfg,
+                                duration=duration, hop=hop, max_streams=1,
+                                gate_rms_dbfs=gate_db, gate_score=0.0)
+        t = np.arange(2 * duration, dtype=np.float32)
+        wave = (amp * np.sin(2 * np.pi * 440 * t / 16000)) \
+            .astype(np.float32)
+        h = eng.open_stream("t")
+        eng.push(h, wave)
+        eng.close_stream(h, flush=True)
+        out = eng.drain()
+        return all(g.gated for g in out), any(g.gated for g in out)
+
+    # amp 0.01 -> RMS ~ -43 dBFS: above a -50 gate, below a -30 gate
+    all_g, any_g = run(0.01, -50.0)
+    assert not any_g
+    all_g, any_g = run(0.01, -30.0)
+    assert all_g
+
+
+def test_energy_gate_int16_transport_matches_float(tiny):
+    """Gating decisions are taken on the decoded amplitude scale, so the
+    same wave gates identically under float32 and int16 transports."""
+    model, params, stats, cfg, duration = tiny
+    hop = duration // 2
+    rng = np.random.default_rng(5)
+    wave = _gated_wave(rng, duration, hop)
+
+    def run(transport):
+        eng = MultiStreamScorer(model, params, stats, cfg,
+                                duration=duration, hop=hop, max_streams=1,
+                                transport_dtype=transport,
+                                gate_rms_dbfs=-50.0, gate_score=1.0)
+        h = eng.open_stream("x")
+        eng.push(h, wave)
+        eng.close_stream(h, flush=True)
+        return [g.gated for g in
+                sorted(eng.drain(), key=lambda g: g.start_sample)]
+
+    assert run("float32") == run("int16") == run("mulaw8")
+
+
+def test_energy_gate_ordering_under_tiny_score_batch(tiny):
+    """With score_batch=1 and interleaved loud/silent windows the gate
+    must never let next_win skip an unscored loud window: all windows
+    arrive, in order, with loud ones equal to the ungated engine."""
+    model, params, stats, cfg, duration = tiny
+    hop = duration // 2
+    rng = np.random.default_rng(11)
+    wave = _gated_wave(rng, duration, hop)
+
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            hop=hop, max_streams=2, score_batch=1,
+                            extend_batch=2,
+                            gate_rms_dbfs=-50.0, gate_score=0.0)
+    hs = [eng.open_stream(f"s{i}") for i in range(2)]
+    for h in hs:
+        eng.push(h, wave)
+        eng.close_stream(h, flush=True)
+    out = eng.drain()
+    for i in range(2):
+        mine = sorted([g for g in out if g.stream_id == f"s{i}"],
+                      key=lambda g: g.start_sample)
+        exp = _expected_window_scores(model, params, stats, wave,
+                                      duration, hop)
+        assert [g.start_sample for g in mine] == \
+            [s * hop for s in range(len(exp))]
+        for g, e in zip(mine, exp):
+            if not g.gated:
+                assert g.score == pytest.approx(float(e), rel=2e-4,
+                                                abs=2e-5)
+
+
+def test_energy_gate_rejects_positive_threshold(tiny):
+    model, params, stats, cfg, duration = tiny
+    with pytest.raises(ValueError, match="dBFS"):
+        MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                          hop=duration // 2, max_streams=1,
+                          gate_rms_dbfs=3.0)

@@ -52,6 +52,13 @@ def main():
                     choices=("int16", "float32", "mulaw8"),
                     help="sample upload dtype (int16 = 16-bit PCM; mulaw8 "
                          "= companded 8-bit, half the ingest bytes)")
+    ap.add_argument("--gate_db", type=float, default=None,
+                    help="energy gate threshold (RMS dBFS); silent "
+                         "windows skip the score dispatch")
+    ap.add_argument("--silence_frac", type=float, default=0.0,
+                    help="fraction of streams pushing pure silence "
+                         "(models telephony dead air); pair with "
+                         "--gate_db to measure the gate's capacity win")
     args = ap.parse_args()
     sweep = args.streams or [32, 64, 128, 256]
 
@@ -120,12 +127,16 @@ def main():
                                 transport_dtype=args.transport,
                                 score_batch=args.score_batch,
                                 extend_batch=args.extend_batch,
+                                gate_rms_dbfs=args.gate_db,
                                 **esc_kwargs)
         t0 = time.time()
         eng.warmup()
         log(f"S={S}: warmup(compile) {time.time() - t0:.1f}s")
         handles = [eng.open_stream(i) for i in range(S)]
         chunk = (rng.standard_normal((S, hop)) * 0.1).astype(np.float32)
+        n_silent = int(S * args.silence_frac)
+        if n_silent:  # interleave so batches mix loud and silent rows
+            chunk[::max(1, S // max(1, n_silent))][:n_silent] = 0.0
         if args.cascade is not None:
             # calibrate the band so ~cascade of windows escalate
             cal = []
@@ -142,6 +153,7 @@ def main():
         ticks = []
         n_scores = 0
         n_esc = 0
+        n_gated = 0
         counts0 = dict(eng.dispatch_counts)
         for t in range(args.ticks):
             t0 = time.perf_counter()
@@ -152,6 +164,7 @@ def main():
             out = eng.drain()
             n_scores += len(out)
             n_esc += sum(ws.escalated for ws in out)
+            n_gated += sum(ws.gated for ws in out)
             dt = time.perf_counter() - t0
             if t >= 2:  # first windows complete at tick 2
                 ticks.append(dt * 1000)
@@ -160,6 +173,8 @@ def main():
         cap = int(S * budget_ms / max(p95, 1e-9))
         casc = (f" esc={n_esc}/{n_scores}"
                 if args.cascade is not None else "")
+        if args.gate_db is not None:
+            casc += f" gated={n_gated}/{n_scores}"
         log(f"S={S}: tick p50 {p50:.1f} ms p95 {p95:.1f} ms "
             f"(budget {budget_ms:.0f}) scores={n_scores}{casc} "
             f"{'SUSTAINED' if p95 < budget_ms else 'OVER'} "
