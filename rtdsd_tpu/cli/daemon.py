@@ -67,10 +67,21 @@ async def _amain(args):
     from rtdsd_tpu.cli.serve import build_engine
     from rtdsd_tpu.engine.netserve import ServeDaemon
 
+    transform = None
+    if args.calibration:
+        from rtdsd_tpu.utils.metrics import load_calibration, platt_prob
+
+        cal = load_calibration(args.calibration)
+        transform = lambda s: platt_prob(s, cal)  # noqa: E731
+        print(f"[daemon] calibrated wire scores: "
+              f"P(bonafide)=sigmoid({cal['platt_a']:.4g}*s"
+              f"{cal['platt_b']:+.4g}) from {args.calibration}",
+              file=sys.stderr, flush=True)
     eng, sr = build_engine(args, args.max_streams)
     daemon = ServeDaemon(eng, int(sr), tick_sec=args.tick_sec,
                          max_pending_sec=args.max_pending_sec,
-                         idle_timeout_sec=args.idle_timeout_sec)
+                         idle_timeout_sec=args.idle_timeout_sec,
+                         score_transform=transform)
 
     # register handlers BEFORE the socket exists: a supervisor that
     # TERMs as soon as it sees the socket must not catch the process
@@ -82,6 +93,48 @@ async def _amain(args):
             loop.add_signal_handler(sig, stop.set)
         except NotImplementedError:  # non-unix
             pass
+
+    # SIGHUP: zero-downtime checkpoint reload. Re-reads --ckpt (and
+    # --cascade_ckpt) from disk — point them at a rolling path (the
+    # trainer's "last"/best) and HUP the daemon after each training
+    # cycle. Same-architecture checkpoints swap in between ticks with
+    # no recompile and no dropped streams; a failed load (missing file,
+    # architecture mismatch) logs and keeps serving the old weights.
+    reloading = False
+
+    def _schedule_reload():
+        nonlocal reloading
+        if reloading:
+            print("[daemon] reload already in progress; ignoring SIGHUP",
+                  file=sys.stderr, flush=True)
+            return
+
+        async def do():
+            nonlocal reloading
+            reloading = True
+            try:
+                from rtdsd_tpu.cli.serve import reload_params
+
+                p, bs, esc = await loop.run_in_executor(
+                    None, reload_params, args)
+                await daemon.swap_model(p, bs, escalate=esc)
+                print(f"[daemon] reloaded checkpoint from {args.ckpt}"
+                      + (f" + cascade screener {args.cascade_ckpt}"
+                         if args.cascade_ckpt else "")
+                      + f" (swap #{daemon.reloads})",
+                      file=sys.stderr, flush=True)
+            except Exception as e:  # noqa: BLE001 — keep serving
+                print(f"[daemon] reload FAILED, serving continues on the "
+                      f"previous weights: {e}", file=sys.stderr, flush=True)
+            finally:
+                reloading = False
+
+        asyncio.ensure_future(do())
+
+    try:
+        loop.add_signal_handler(signal.SIGHUP, _schedule_reload)
+    except (NotImplementedError, AttributeError):  # non-unix
+        pass
 
     if args.listen.startswith("unix:"):
         path = args.listen[len("unix:"):]
@@ -110,6 +163,7 @@ async def _amain(args):
                   f"scores={daemon.scores_sent} "
                   f"overruns={daemon.overruns} "
                   f"idle_sheds={daemon.idle_sheds} "
+                  f"reloads={daemon.reloads} "
                   f"gated={eng.gated_windows} "
                   f"dispatches={dict(eng.dispatch_counts)}",
                   file=sys.stderr, flush=True)

@@ -97,10 +97,24 @@ def main(argv=None):
                    help="window-score aggregate (streaming bundles)")
     p.add_argument("--per_window", action="store_true", default=False,
                    help="also print per-window scores (streaming bundles)")
+    p.add_argument("--calibration", type=str, default=None,
+                   help="calibration JSON from 'cli.evaluate --calibrate': "
+                        "stdout lines gain calibrated P(bonafide) and an "
+                        "accept/reject decision (--out stays raw scores)")
+    p.add_argument("--operating_point", type=str, default="eer",
+                   help="decision threshold from --calibration: 'eer', "
+                        "'far=<rate>' or 'frr=<rate>'")
     args = p.parse_args(argv)
 
     with open(args.artifact + ".json") as fh:
         meta = json.load(fh)
+
+    cal = thr = None
+    if args.calibration:
+        from rtdsd_tpu.utils.metrics import (calibration_threshold,
+                                             load_calibration, platt_prob)
+        cal = load_calibration(args.calibration)
+        thr = calibration_threshold(cal, args.operating_point)
 
     names, scores = [], []
     if meta.get("streaming"):
@@ -115,7 +129,10 @@ def main(argv=None):
                 # actual window positions: hop-grid starts snapped to the
                 # conv frame grid plus the tail window — not i * hop
                 for i, (s, st) in enumerate(zip(ws, starts)):
-                    print(f"{_utt_id(path)}#{i} {st / sr:.2f} {float(s)}")
+                    prob = (f" p={platt_prob(float(s), cal):.4f}"
+                            if cal else "")
+                    print(f"{_utt_id(path)}#{i} {st / sr:.2f} "
+                          f"{float(s)}{prob}")
             agg = {"mean": np.mean, "min": np.min, "max": np.max,
                    "median": np.median}[args.aggregate]
             names.append(_utt_id(path))
@@ -133,7 +150,12 @@ def main(argv=None):
         _write_score_file(args.out, names, scores)
     else:
         for f, cm in zip(names, scores):
-            print(f"{f} {cm}")
+            extra = ""
+            if cal:
+                verdict = "accept" if cm >= thr else "reject"
+                extra = (f" p={platt_prob(cm, cal):.4f} "
+                         f"{verdict}@{args.operating_point}")
+            print(f"{f} {cm}{extra}")
 
 
 if __name__ == "__main__":

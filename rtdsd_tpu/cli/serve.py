@@ -93,6 +93,16 @@ def add_engine_args(p):
     p.add_argument("--gate_score", type=float, default=0.0,
                    help="CM score emitted for energy-gated (silent) "
                         "windows (default 0.0 = undecided)")
+    p.add_argument("--calibration", type=str, default=None,
+                   help="calibration JSON from 'cli.evaluate --calibrate': "
+                        "per-window lines gain calibrated P(bonafide), "
+                        "aggregate lines gain an accept/reject decision at "
+                        "--operating_point; the daemon routes the "
+                        "calibrated probability in the wire f32")
+    p.add_argument("--operating_point", type=str, default="eer",
+                   help="decision threshold from --calibration: 'eer', "
+                        "'far=<rate>' or 'frr=<rate>' (rates as passed to "
+                        "evaluate --calibrate)")
 
 
 def parse_args(argv=None):
@@ -188,6 +198,31 @@ def build_engine(args, n_streams: int):
     return eng, sr
 
 
+def reload_params(args):
+    """Re-read the checkpoint path(s) with exactly build_engine's model
+    prep (same quantization flags; in cascade mode --cascade_ckpt is the
+    primary/screener and --ckpt the escalation flagship). Returns
+    ``(params, batch_stats, escalate_or_None)`` ready for
+    :meth:`MultiStreamScorer.swap_model` — used by the daemon's SIGHUP
+    zero-downtime reload (cli/daemon.py)."""
+    sys_config, exp_config = load_yaml_config(args.config)
+
+    from rtdsd_tpu.cli.common import load_eval_model
+
+    _, state, _, _ = load_eval_model(sys_config, exp_config, args.ckpt,
+                                     w8=args.w8, w8a8=args.w8a8)
+    esc = None
+    if args.cascade_ckpt:
+        esc = (state.params, state.batch_stats)
+        if args.cascade_config:
+            screen_sys, screen_exp = load_yaml_config(args.cascade_config)
+        else:
+            screen_sys, screen_exp = sys_config, exp_config
+        _, state, _, _ = load_eval_model(screen_sys, screen_exp,
+                                         args.cascade_ckpt)
+    return state.params, state.batch_stats, esc
+
+
 def main(argv=None):
     args = parse_args(argv)
 
@@ -197,6 +232,12 @@ def main(argv=None):
     from rtdsd_tpu.data.io import load_audio
 
     n_streams = len(args.audio)
+    cal = thr = None
+    if args.calibration:  # fail on a bad file BEFORE compiling the engine
+        from rtdsd_tpu.utils.metrics import (calibration_threshold,
+                                             load_calibration, platt_prob)
+        cal = load_calibration(args.calibration)
+        thr = calibration_threshold(cal, args.operating_point)
     eng, sr = build_engine(args, n_streams)
     hop = eng.hop
 
@@ -241,9 +282,10 @@ def main(argv=None):
                      if ws.start_sample % hop == 0 else "tail")
             mark = " gated" if ws.gated else \
                    " escalated" if ws.escalated else ""
+            prob = f" p={platt_prob(ws.score, cal):.4f}" if cal else ""
             pending_lines.append(
                 f"{path}#{w_idx} {ws.start_sample / sr:.2f} "
-                f"{ws.score}{mark}")
+                f"{ws.score}{prob}{mark}")
 
     def flush_lines():
         if pending_lines:
@@ -301,8 +343,13 @@ def main(argv=None):
     for i, path in files:
         scores = [w.score for w in per_file[i]]
         agg = float(np.mean(scores)) if scores else float("nan")
-        print(f"{path} {agg}")
-        if out_fh:
+        extra = ""
+        if cal and np.isfinite(agg):
+            verdict = "accept" if agg >= thr else "reject"
+            extra = (f" p={platt_prob(agg, cal):.4f} "
+                     f"{verdict}@{args.operating_point}")
+        print(f"{path} {agg}{extra}")
+        if out_fh:  # --out stays raw '{path} {score}' (CM-file compatible)
             out_fh.write(f"{path} {agg}\n")
     if out_fh:
         out_fh.close()

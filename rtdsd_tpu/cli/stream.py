@@ -46,6 +46,13 @@ def parse_args(argv=None):
                    help="write '{path} {score}' lines here as well")
     p.add_argument("--w8", action="store_true", default=False)
     p.add_argument("--w8a8", action="store_true", default=False)
+    p.add_argument("--calibration", type=str, default=None,
+                   help="calibration JSON from 'cli.evaluate --calibrate': "
+                        "output lines gain calibrated P(bonafide) and the "
+                        "aggregate an accept/reject decision")
+    p.add_argument("--operating_point", type=str, default="eer",
+                   help="decision threshold from --calibration: 'eer', "
+                        "'far=<rate>' or 'frr=<rate>'")
     p.add_argument("--incremental", action="store_true", default=False,
                    help="cache conv features across overlapping windows "
                         "(exact on the 20 ms frame grid; ~(window/hop)x "
@@ -105,6 +112,13 @@ def main(argv=None):
     scorer.window_scores(np.zeros(duration, np.float32))
     warmed_buckets = set()
 
+    cal = thr = None
+    if args.calibration:
+        from rtdsd_tpu.utils.metrics import (calibration_threshold,
+                                             load_calibration, platt_prob)
+        cal = load_calibration(args.calibration)
+        thr = calibration_threshold(cal, args.operating_point)
+
     out_fh = open(args.out, "w") if args.out else None
     for path in args.audio:
         wave, rate = load_audio(path)
@@ -126,9 +140,15 @@ def main(argv=None):
             starts = (scorer._grid_starts(len(wave)) if args.incremental
                       else frame_starts(len(wave), duration, hop))
             for i, (s0, s) in enumerate(zip(starts, ws)):
-                print(f"{path}#{i} {s0 / sr:.2f} {s}")
+                prob = f" p={platt_prob(s, cal):.4f}" if cal else ""
+                print(f"{path}#{i} {s0 / sr:.2f} {s}{prob}")
         audio_sec = len(wave) / sr
-        print(f"{path} {agg}")
+        extra = ""
+        if cal:
+            verdict = "accept" if agg >= thr else "reject"
+            extra = (f" p={platt_prob(agg, cal):.4f} "
+                     f"{verdict}@{args.operating_point}")
+        print(f"{path} {agg}{extra}")
         print(f"  [{len(ws)} windows over {audio_sec:.1f}s in {wall:.3f}s "
               f"-> xRT {wall / max(audio_sec, 1e-9):.4f}]", file=sys.stderr)
         if out_fh:

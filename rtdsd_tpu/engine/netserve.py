@@ -102,8 +102,14 @@ class ServeDaemon:
     def __init__(self, engine, sample_rate: int,
                  tick_sec: Optional[float] = None,
                  max_pending_sec: Optional[float] = 30.0,
-                 idle_timeout_sec: Optional[float] = None):
+                 idle_timeout_sec: Optional[float] = None,
+                 score_transform=None):
         self.engine = engine
+        # optional score -> wire-f32 map (e.g. Platt-calibrated
+        # P(bonafide), cli/daemon.py --calibration); the protocol frame
+        # is unchanged — clients just read a probability instead of a
+        # raw logit
+        self.score_transform = score_transform
         self.sample_rate = int(sample_rate)
         self.tick_sec = (engine.hop / sample_rate if tick_sec is None
                          else tick_sec)
@@ -139,11 +145,21 @@ class ServeDaemon:
         self._ticker = None
         self.ticks = 0
         self.scores_sent = 0
+        self.reloads = 0  # successful hot checkpoint swaps (SIGHUP)
         # a capped/auto-shrunk batch needs several dispatches per tick
         self._poll = (engine.drain
                       if (engine.score_batch < engine.max_streams
                           or engine.extend_batch < engine.max_streams)
                       else engine.poll)
+
+    async def swap_model(self, params, batch_stats=None, escalate=None):
+        """Zero-downtime checkpoint swap: takes the tick lock so the
+        swap lands between polls (never during a device dispatch), then
+        delegates to :meth:`MultiStreamScorer.swap_model`. Streams,
+        slots, rings and compiled programs are untouched."""
+        async with self._lock:
+            self.engine.swap_model(params, batch_stats, escalate=escalate)
+        self.reloads += 1
 
     # ------------------------------------------------------------- lifecycle
 
@@ -245,8 +261,10 @@ class ServeDaemon:
             if w is None:  # producer vanished mid-drain
                 continue
             self.scores_sent += 1
+            s = (ws.score if self.score_transform is None
+                 else float(self.score_transform(ws.score)))
             self._send(w, _frame(SCORE, _SCORE.pack(
-                h, ws.start_sample, ws.score, int(ws.escalated))))
+                h, ws.start_sample, s, int(ws.escalated))))
 
     @staticmethod
     def _send(writer: asyncio.StreamWriter, data: bytes):

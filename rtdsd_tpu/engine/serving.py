@@ -310,6 +310,7 @@ class MultiStreamScorer:
                          else 10.0 ** (gate_rms_dbfs / 10.0))
         self.gate_score = float(gate_score)
         self.gated_windows = 0  # observability counter
+        self.model_swaps = 0  # hot checkpoint swaps (see swap_model)
 
         self.params = params
         self.batch_stats = batch_stats
@@ -944,6 +945,22 @@ class MultiStreamScorer:
                                            start * self.stride,
                                            float(scores[i]),
                                            bool(escalated[i])))
+        if gated and wins:
+            # gated results were appended before the score dispatch ran,
+            # so a stream's gated window w+1 can precede its scored
+            # window w in `results`. Internal state is order-safe (the
+            # max() above) but daemon clients see per-stream timestamps:
+            # reorder each stream's own entries by start_sample, keeping
+            # the positions (and cross-stream interleave) unchanged.
+            by_stream: Dict[object, List[int]] = {}
+            for idx, r in enumerate(results):
+                by_stream.setdefault(r.stream_id, []).append(idx)
+            for idxs in by_stream.values():
+                if len(idxs) > 1:
+                    vals = sorted((results[i] for i in idxs),
+                                  key=lambda r: r.start_sample)
+                    for i, v in zip(idxs, vals):
+                        results[i] = v
         if self.gate_msq is not None:
             for slot in ({s for s, _, _ in wins}
                          | {s for s, _, _ in gated}):
@@ -982,6 +999,73 @@ class MultiStreamScorer:
                     "drain stalled with work pending (ring backpressure "
                     "deadlock? raise ring_frames)")
         raise RuntimeError("drain did not converge")
+
+    def swap_model(self, params, batch_stats=None, *, escalate=None):
+        """Hot checkpoint swap: replace the weights without recompiling,
+        reallocating rings, or dropping streams (zero-downtime model
+        update — e.g. a daemon reloading a retrained checkpoint on
+        SIGHUP, cli/daemon.py).
+
+        The compiled programs take params as CALL ARGUMENTS (CLAUDE.md:
+        never close jit over param trees), so any checkpoint with the
+        same architecture — identical param-tree structure, shapes and
+        dtypes — swaps in between polls with no recompile. ``escalate``
+        is an optional ``(esc_params, esc_stats)`` pair for the cascade
+        flagship (only valid when the engine was built with one).
+
+        Transition semantics: segments extended BEFORE the swap keep
+        their old-conv features in the ring, so windows straddling the
+        swap are scored by the new head on old-conv features; windows
+        whose segments all arrive after the swap are pure new-model.
+        Escalated windows re-run fully through the new flagship from
+        raw samples either way. Not thread-safe against a concurrent
+        poll — callers serialize (the daemon swaps under its tick lock).
+        """
+        self._check_tree("params", self.params, params)
+        stats = batch_stats if batch_stats is not None else {}
+        # emptiness of batch_stats is baked into the compiled score
+        # program (traced python bool), so the structure must match too
+        self._check_tree("batch_stats", self.batch_stats, stats)
+        if escalate is not None:
+            if not self._escalate:
+                raise ValueError("swap_model(escalate=...) on an engine "
+                                 "built without a cascade")
+            esc_params, esc_stats = escalate
+            self._check_tree("escalate params", self._esc_params,
+                             esc_params)
+            self._check_tree("escalate batch_stats", self._esc_stats,
+                             esc_stats or {})
+            if self._mesh is not None:
+                esc_params = jax.device_put(esc_params, self._replicated)
+                if esc_stats:
+                    esc_stats = jax.device_put(esc_stats, self._replicated)
+            self._esc_params = esc_params
+            self._esc_stats = esc_stats
+        self.params = params
+        self.batch_stats = stats
+        self._conv_params = params["ssl_model"]["feature_extractor"]
+        self.model_swaps += 1
+
+    @staticmethod
+    def _check_tree(what, old, new):
+        """Same treedef + leaf shapes/dtypes, or a ValueError naming the
+        first mismatch (the compiled programs' signatures are fixed)."""
+        paths_old = jax.tree_util.tree_flatten_with_path(old)
+        paths_new = jax.tree_util.tree_flatten_with_path(new)
+        if paths_old[1] != paths_new[1]:
+            raise ValueError(
+                f"swap_model: {what} tree structure differs from the "
+                f"serving model's (different architecture/quantization "
+                f"mode?) — rebuild the engine instead")
+        for (kp, a), (_, b) in zip(paths_old[0], paths_new[0]):
+            sa, sb = jnp.shape(a), jnp.shape(b)
+            da, db = jnp.result_type(a), jnp.result_type(b)
+            if sa != sb or da != db:
+                name = jax.tree_util.keystr(kp)
+                raise ValueError(
+                    f"swap_model: {what}{name} is {sb}/{db}, the "
+                    f"compiled programs expect {sa}/{da} — same "
+                    f"architecture checkpoints only")
 
     def warmup(self) -> None:
         """Compile both programs once (scratch-only batches) so the first

@@ -124,7 +124,20 @@ def calibrate_scores(scores: np.ndarray, labels: np.ndarray, *,
     t_pos = (n_pos + 1.0) / (n_pos + 2.0)
     t_neg = 1.0 / (n_neg + 2.0)
     t = np.where(y == 1, t_pos, t_neg)
+
+    def nll(a_, b_):
+        z = a_ * s + b_
+        # stable smoothed log-loss: t*softplus(-z) + (1-t)*softplus(z)
+        return float(np.mean(t * np.logaddexp(0.0, -z)
+                             + (1.0 - t) * np.logaddexp(0.0, z)))
+
+    # Newton-Raphson with a backtracking line search: on small/separable
+    # dev sets a raw Newton step can overshoot into the sigmoid's flat
+    # tails (curvature ~0 -> enormous steps, a -> 1e9 while the LOSS gets
+    # WORSE); only steps that decrease the smoothed log-loss are taken,
+    # so the fit lands at the smoothing-bounded optimum instead.
     a, b = 1.0, 0.0
+    loss = nll(a, b)
     for _ in range(platt_iters):
         z = np.clip(a * s + b, -60.0, 60.0)
         p = 1.0 / (1.0 + np.exp(-z))
@@ -140,12 +153,77 @@ def calibrate_scores(scores: np.ndarray, labels: np.ndarray, *,
             break
         da = (hbb * ga - hab * gb) / det
         db = (haa * gb - hab * ga) / det
-        a, b = a - da, b - db
-        if abs(da) + abs(db) < 1e-12:
+        step = 1.0
+        for _ in range(40):
+            na, nb = a - step * da, b - step * db
+            nl = nll(na, nb)
+            if nl <= loss:
+                break
+            step *= 0.5
+        else:
+            break  # no improving step in this direction: converged
+        moved = step * (abs(da) + abs(db))
+        a, b, loss = na, nb, nl
+        if moved < 1e-12:
             break
     out["platt_a"] = float(a)
     out["platt_b"] = float(b)
     return out
+
+
+def load_calibration(path: str) -> dict:
+    """Load a calibration produced by ``cli.evaluate --calibrate``
+    (one JSON object: Platt coefficients + operating-point thresholds).
+    Raises with the missing keys when handed some other JSON file."""
+    import json
+
+    with open(path) as f:
+        cal = json.load(f)
+    missing = [k for k in ("platt_a", "platt_b", "eer_threshold")
+               if k not in cal]
+    if missing:
+        raise ValueError(
+            f"{path} is not a calibration file (missing {missing}); "
+            "produce one with: python -m rtdsd_tpu.cli.evaluate "
+            "--scores dev_scores.txt --protocol dev.txt --calibrate")
+    return cal
+
+
+def platt_prob(scores, cal: dict):
+    """Calibrated ``P(bonafide | score)`` under the Platt fit in ``cal``.
+    Accepts a scalar or array; returns the same shape as float64."""
+    s = np.asarray(scores, np.float64)
+    z = np.clip(cal["platt_a"] * s + cal["platt_b"], -60.0, 60.0)
+    return 1.0 / (1.0 + np.exp(-z))
+
+
+def calibration_threshold(cal: dict, operating_point: str = "eer") -> float:
+    """Accept-threshold for a named operating point: ``"eer"``,
+    ``"far=0.01"`` or ``"frr=0.05"`` (rates as configured at calibration
+    time; available points are listed in the error message)."""
+    if operating_point == "eer":
+        return float(cal["eer_threshold"])
+    for prefix, table in (("far=", "at_far"), ("frr=", "at_frr")):
+        if operating_point.startswith(prefix):
+            rate = operating_point[len(prefix):]
+            entry = cal.get(table, {}).get(rate)
+            if entry is None:
+                # calibrate_scores keys by float; the CLI re-keys by the
+                # %g-printed rate — accept either spelling
+                try:
+                    entry = cal.get(table, {}).get(f"{float(rate):g}")
+                except ValueError:
+                    entry = None
+            if entry is not None:
+                return float(entry["threshold"])
+            have = ["eer"] + [f"far={k}" for k in cal.get("at_far", {})] \
+                + [f"frr={k}" for k in cal.get("at_frr", {})]
+            raise ValueError(
+                f"operating point {operating_point!r} not in this "
+                f"calibration; available: {have}")
+    raise ValueError(
+        f"bad operating point {operating_point!r} "
+        "(use 'eer', 'far=<rate>' or 'frr=<rate>')")
 
 
 def compute_min_tdcf(cm_scores: np.ndarray, labels: np.ndarray, *,

@@ -155,6 +155,29 @@ def test_cli_stream_smoke(trained):
     assert len(agg) == 1
     float(agg[0].split(" ")[1])
 
+    # --calibration: a deployment calibration (the cli.evaluate
+    # --calibrate JSON) turns the same run's output into calibrated
+    # probabilities + an accept/reject decision at the operating point
+    import json
+
+    cal = {"eer_threshold": 0.0, "platt_a": 1.0, "platt_b": 0.0,
+           "at_far": {"0.01": {"threshold": 2.0, "far": 0.01, "frr": 0.2}}}
+    cal_path = root / "cal.json"
+    cal_path.write_text(json.dumps(cal))
+    out = _run(["rtdsd_tpu.cli.stream", "--config", cfg, "--ckpt", last,
+                "--audio", audio, "--window_sec", "0.5", "--hop_sec",
+                "0.25", "--per_window", "--calibration", str(cal_path),
+                "--operating_point", "far=0.01"])
+    lines = [l for l in out.strip().splitlines() if not l.startswith("  [")]
+    pw = [l for l in lines if "#" in l.split(" ")[0]]
+    assert pw and all(" p=" in l for l in pw)
+    agg_line = next(l for l in lines if l.split(" ")[0] == audio)
+    raw, p = float(agg_line.split(" ")[1]), agg_line.split("p=")[1]
+    prob = float(p.split(" ")[0])
+    assert prob == pytest.approx(1 / (1 + np.exp(-raw)), abs=1e-4)
+    want = "accept@far=0.01" if raw >= 2.0 else "reject@far=0.01"
+    assert agg_line.endswith(want), agg_line
+
 
 def test_cli_serve_smoke(trained):
     root, cfg, last = trained
@@ -233,6 +256,25 @@ def test_cli_daemon_smoke(trained, tmp_path):
         assert [s for s, _, _ in sorted(got[h])] == \
             [k * 4000 for k in range(5)]
         assert all(np.isfinite(v) for _, v, _ in got[h])
+
+        # SIGHUP: zero-downtime reload of the same --ckpt path; the
+        # daemon must log the swap and keep scoring new streams
+        proc.send_signal(signal.SIGHUP)
+        deadline = time.time() + 300
+        while "reloaded checkpoint" not in log_path.read_text():
+            assert proc.poll() is None, log_path.read_text()[-2000:]
+            assert time.time() < deadline, \
+                "no reload log: " + log_path.read_text()[-2000:]
+            time.sleep(0.5)
+        h2 = client.open(a + "#2")
+        client.push(h2, wave)
+        client.close(h2, flush=True)
+        got2 = client.collect({h2})
+        # same checkpoint reloaded -> same scores as before the HUP
+        for (s1, v1, _), (s2, v2, _) in zip(sorted(got[h]),
+                                            sorted(got2[h2])):
+            assert s1 == s2
+            np.testing.assert_allclose(v1, v2, rtol=1e-5, atol=1e-6)
         client.close_socket()
     finally:
         proc.send_signal(signal.SIGTERM)

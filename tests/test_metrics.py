@@ -381,9 +381,71 @@ def test_calibrate_separable_scores_stay_finite():
     (the smoothed targets bound it)."""
     from rtdsd_tpu.utils.metrics import calibrate_scores
 
+    from scipy.optimize import minimize
+
     s = np.concatenate([np.linspace(1, 2, 50), np.linspace(-2, -1, 50)])
     y = np.concatenate([np.ones(50, int), np.zeros(50, int)])
     cal = calibrate_scores(s, y)
     assert np.isfinite(cal["platt_a"]) and np.isfinite(cal["platt_b"])
     assert cal["eer_pct"] == 0.0
     assert cal["at_far"][0.01]["frr"] == 0.0  # separable: both rates 0
+
+    # and the fit is the smoothing-bounded OPTIMUM, not a runaway slope
+    # (a raw Newton step overshoots into the sigmoid tails on separable
+    # data; the line search must keep the loss monotone to the optimum)
+    t = np.where(y == 1, 51 / 52, 1 / 52)
+
+    def nll(v):
+        z = v[0] * s + v[1]
+        return np.mean(t * np.logaddexp(0, -z) + (1 - t) * np.logaddexp(0, z))
+
+    res = minimize(nll, np.array([1.0, 0.0]), method="Nelder-Mead",
+                   options={"xatol": 1e-9, "fatol": 1e-14, "maxiter": 5000})
+    assert nll([cal["platt_a"], cal["platt_b"]]) <= res.fun + 1e-9
+    assert abs(cal["platt_a"]) < 100.0  # a sane, usable slope
+
+
+def test_calibration_file_roundtrip_and_threshold_lookup(tmp_path):
+    """load_calibration accepts exactly what cli.evaluate --calibrate
+    writes (incl. its %g re-keyed at_far/at_frr tables); platt_prob and
+    calibration_threshold recover the fit and operating points."""
+    import json
+
+    from rtdsd_tpu.utils.metrics import (calibrate_scores,
+                                         calibration_threshold,
+                                         load_calibration, platt_prob)
+
+    rng = np.random.default_rng(11)
+    s = np.concatenate([rng.normal(1.2, 1.0, 400),
+                        rng.normal(-1.0, 1.0, 400)])
+    y = np.concatenate([np.ones(400, int), np.zeros(400, int)])
+    cal = calibrate_scores(s, y, target_fars=(0.05,), target_frrs=(0.1,))
+    # the CLI re-keys the rate tables with %g strings before dumping
+    cal["at_far"] = {f"{k:g}": v for k, v in cal["at_far"].items()}
+    cal["at_frr"] = {f"{k:g}": v for k, v in cal["at_frr"].items()}
+    path = tmp_path / "cal.json"
+    path.write_text(json.dumps(cal))
+
+    got = load_calibration(str(path))
+    assert got["platt_a"] == cal["platt_a"]
+    p = platt_prob(s, got)
+    want = 1 / (1 + np.exp(-(cal["platt_a"] * s + cal["platt_b"])))
+    np.testing.assert_allclose(p, want, rtol=1e-12)
+    assert float(platt_prob(0.0, got)) == pytest.approx(
+        1 / (1 + np.exp(-cal["platt_b"])))
+
+    assert calibration_threshold(got, "eer") == cal["eer_threshold"]
+    assert calibration_threshold(got, "far=0.05") == \
+        cal["at_far"]["0.05"]["threshold"]
+    assert calibration_threshold(got, "frr=0.1") == \
+        cal["at_frr"]["0.1"]["threshold"]
+    with pytest.raises(ValueError, match="far=0.2"):
+        calibration_threshold(got, "far=0.2")
+    with pytest.raises(ValueError, match="operating point"):
+        calibration_threshold(got, "bogus")
+
+    # not-a-calibration JSON names the missing keys
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"something": 1}))
+    with pytest.raises(ValueError, match="platt_a"):
+        load_calibration(str(bad))

@@ -572,3 +572,36 @@ def test_daemon_reaps_idle_streams(tiny, tmp_path):
         cli.close_socket()
     finally:
         dt.stop()
+
+
+def test_daemon_score_transform_calibrates_wire_scores(tiny, tmp_path):
+    """score_transform (cli.daemon --calibration) maps every wire f32
+    through the calibration while the protocol frame stays unchanged:
+    received scores equal platt_prob(direct engine scores)."""
+    from rtdsd_tpu.utils.metrics import platt_prob
+
+    model, params, stats, cfg, duration = tiny
+    hop = duration // 2
+    cal = {"platt_a": 0.7, "platt_b": -0.3, "eer_threshold": 0.0}
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            hop=hop, max_streams=2,
+                            transport_dtype="int16")
+    dt = _DaemonThread(eng, tmp_path / "cal.sock",
+                       score_transform=lambda s: platt_prob(s, cal))
+    try:
+        cli = ServeClient(unix_path=dt.sock_path)
+        rng = np.random.default_rng(9)
+        wave = rng.standard_normal(2 * hop + duration).astype(np.float32) \
+            * 0.1
+        h = cli.open("calstream")
+        cli.push(h, wave)
+        cli.close(h, flush=True)
+        got = sorted(cli.collect({h})[h])
+        cli.close_socket()
+    finally:
+        dt.stop()
+    exp = platt_prob(_expected(tiny, wave, duration, hop), cal)
+    assert len(got) >= len(exp)
+    np.testing.assert_allclose([v for _, v, _ in got[:len(exp)]], exp,
+                               rtol=2e-4, atol=2e-5)
+    assert all(0.0 <= v <= 1.0 for _, v, _ in got)

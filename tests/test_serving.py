@@ -694,6 +694,31 @@ def test_energy_gate_skips_silent_windows(tiny):
     assert gate_eng.active_streams == 0  # flush still releases the slot
 
 
+def test_energy_gate_emission_order_is_monotone_per_stream(tiny):
+    """Within one poll, gated windows are resolved host-side BEFORE the
+    score dispatch, so a stream's gated window w+1 could be emitted ahead
+    of its scored window w (daemon clients see per-stream timestamps go
+    backwards). poll() must reorder its own emissions so each stream's
+    start_samples are non-decreasing in the raw, unsorted output."""
+    model, params, stats, cfg, duration = tiny
+    hop = duration // 2
+    rng = np.random.default_rng(47)
+    # [loud | 2d silence | loud]: in a single poll the loud windows score
+    # while the silent middle gates — the inversion-prone interleave
+    wave = _gated_wave(rng, duration, hop)
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            hop=hop, max_streams=2, extend_batch=32,
+                            score_batch=16, gate_rms_dbfs=-50.0,
+                            gate_score=-7.5)
+    h = eng.open_stream("m")
+    eng.push(h, wave)  # everything due at once
+    eng.close_stream(h, flush=True)
+    out = eng.drain()  # NOT sorted — emission order is the contract
+    assert any(g.gated for g in out) and any(not g.gated for g in out)
+    starts = [g.start_sample for g in out if g.stream_id == "m"]
+    assert starts == sorted(starts), starts
+
+
 def test_energy_gate_threshold_semantics(tiny):
     """A quiet-but-present tone above the threshold must NOT gate; the
     same tone below the threshold must. Threshold is RMS dBFS: a
@@ -780,3 +805,84 @@ def test_energy_gate_rejects_positive_threshold(tiny):
         MultiStreamScorer(model, params, stats, cfg, duration=duration,
                           hop=duration // 2, max_streams=1,
                           gate_rms_dbfs=3.0)
+
+
+# ------------------------------------------------------- hot model swap
+
+
+def test_swap_model_hot_reload(tiny):
+    """swap_model replaces the weights with no recompile, ring rebuild
+    or stream churn: after an immediate swap, every window scores as the
+    NEW checkpoint (daemon SIGHUP reload path); architecture mismatches
+    raise before any state is touched."""
+    model, params, stats, cfg, duration = tiny
+    hop = duration // 2
+    var_b = model.init(jax.random.key(99), jnp.zeros((1, duration)))
+    params_b, stats_b = var_b["params"], var_b.get("batch_stats", {})
+
+    rng = np.random.default_rng(13)
+    wave = rng.standard_normal(3 * hop + duration).astype(np.float32) * 0.1
+
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            hop=hop, max_streams=2)
+    h = eng.open_stream("s")
+    eng.swap_model(params_b, stats_b)  # before any push: pure new-model
+    assert eng.model_swaps == 1
+    eng.push(h, wave)
+    eng.close_stream(h, flush=True)
+    got = sorted(eng.drain(), key=lambda g: g.start_sample)
+
+    exp_b = _expected_window_scores(model, params_b, stats_b, wave,
+                                    duration, hop)
+    exp_a = _expected_window_scores(model, params, stats, wave,
+                                    duration, hop)
+    np.testing.assert_allclose([g.score for g in got[:len(exp_b)]],
+                               exp_b, rtol=2e-4, atol=2e-5)
+    # and they are genuinely the new model's, not the old one's
+    assert not np.allclose([g.score for g in got[:len(exp_a)]], exp_a,
+                           rtol=2e-4, atol=2e-5)
+
+    # structure mismatch (e.g. different quantization mode) raises
+    leaves, treedef = jax.tree_util.tree_flatten(params_b)
+    with pytest.raises(ValueError, match="tree structure"):
+        eng.swap_model({"not": leaves[0]}, stats_b)
+    # shape mismatch names the offending leaf
+    bad = [jnp.zeros(tuple(d + 1 for d in leaves[0].shape),
+                     leaves[0].dtype)] + leaves[1:]
+    with pytest.raises(ValueError, match="swap_model: params"):
+        eng.swap_model(jax.tree_util.tree_unflatten(treedef, bad),
+                       stats_b)
+    # escalate swap without a cascade raises
+    with pytest.raises(ValueError, match="without a cascade"):
+        eng.swap_model(params_b, stats_b,
+                       escalate=(params_b, stats_b))
+    assert eng.model_swaps == 1  # failed swaps don't count
+
+
+def test_swap_model_cascade_flagship(tiny):
+    """With a cascade, swap_model(escalate=...) hot-swaps the flagship:
+    an always-escalating engine reproduces the NEW flagship's direct
+    scores after the swap."""
+    model, params, stats, cfg, duration = tiny
+    hop = duration // 2
+    var_b = model.init(jax.random.key(7), jnp.zeros((1, duration)))
+    params_b, stats_b = var_b["params"], var_b.get("batch_stats", {})
+
+    rng = np.random.default_rng(17)
+    wave = rng.standard_normal(2 * hop + duration).astype(np.float32) * 0.1
+
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            hop=hop, max_streams=2,
+                            escalate=(model, params, stats),
+                            escalate_band=1e9)  # every window escalates
+    eng.swap_model(params, stats, escalate=(params_b, stats_b))
+    h = eng.open_stream("c")
+    eng.push(h, wave)
+    eng.close_stream(h, flush=True)
+    got = sorted(eng.drain(), key=lambda g: g.start_sample)
+    assert got and all(g.escalated for g in got)
+
+    exp_b = _expected_window_scores(model, params_b, stats_b, wave,
+                                    duration, hop)
+    np.testing.assert_allclose([g.score for g in got[:len(exp_b)]],
+                               exp_b, rtol=2e-4, atol=2e-5)
