@@ -24,7 +24,10 @@ Server -> client:
                 u8 transport (0=float32 1=int16 2=mulaw8) | u32 max_streams
                 (sent once on connect; duration/hop in samples)
     0x81 OPENED u32 handle   (replies to OPEN, in order)
-    0x82 SCORE  u32 handle | u64 start_sample | f32 score | u8 escalated
+    0x82 SCORE  u32 handle | u64 start_sample | f32 score | u8 flags
+                (bit0 = escalated by the cascade flagship, bit1 =
+                energy-gated: no model ran, score is the configured
+                gate_score)
     0x83 CLOSED u32 handle   (slot freed; all windows delivered)
     0x84 PONG   empty
     0xFF ERROR  u32 handle (0xFFFFFFFF = connection-level) | utf-8 message
@@ -64,7 +67,8 @@ from typing import Dict, Optional
 
 import numpy as np
 
-__all__ = ["ServeDaemon", "ServeClient", "TRANSPORT_CODES"]
+__all__ = ["ServeDaemon", "ServeClient", "TRANSPORT_CODES",
+           "FLAG_ESCALATED", "FLAG_GATED"]
 
 PROTO_VERSION = 1
 
@@ -74,6 +78,10 @@ HELLO, OPENED, SCORE, CLOSED, PONG, ERROR = (
     0x80, 0x81, 0x82, 0x83, 0x84, 0xFF)
 
 CONN_HANDLE = 0xFFFFFFFF  # ERROR frames not tied to a stream
+
+# SCORE u8 flags bits
+FLAG_ESCALATED = 1  # scored by the cascade flagship (not the screener)
+FLAG_GATED = 2  # energy-gated silence: no model ran, score = gate_score
 
 TRANSPORT_CODES = {"float32": 0, "int16": 1, "mulaw8": 2}
 _TRANSPORT_DTYPES = {0: np.float32, 1: np.int16, 2: np.int8}
@@ -263,8 +271,10 @@ class ServeDaemon:
             self.scores_sent += 1
             s = (ws.score if self.score_transform is None
                  else float(self.score_transform(ws.score)))
+            flags = ((FLAG_ESCALATED if ws.escalated else 0)
+                     | (FLAG_GATED if ws.gated else 0))
             self._send(w, _frame(SCORE, _SCORE.pack(
-                h, ws.start_sample, s, int(ws.escalated))))
+                h, ws.start_sample, s, flags)))
 
     @staticmethod
     def _send(writer: asyncio.StreamWriter, data: bytes):
@@ -510,16 +520,19 @@ class ServeClient:
         self._expect(PONG)
 
     def events(self):
-        """Yield ("score", handle, start_sample, score, escalated) and
-        ("closed", handle) events until the socket times out or closes."""
+        """Yield ("score", handle, start_sample, score, flags) and
+        ("closed", handle) events until the socket times out or closes.
+        ``flags``: bitwise OR of FLAG_ESCALATED / FLAG_GATED (0 for a
+        plain scored window; truthiness == "not a plain primary-model
+        score")."""
         while True:
             if self._pending:
                 ftype, payload = self._pending.pop(0)
             else:
                 ftype, payload = self._read_frame()
             if ftype == SCORE:
-                h, start, score, esc = _SCORE.unpack(payload)
-                yield ("score", h, start, score, bool(esc))
+                h, start, score, flags = _SCORE.unpack(payload)
+                yield ("score", h, start, score, flags)
             elif ftype == CLOSED:
                 yield ("closed", _U32.unpack(payload)[0])
             elif ftype == ERROR:
@@ -527,7 +540,7 @@ class ServeClient:
 
     def collect(self, want_closed: set):
         """Drain events until every handle in ``want_closed`` closed;
-        returns {handle: [(start_sample, score, escalated), ...]}."""
+        returns {handle: [(start_sample, score, flags), ...]}."""
         out = {h: [] for h in want_closed}
         pending = set(want_closed)
         for ev in self.events():

@@ -15,9 +15,11 @@ API:
       .push_bytes(handle, bytes)      (raw transport bytes)
       .close(handle, flush=True)
       .ping()
-      .events(timeout_ms) -> iterator of ("score", h, start, score, esc)
-                             / ("closed", h) / ("error", h, message)
-      .collect(handles) -> {h: [(start, score, escalated), ...]}
+      .events(timeout_ms) -> iterator of ("score", h, start, score,
+                             flags) / ("closed", h) / ("error", h, message)
+      .collect(handles) -> {h: [(start, score, flags), ...]}
+        (flags: bit0 escalated by the cascade flagship, bit1 energy-
+        gated — netserve.FLAG_ESCALATED / FLAG_GATED)
 """
 
 from __future__ import annotations
@@ -38,7 +40,7 @@ class _Event(ctypes.Structure):
                 ("handle", ctypes.c_uint32),
                 ("start_sample", ctypes.c_uint64),
                 ("score", ctypes.c_float),
-                ("escalated", ctypes.c_uint8)]
+                ("flags", ctypes.c_uint8)]
 
 
 def _load():
@@ -186,7 +188,7 @@ class NativeServeClient:
                 raise ConnectionError(self._err())
             if ev.type == 1:
                 yield ("score", ev.handle, int(ev.start_sample),
-                       float(ev.score), bool(ev.escalated))
+                       float(ev.score), int(ev.flags))
             elif ev.type == 2:
                 yield ("closed", ev.handle)
             else:

@@ -85,8 +85,11 @@ typedef struct rtdsd_event {
   uint32_t handle;
   uint64_t start_sample;
   float score;
-  uint8_t escalated;
+  uint8_t flags;  // bit0 escalated (cascade flagship), bit1 energy-gated
 } rtdsd_event;
+
+#define RTDSD_FLAG_ESCALATED 1
+#define RTDSD_FLAG_GATED 2
 
 struct rtdsd_client {
   int fd = -1;
@@ -410,7 +413,7 @@ int rtdsd_next_event(rtdsd_client* c, rtdsd_event* ev, int timeout_ms) {
     ev->handle = ld_u32(p);
     ev->start_sample = ld_u64(p + 4);
     ev->score = ld_f32(p + 12);
-    ev->escalated = p[16];
+    ev->flags = p[16];
     return 1;
   }
   if (f.type == F_CLOSED && f.payload.size() >= 4) {
@@ -539,9 +542,10 @@ int main(int argc, char** argv) {
     int rc;
     while ((rc = rtdsd_next_event(c, &ev, 0)) == 1) {
       if (ev.type == 1) {
-        std::printf("window @%llu score %.6f%s\n",
+        std::printf("window @%llu score %.6f%s%s\n",
                     (unsigned long long)ev.start_sample, ev.score,
-                    ev.escalated ? " (escalated)" : "");
+                    (ev.flags & RTDSD_FLAG_ESCALATED) ? " (escalated)" : "",
+                    (ev.flags & RTDSD_FLAG_GATED) ? " (gated)" : "");
         sum += ev.score;
         ++nscores;
       }
@@ -565,9 +569,10 @@ int main(int argc, char** argv) {
       return 1;
     }
     if (ev.type == 1) {
-      std::printf("window @%llu score %.6f%s\n",
+      std::printf("window @%llu score %.6f%s%s\n",
                   (unsigned long long)ev.start_sample, ev.score,
-                  ev.escalated ? " (escalated)" : "");
+                  (ev.flags & RTDSD_FLAG_ESCALATED) ? " (escalated)" : "",
+                  (ev.flags & RTDSD_FLAG_GATED) ? " (gated)" : "");
       sum += ev.score;
       ++nscores;
     } else if (ev.type == 2 && ev.handle == uint32_t(h)) {

@@ -605,3 +605,43 @@ def test_daemon_score_transform_calibrates_wire_scores(tiny, tmp_path):
     np.testing.assert_allclose([v for _, v, _ in got[:len(exp)]], exp,
                                rtol=2e-4, atol=2e-5)
     assert all(0.0 <= v <= 1.0 for _, v, _ in got)
+
+
+def test_daemon_gated_flag_over_wire(tiny, tmp_path):
+    """An energy-gated engine behind the daemon marks silent windows
+    with FLAG_GATED in the SCORE flags byte (loud windows carry 0), so
+    wire clients can tell a real model score from a gate fill-in."""
+    from rtdsd_tpu.engine.netserve import FLAG_ESCALATED, FLAG_GATED
+
+    model, params, stats, cfg, duration = tiny
+    hop = duration // 2
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            hop=hop, max_streams=2,
+                            transport_dtype="int16",
+                            gate_rms_dbfs=-50.0, gate_score=-3.0)
+    dt = _DaemonThread(eng, tmp_path / "gate.sock")
+    try:
+        cli = ServeClient(unix_path=dt.sock_path)
+        rng = np.random.default_rng(29)
+        loud = rng.standard_normal(duration).astype(np.float32) * 0.1
+        wave = np.concatenate([loud, np.zeros(2 * duration, np.float32),
+                               loud])
+        h = cli.open("g")
+        cli.push(h, wave)
+        cli.close(h, flush=True)
+        got = sorted(cli.collect({h})[h])
+        cli.close_socket()
+    finally:
+        dt.stop()
+    assert got
+    n_gated = 0
+    for start, score, flags in got:
+        silent = (start >= duration
+                  and start + duration <= 3 * duration)
+        if silent:
+            assert flags == FLAG_GATED and score == -3.0, (start, flags)
+            n_gated += 1
+        else:
+            assert not (flags & FLAG_GATED), (start, flags)
+            assert not (flags & FLAG_ESCALATED)
+    assert n_gated >= 2

@@ -886,3 +886,41 @@ def test_swap_model_cascade_flagship(tiny):
                                     duration, hop)
     np.testing.assert_allclose([g.score for g in got[:len(exp_b)]],
                                exp_b, rtol=2e-4, atol=2e-5)
+
+
+def test_swap_model_quantized_w8a8(tiny):
+    """Hot reload under w8a8 serving: reload_params re-applies the same
+    quantization, so two checkpoints' quantized trees share structure
+    and swap cleanly; post-swap scores equal direct scoring through the
+    new quantized params."""
+    import dataclasses
+
+    from rtdsd_tpu.models.quantize import quantize_encoder_params
+
+    model, params, stats, cfg, duration = tiny
+    cfg_q = dataclasses.replace(cfg, w8=True, a8=True)
+    model_q = XLSR_AASIST(w2v_cfg=cfg_q)
+    qparams = quantize_encoder_params(params)
+    var_b = model.init(jax.random.key(5), jnp.zeros((1, duration)))
+    qparams_b = quantize_encoder_params(var_b["params"])
+    stats_b = var_b.get("batch_stats", {})
+
+    hop = duration // 2
+    rng = np.random.default_rng(23)
+    wave = rng.standard_normal(2 * hop + duration).astype(np.float32) * 0.1
+
+    eng = MultiStreamScorer(model_q, qparams, stats, cfg_q,
+                            duration=duration, hop=hop, max_streams=2)
+    eng.swap_model(qparams_b, stats_b)
+    h = eng.open_stream("q")
+    eng.push(h, wave)
+    eng.close_stream(h, flush=True)
+    got = sorted(eng.drain(), key=lambda g: g.start_sample)
+
+    exp_b = _expected_window_scores(model_q, qparams_b, stats_b, wave,
+                                    duration, hop)
+    np.testing.assert_allclose([g.score for g in got[:len(exp_b)]],
+                               exp_b, rtol=2e-4, atol=2e-5)
+    # a FULL-PRECISION tree must be rejected (different structure)
+    with pytest.raises(ValueError, match="tree structure"):
+        eng.swap_model(params, stats)
