@@ -394,7 +394,11 @@ class ServeDaemon:
                             ERROR, _U32.pack(CONN_HANDLE)
                             + f"unknown frame type 0x{ftype:02x}"
                             .encode()))
-        except (asyncio.IncompleteReadError, ConnectionResetError):
+        except (asyncio.IncompleteReadError, OSError):
+            # producer vanished (reset, broken pipe mid-_send, timeout):
+            # the finally below abandons its streams. OSError is the
+            # superset — BrokenPipeError is a SIBLING of
+            # ConnectionResetError, not a subclass (soak-found)
             pass
         finally:
             async with self._lock:
