@@ -21,6 +21,12 @@ operating point (JSON): the EER threshold, accept thresholds meeting
 and Platt scaling coefficients for calibrated probabilities
 ``P(bonafide|s) = sigmoid(a*s + b)`` (utils/metrics.py::calibrate_scores).
 
+``--fuse other.txt ...`` fuses systems (weighted sum of z-normalized
+scores over the common trials, ``--fuse-weights`` / ``--fuse-norm``):
+with a protocol it prints per-system and fused EER; ``--fuse-out``
+writes the fused score file (works without labels too — submission
+building).
+
 ``--cascade-sweep flagship_scores.txt`` calibrates a cascade band from a
 dev set entirely offline: score the set once with the screener (--scores)
 and once with the flagship, and the sweep prints escalation rate and
@@ -105,7 +111,64 @@ def main(argv=None):
                    help="FAR budgets (fractions) for --calibrate")
     p.add_argument("--target-frr", type=float, nargs="*", default=[],
                    help="FRR budgets (fractions) for --calibrate")
+    p.add_argument("--fuse", nargs="+", default=None, metavar="SCORES",
+                   help="fuse --scores with these score file(s): "
+                        "weighted sum of (optionally z-normalized) "
+                        "per-system scores over the common trials — "
+                        "standard ASVspoof system fusion. With a "
+                        "protocol, prints per-system and fused EER; "
+                        "--fuse-out writes the fused score file either "
+                        "way")
+    p.add_argument("--fuse-weights", type=float, nargs="*", default=None,
+                   help="one weight per system, --scores first "
+                        "(default: equal)")
+    p.add_argument("--fuse-norm", default="zscore",
+                   choices=("zscore", "none"),
+                   help="per-system normalization before the weighted "
+                        "sum (zscore recommended: logit scales differ "
+                        "across models)")
+    p.add_argument("--fuse-out", default=None,
+                   help="write fused 'utt_id score' lines here")
     args = p.parse_args(argv)
+
+    fused_tabs = None
+    if args.fuse:
+        tabs = [read_scores(f) for f in [args.scores] + args.fuse]
+        names = [args.scores] + args.fuse
+        common_f = set(tabs[0]).intersection(*tabs[1:])
+        if not common_f:
+            # score files may mix full-path and bare-utterance keys
+            norm = lambda k: k.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+            tabs = [{norm(k): v for k, v in t.items()} for t in tabs]
+            common_f = set(tabs[0]).intersection(*tabs[1:])
+        if not common_f:
+            print("ERROR: no trials common to all fused score files",
+                  file=sys.stderr)
+            return 2
+        w = args.fuse_weights or [1.0] * len(tabs)
+        if len(w) != len(tabs):
+            p.error(f"--fuse-weights needs {len(tabs)} weights "
+                    f"(got {len(w)})")
+        order = sorted(common_f)
+        acc = np.zeros(len(order))
+        for wi, t in zip(w, tabs):
+            v = np.asarray([t[u] for u in order], np.float64)
+            if args.fuse_norm == "zscore":
+                v = (v - v.mean()) / max(float(v.std()), 1e-12)
+            acc += wi * v
+        fused = dict(zip(order, acc.tolist()))
+        dropped = max(len(t) for t in tabs) - len(order)
+        print(f"fused {len(tabs)} systems over {len(order)} common "
+              f"trials ({dropped} dropped; norm={args.fuse_norm}, "
+              f"weights={list(w)})")
+        if args.fuse_out:
+            with open(args.fuse_out, "w") as f:
+                for u in order:
+                    f.write(f"{u} {fused[u]}\n")
+            print(f"wrote fused scores -> {args.fuse_out}")
+        if not (args.protocol or (args.config and args.track)):
+            return 0  # fusion-only mode (e.g. building a submission)
+        fused_tabs = (tabs, names, fused)
 
     protocol = args.protocol
     if protocol is None:
@@ -124,7 +187,8 @@ def main(argv=None):
             p.error("need --track or explicit --file-field/--label-field")
         ff, lf = TRACK_FIELDS[args.track]
 
-    scores = read_scores(args.scores)
+    scores = (fused_tabs[2] if fused_tabs
+              else read_scores(args.scores))
     labels = labels_from_protocol(protocol, ff, lf)
     normalized = False
     if not set(scores) & set(labels):
@@ -147,7 +211,17 @@ def main(argv=None):
     print(f"trials: {len(common)} (bonafide {n_bona}, spoof "
           f"{len(common) - n_bona}; {len(scores) - len(common)} scores "
           f"unmatched)")
-    print(f"EER: {eer:.4f} %")
+    if fused_tabs:
+        tabs, names, _ = fused_tabs
+        if normalized:
+            norm = lambda k: k.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+            tabs = [{norm(k): v for k, v in t.items()} for t in tabs]
+        for nm, t in zip(names, tabs):
+            sv = np.asarray([t[u] for u in common])
+            print(f"  system {nm}: EER {compute_eer(sv, y):.4f} %")
+        print(f"fused EER: {eer:.4f} %")
+    else:
+        print(f"EER: {eer:.4f} %")
     if args.cascade_sweep:
         flag = read_scores(args.cascade_sweep)
         if normalized:  # same key normalization as the screener file
