@@ -135,15 +135,27 @@ def main():
         handles = [eng.open_stream(i) for i in range(S)]
         chunk = (rng.standard_normal((S, hop)) * 0.1).astype(np.float32)
         n_silent = int(S * args.silence_frac)
+        silent_ids = set()
         if n_silent:  # interleave so batches mix loud and silent rows
-            chunk[::max(1, S // max(1, n_silent))][:n_silent] = 0.0
+            step = max(1, S // max(1, n_silent))
+            silent_ids = set(range(S)[::step][:n_silent])
+            chunk[::step][:n_silent] = 0.0
         if args.cascade is not None:
-            # calibrate the band so ~cascade of windows escalate
+            # calibrate the band so ~cascade of LOUD windows escalate.
+            # Silent windows are excluded whether or not the gate is on:
+            # gated ones carry the fixed gate_score, ungated ones a single
+            # repeated screener logit — either constant, included, drags
+            # the band's center/quantile to 0 (then EVERY silent window
+            # sits dead-center in the band and escalates, which is a
+            # probe artifact, not a 10% cascade; a deployment calibrates
+            # its band from a dev set of real speech).
             cal = []
             for _ in range(4):
                 for i, h in enumerate(handles):
                     eng.push(h, chunk[i])
-                cal.extend(ws.score for ws in eng.drain())
+                cal.extend(ws.score for ws in eng.drain()
+                           if not ws.gated
+                           and ws.stream_id not in silent_ids)
             cal = np.asarray(cal)
             eng.escalate_center = float(np.median(cal))
             eng.escalate_band = float(np.quantile(
