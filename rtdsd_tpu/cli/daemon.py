@@ -55,9 +55,10 @@ def parse_args(argv=None):
     p.add_argument("--stats_every", type=float, default=60.0,
                    help="stderr stats interval in seconds (0 = off)")
     args = p.parse_args(argv)
-    if not args.max_streams:
+    if not args.max_streams and not args.artifact:
         p.error("--max_streams is required for the daemon (fixed compiled "
-                "batch shapes; no file list to infer it from)")
+                "batch shapes; no file list to infer it from) — unless "
+                "serving an --artifact bundle, which bakes the slot count")
     return args
 
 
@@ -118,10 +119,12 @@ async def _amain(args):
                 p, bs, esc = await loop.run_in_executor(
                     None, reload_params, args)
                 await daemon.swap_model(p, bs, escalate=esc)
-                print(f"[daemon] reloaded checkpoint from {args.ckpt}"
-                      + (f" + cascade screener {args.cascade_ckpt}"
-                         if args.cascade_ckpt else "")
-                      + f" (swap #{daemon.reloads})",
+                src = (f"artifact sidecars {args.artifact}*.params"
+                       if args.artifact else f"checkpoint {args.ckpt}"
+                       + (f" + cascade screener {args.cascade_ckpt}"
+                          if args.cascade_ckpt else ""))
+                print(f"[daemon] reloaded {src} "
+                      f"(swap #{daemon.reloads})",
                       file=sys.stderr, flush=True)
             except Exception as e:  # noqa: BLE001 — keep serving
                 print(f"[daemon] reload FAILED, serving continues on the "

@@ -145,6 +145,194 @@ def export_streaming(module, variables, cfg, *, duration: int,
     return conv_exp, score_exp, meta
 
 
+def export_serving(module, variables, cfg, *, duration: int,
+                   hop: Optional[int] = None, max_streams: int = 8,
+                   seg_frames: Optional[int] = None,
+                   ring_frames: Optional[int] = None,
+                   extend_batch: Optional[int] = None,
+                   score_batch: Optional[int] = None,
+                   transport_dtype: str = "int16",
+                   escalate=None, escalate_band: float = 2.0,
+                   escalate_center: float = 0.0,
+                   esc_batch: Optional[int] = None,
+                   platforms: Sequence[str] = ("cpu", "tpu")):
+    """Export the multi-stream serving engine's device programs.
+
+    Builds a :class:`~rtdsd_tpu.engine.serving.MultiStreamScorer` at the
+    exact target geometry and serializes its fixed-shape programs as
+    StableHLO: the batched conv-extend (ring scatter included), the
+    batched window score, and — when ``escalate`` is given — the cascade
+    escalation re-score. :func:`load_serving` reconstructs a
+    byte-compatible engine on a serving host WITHOUT tracing any model
+    code: the artifact pins the program numerics, the ring/batch shapes,
+    and the transport dtype, completing the "no model definitions on the
+    serving host" deployment story for real-time serving (the file-batch
+    counterpart is :func:`export_scorer`). Host-side behaviors that
+    involve no device program — the energy gate, the escalation band,
+    backpressure — stay runtime-configurable.
+
+    Returns ``(extend_exp, score_exp, esc_exp_or_None, meta)``.
+    """
+    import dataclasses
+
+    from jax import export as jexport
+
+    from rtdsd_tpu.engine.serving import MultiStreamScorer
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    eng = MultiStreamScorer(module, params, stats, cfg,
+                            duration=duration, hop=hop,
+                            max_streams=max_streams, seg_frames=seg_frames,
+                            ring_frames=ring_frames,
+                            extend_batch=extend_batch,
+                            score_batch=score_batch,
+                            escalate=escalate, escalate_band=escalate_band,
+                            escalate_center=escalate_center,
+                            esc_batch=esc_batch,
+                            transport_dtype=transport_dtype,
+                            hbm_limit=0)  # guard runs on the SERVING host
+
+    aval = lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
+                                          jnp.asarray(x).dtype)
+    i32 = lambda n: jax.ShapeDtypeStruct((n,), jnp.int32)
+    feats_av, swave_av = aval(eng._feats), aval(eng._swave)
+    segs_av = jax.ShapeDtypeStruct((eng.extend_batch, eng.seg_samples),
+                                   eng._swave.dtype)
+    pf = tuple(platforms)
+    ext_exp = jexport.export(jax.jit(eng._extend_fn), platforms=pf)(
+        _avals(eng._conv_params), feats_av, swave_av, segs_av,
+        i32(eng.extend_batch), i32(eng.extend_batch))
+    score_exp = jexport.export(jax.jit(eng._score_fn), platforms=pf)(
+        _avals(eng.params), _avals(eng.batch_stats), feats_av,
+        i32(eng.score_batch), i32(eng.score_batch))
+    esc_exp = None
+    if escalate is not None:
+        esc_exp = jexport.export(jax.jit(eng._score_esc_fn), platforms=pf)(
+            _avals(eng._esc_params), _avals(eng._esc_stats), swave_av,
+            i32(eng.esc_batch), i32(eng.esc_batch))
+
+    meta = {
+        "serving": True,
+        "w2v_cfg": dataclasses.asdict(cfg),
+        "model_dtype": str(jnp.dtype(module.dtype)),
+        "duration": int(eng.duration), "hop": int(eng.hop),
+        "max_streams": int(eng.max_streams),
+        "seg_frames": int(eng.seg_frames),
+        "ring_frames": int(eng.ring_frames),
+        "extend_batch": int(eng.extend_batch),
+        "score_batch": int(eng.score_batch),
+        "esc_batch": int(eng.esc_batch),
+        "transport_dtype": transport_dtype,
+        "escalate": escalate is not None,
+        "escalate_band": float(eng.escalate_band),
+        "escalate_center": float(eng.escalate_center),
+        "hbm_estimate": int(eng.hbm_estimate),
+        "semantics": ("window score = bonafide logit on conv-grid-aligned "
+                      "windows from live streams; no pre-emphasis"),
+    }
+    return ext_exp, score_exp, esc_exp, meta
+
+
+def save_serving(ext_exp, score_exp, esc_exp, prefix: str, meta: dict,
+                 variables, esc_variables=None) -> None:
+    """Write a serving bundle: ``<prefix>.extend`` + ``<prefix>.score``
+    (+ ``<prefix>.escalate``) programs, weight sidecars
+    (``<prefix>.params``, ``<prefix>.esc.params``), and one
+    ``<prefix>.json`` with the engine geometry."""
+    blobs = {}
+    progs = [(".extend", ext_exp), (".score", score_exp)]
+    if esc_exp is not None:
+        progs.append((".escalate", esc_exp))
+    for ext, exp in progs:
+        blob = exp.serialize()
+        with open(prefix + ext, "wb") as f:
+            f.write(blob)
+        blobs[ext.lstrip(".") + "_bytes"] = len(blob)
+    blobs["params_bytes"] = save_params_sidecar(prefix, variables)
+    if esc_variables is not None:
+        blobs["esc_params_bytes"] = save_params_sidecar(prefix + ".esc",
+                                                        esc_variables)
+    meta = dict(meta, platforms=list(ext_exp.platforms), **blobs)
+    with open(prefix + ".json", "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def _artifact_model_stub(dtype):
+    """Stand-in for the model module in an artifact-backed engine: the
+    engine reads only ``.dtype`` outside its (never-traced) jit closures;
+    ``.apply`` existing but raising keeps any accidental trace loud."""
+    from types import SimpleNamespace
+
+    def _no_apply(*a, **k):
+        raise RuntimeError(
+            "artifact-backed serving engine has no model code — its "
+            "device programs are the serialized StableHLO from "
+            "export_serving; re-export to change the model")
+
+    return SimpleNamespace(dtype=dtype, apply=_no_apply)
+
+
+def load_serving(prefix: str, *, hbm_limit: Optional[int] = None,
+                 gate_rms_dbfs: Optional[float] = None,
+                 gate_score: float = 0.0,
+                 escalate_band: Optional[float] = None,
+                 escalate_center: Optional[float] = None):
+    """Reconstruct a :class:`MultiStreamScorer` from an
+    :func:`export_serving` bundle — no model code runs on this host.
+
+    The engine is built at the artifact's exact geometry (shapes are
+    baked into the serialized programs) and its lazily-jitted closures
+    are replaced by the deserialized programs before anything can trace
+    them. Host-side knobs (energy gate, escalation band/center, HBM
+    guard override) remain configurable. Returns ``(engine, meta)``.
+    """
+    from rtdsd_tpu.engine.serving import MultiStreamScorer
+    from rtdsd_tpu.models.wav2vec2 import Wav2Vec2Config
+
+    with open(prefix + ".json") as f:
+        meta = json.load(f)
+    if not meta.get("serving"):
+        raise ValueError(
+            f"{prefix} is not a serving artifact (export with "
+            f"cli.export --serving)")
+    cfgd = dict(meta["w2v_cfg"])
+    cfgd["conv_layers"] = tuple(tuple(l) for l in cfgd["conv_layers"])
+    cfg = Wav2Vec2Config(**cfgd)
+    dtype = jnp.dtype(meta["model_dtype"])
+
+    variables = load_params_sidecar(prefix)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    esc = None
+    if meta["escalate"]:
+        evars = load_params_sidecar(prefix + ".esc")
+        esc = (_artifact_model_stub(dtype), evars["params"],
+               evars.get("batch_stats", {}))
+
+    eng = MultiStreamScorer(
+        _artifact_model_stub(dtype), params, stats, cfg,
+        duration=meta["duration"], hop=meta["hop"],
+        max_streams=meta["max_streams"], seg_frames=meta["seg_frames"],
+        ring_frames=meta["ring_frames"],
+        extend_batch=meta["extend_batch"],
+        score_batch=meta["score_batch"], esc_batch=meta["esc_batch"],
+        escalate=esc,
+        escalate_band=(meta["escalate_band"] if escalate_band is None
+                       else escalate_band),
+        escalate_center=(meta["escalate_center"] if escalate_center is None
+                         else escalate_center),
+        transport_dtype=meta["transport_dtype"],
+        hbm_limit=hbm_limit,
+        gate_rms_dbfs=gate_rms_dbfs, gate_score=gate_score)
+    eng._extend = load_exported(prefix + ".extend").call
+    eng._score = load_exported(prefix + ".score").call
+    if esc is not None:
+        eng._score_esc = load_exported(prefix + ".escalate").call
+    eng.artifact_meta = meta
+    return eng, meta
+
+
 class ScoringArtifact:
     """Loader/runner for :func:`export_scorer` artifacts: the serialized
     program plus its ``<path>.params`` weight sidecar.
@@ -340,6 +528,34 @@ def main(argv=None):
                    help="streaming hop seconds (default: duration/2)")
     p.add_argument("--seg_frames", type=int, default=256,
                    help="conv frames per extractor segment (streaming)")
+    p.add_argument("--serving", action="store_true",
+                   help="export the multi-stream serving engine's device "
+                        "programs instead: <out>.extend + <out>.score "
+                        "(+ <out>.escalate with --cascade_ckpt) + weight "
+                        "sidecars + <out>.json; cli.serve/cli.daemon "
+                        "--artifact serves from the bundle with no model "
+                        "code")
+    p.add_argument("--max_streams", type=int, default=8,
+                   help="serving: compiled stream-slot count")
+    p.add_argument("--transport", type=str, default="int16",
+                   choices=("float32", "int16", "mulaw8"),
+                   help="serving: sample transport dtype (baked into the "
+                        "extend program)")
+    p.add_argument("--score_batch", type=int, default=None,
+                   help="serving: cap the window-score batch")
+    p.add_argument("--extend_batch", type=int, default=None,
+                   help="serving: cap the conv-extend batch")
+    p.add_argument("--esc_batch", type=int, default=None,
+                   help="serving: escalation dispatch batch")
+    p.add_argument("--cascade_ckpt", type=str, default=None,
+                   help="serving: screener checkpoint — the screener "
+                        "becomes the engine's primary model and --ckpt "
+                        "the cascade escalation flagship (mirrors "
+                        "cli.serve)")
+    p.add_argument("--cascade_config", type=str, default=None,
+                   help="serving: screener YAML (default: --config)")
+    p.add_argument("--cascade_w8a8", action="store_true",
+                   help="serving: w8a8-quantize the screener transformer")
     p.add_argument("--platforms", type=str, default="cpu,tpu",
                    help="comma-separated lowering platforms")
     args = p.parse_args(argv)
@@ -367,6 +583,50 @@ def main(argv=None):
     platforms = tuple(s.strip() for s in args.platforms.split(",") if s)
 
     quant = "w8a8" if args.w8a8 else ("w8" if args.w8 else "none")
+    if args.serving:
+        sr = exp_config.sample_rate
+        duration = int(round(dur * sr))
+        hop = (int(round(args.hop_sec * sr))
+               if args.hop_sec is not None else None)
+        module, mvars = spec.module, variables
+        escalate = None
+        esc_variables = None
+        model_name = spec.name
+        if args.cascade_ckpt:
+            # mirror cli.serve: screener is the engine's primary model,
+            # --ckpt's model the escalation flagship
+            if args.cascade_config:
+                screen_sys, screen_exp = load_yaml_config(
+                    args.cascade_config)
+            else:
+                screen_sys, screen_exp = sys_config, exp_config
+            spec_s, state_s, _, _ = load_eval_model(
+                screen_sys, screen_exp, args.cascade_ckpt,
+                w8a8=args.cascade_w8a8)
+            escalate = (module, state.params, state.batch_stats)
+            esc_variables = variables
+            module = spec_s.module
+            mvars = {"params": state_s.params}
+            if state_s.batch_stats:
+                mvars["batch_stats"] = state_s.batch_stats
+            model_name = f"{spec_s.name} -> {spec.name} cascade"
+        ext_exp, score_exp, esc_exp, meta = export_serving(
+            module, mvars, module.w2v_cfg, duration=duration, hop=hop,
+            max_streams=args.max_streams,
+            extend_batch=args.extend_batch, score_batch=args.score_batch,
+            esc_batch=args.esc_batch, transport_dtype=args.transport,
+            escalate=escalate, platforms=platforms)
+        meta.update(model=model_name, ckpt=os.path.abspath(args.ckpt),
+                    sample_rate=sr, quant=quant)
+        save_serving(ext_exp, score_exp, esc_exp, args.out, meta, mvars,
+                     esc_variables=esc_variables)
+        parts = ["extend", "score"] + (["escalate"] if esc_exp else [])
+        print(f"exported {model_name} serving -> {args.out}."
+              f"{{{','.join(parts)},params,json}} (max_streams="
+              f"{meta['max_streams']} extend={meta['extend_batch']} "
+              f"score={meta['score_batch']} transport="
+              f"{meta['transport_dtype']}, platforms={platforms})")
+        return
     if args.streaming:
         hop = (int(round(args.hop_sec * exp_config.sample_rate))
                if args.hop_sec is not None else None)

@@ -33,8 +33,16 @@ from rtdsd_tpu.config import load_yaml_config
 
 def add_engine_args(p):
     """Engine/model flags shared with the network daemon (cli/daemon.py)."""
-    p.add_argument("--config", required=True, type=str)
-    p.add_argument("--ckpt", required=True, type=str)
+    p.add_argument("--config", type=str, default=None)
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--artifact", type=str, default=None,
+                   help="serve from a cli.export --serving bundle prefix "
+                        "instead of --config/--ckpt: the serialized "
+                        "StableHLO programs run as-is (no model code is "
+                        "traced on this host); window/hop/batches/"
+                        "transport/cascade are baked into the bundle — "
+                        "host-side knobs (--gate_db, --cascade_band, "
+                        "--hbm_limit_gb) still apply")
     p.add_argument("--window_sec", type=float, default=None,
                    help="window length (default: ExpConfig.test_duration_sec)")
     p.add_argument("--hop_sec", type=float, default=None,
@@ -49,16 +57,26 @@ def add_engine_args(p):
                         "band are re-scored by --ckpt's model")
     p.add_argument("--cascade_config", type=str, default=None,
                    help="screener YAML (default: --config)")
-    p.add_argument("--cascade_band", type=float, default=2.0)
-    p.add_argument("--cascade_center", type=float, default=0.0)
+    p.add_argument("--cascade_w8a8", action="store_true", default=False,
+                   help="quantize the screener's transformer stack (int8 "
+                        "MXU w8a8) — the screen is the cascade's largest "
+                        "steady per-tick cost; composes with --w8a8 "
+                        "(escalation flagship)")
+    p.add_argument("--cascade_band", type=float, default=None,
+                   help="escalation half-band (default 2.0; for "
+                        "--artifact: the bundle's baked band)")
+    p.add_argument("--cascade_center", type=float, default=None,
+                   help="escalation band center (default 0.0; for "
+                        "--artifact: the bundle's baked center)")
     p.add_argument("--score_batch", type=int, default=None,
                    help="cap the window-score batch below max_streams — the "
                         "HBM escape hatch for large stream counts; each tick "
                         "then needs ceil(due/score_batch) score dispatches, "
                         "trading tick latency for memory headroom")
     p.add_argument("--extend_batch", type=int, default=None,
-                   help="cap the conv-extend batch (default: follows "
-                        "--score_batch)")
+                   help="cap the conv-extend batch (default: full width "
+                        "when the pre-flight HBM estimate fits, else "
+                        "follows --score_batch)")
     p.add_argument("--auto_batch", action="store_true", default=False,
                    help="when the pre-flight HBM estimate exceeds the "
                         "device limit, shrink the dispatch batches to fit "
@@ -131,6 +149,45 @@ def build_engine(args, n_streams: int):
     """Construct a warmed :class:`MultiStreamScorer` from the shared
     engine flags (``add_engine_args``); used by this CLI and the network
     daemon (cli/daemon.py). Returns ``(engine, sample_rate_hz)``."""
+    if args.artifact:
+        if args.config or args.ckpt:
+            raise SystemExit(
+                "--artifact replaces --config/--ckpt (the bundle carries "
+                "the programs and weights)")
+        baked = [flag for flag, val in (
+            ("--window_sec", args.window_sec), ("--hop_sec", args.hop_sec),
+            ("--score_batch", args.score_batch),
+            ("--extend_batch", args.extend_batch),
+            ("--cascade_ckpt", args.cascade_ckpt),
+            ("--transport", args.transport)) if val is not None]
+        if args.w8 or args.w8a8 or args.cascade_w8a8 or args.auto_batch \
+                or args.shard or getattr(args, "f32_transport", False):
+            baked.append("--w8/--w8a8/--cascade_w8a8/--auto_batch/--shard")
+        if baked:
+            raise SystemExit(
+                f"{', '.join(baked)} are baked into the serving artifact "
+                f"at export time (cli.export --serving); re-export to "
+                f"change them")
+        from rtdsd_tpu.cli.export import load_serving
+
+        eng, meta = load_serving(
+            args.artifact,
+            hbm_limit=(None if args.hbm_limit_gb is None
+                       else int(args.hbm_limit_gb * 2**30)),
+            gate_rms_dbfs=args.gate_db, gate_score=args.gate_score,
+            escalate_band=args.cascade_band,
+            escalate_center=args.cascade_center)
+        if args.max_streams is not None \
+                and args.max_streams != eng.max_streams:
+            raise SystemExit(
+                f"--max_streams {args.max_streams} != the artifact's "
+                f"compiled slot count {eng.max_streams}; re-export to "
+                f"change it (or drop the flag / pass the baked value)")
+        eng.warmup()
+        return eng, float(meta["sample_rate"])
+    if not args.config or not args.ckpt:
+        raise SystemExit("--config and --ckpt are required "
+                         "(or serve from a bundle with --artifact)")
     sys_config, exp_config = load_yaml_config(args.config)
 
     from rtdsd_tpu.cli.common import load_eval_model
@@ -159,11 +216,15 @@ def build_engine(args, n_streams: int):
         else:
             screen_sys, screen_exp = sys_config, exp_config
         spec_s, state_s, _, _ = load_eval_model(screen_sys, screen_exp,
-                                                args.cascade_ckpt)
+                                                args.cascade_ckpt,
+                                                w8a8=args.cascade_w8a8)
         esc_kwargs = dict(escalate=(spec.module, state.params,
                                     state.batch_stats),
-                          escalate_band=args.cascade_band,
-                          escalate_center=args.cascade_center)
+                          escalate_band=(2.0 if args.cascade_band is None
+                                         else args.cascade_band),
+                          escalate_center=(0.0 if args.cascade_center
+                                           is None
+                                           else args.cascade_center))
         spec, state, cfg = spec_s, state_s, spec_s.module.w2v_cfg
 
     duration = snap_to_stride(int(round(window_sec * sr)), cfg.total_stride,
@@ -204,7 +265,22 @@ def reload_params(args):
     primary/screener and --ckpt the escalation flagship). Returns
     ``(params, batch_stats, escalate_or_None)`` ready for
     :meth:`MultiStreamScorer.swap_model` — used by the daemon's SIGHUP
-    zero-downtime reload (cli/daemon.py)."""
+    zero-downtime reload (cli/daemon.py). In --artifact mode the weight
+    sidecars are re-read from disk (overwrite them with a re-export's
+    sidecars, then HUP)."""
+    if args.artifact:
+        from rtdsd_tpu.cli.export import load_params_sidecar
+        import json as _json
+
+        with open(args.artifact + ".json") as f:
+            meta = _json.load(f)
+        variables = load_params_sidecar(args.artifact)
+        esc = None
+        if meta.get("escalate"):
+            evars = load_params_sidecar(args.artifact + ".esc")
+            esc = (evars["params"], evars.get("batch_stats", {}))
+        return (variables["params"], variables.get("batch_stats", {}),
+                esc)
     sys_config, exp_config = load_yaml_config(args.config)
 
     from rtdsd_tpu.cli.common import load_eval_model
@@ -219,7 +295,8 @@ def reload_params(args):
         else:
             screen_sys, screen_exp = sys_config, exp_config
         _, state, _, _ = load_eval_model(screen_sys, screen_exp,
-                                         args.cascade_ckpt)
+                                         args.cascade_ckpt,
+                                         w8a8=args.cascade_w8a8)
     return state.params, state.batch_stats, esc
 
 

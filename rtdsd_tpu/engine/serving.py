@@ -272,10 +272,12 @@ class MultiStreamScorer:
         self.max_streams = max_streams
         # batch shapes and the slot axis must tile evenly over the mesh.
         # A capped score_batch is the documented HBM escape hatch for
-        # large S; the extend batch follows the same cap unless set
-        # explicitly — an uncapped extend's conv activations are
-        # ~6.6 MB/row f32 at this geometry, the largest single term in
-        # the HBM estimate at large S (PERFORMANCE.md).
+        # large S; the extend batch provisionally follows the same cap
+        # unless set explicitly — an uncapped extend's conv activations
+        # are ~6.6 MB/row f32 at this geometry, the largest single term
+        # in the HBM estimate at large S (PERFORMANCE.md). The pre-flight
+        # block below restores extend_batch = max_streams whenever the
+        # estimate says the full-width extend fits anyway.
         self.extend_batch = -(-(extend_batch or score_batch
                                 or max_streams) // n_) * n_
         self.score_batch = -(-(score_batch or max_streams) // n_) * n_
@@ -325,13 +327,14 @@ class MultiStreamScorer:
         self.hbm_estimate = self._estimate_hbm(model, cfg, params,
                                                escalate)
         limit = hbm_limit if hbm_limit is not None else _device_hbm_bytes()
+        auto_shrank = False
         if limit and auto_batch and self.hbm_estimate > limit:
             # shrink the dispatch batches (halving, mesh-tiled) until the
             # estimate fits — each tick then drains the due backlog with
             # ceil(due/batch) dispatches instead of one. Rings and params
             # are fixed terms; if they alone exceed the limit, the raise
             # below still fires with the floor batches.
-            req = self.hbm_estimate
+            auto_req = self.hbm_estimate
             while self.hbm_estimate > limit and self.score_batch > n_:
                 sb = max(n_, -(-(self.score_batch // 2) // n_) * n_)
                 self.score_batch = sb
@@ -339,14 +342,33 @@ class MultiStreamScorer:
                 self.esc_batch = max(n_, -(-max(1, sb // 4) // n_) * n_)
                 self.hbm_estimate = self._estimate_hbm(model, cfg, params,
                                                        escalate)
-            if self.hbm_estimate <= limit:
-                print(f"[serving] auto_batch: ~{req / 2**30:.2f} GiB "
-                      f"estimate exceeded the {limit / 2**30:.2f} GiB "
-                      f"limit; shrank batches to extend={self.extend_batch}"
-                      f" score={self.score_batch} esc={self.esc_batch} "
-                      f"(~{self.hbm_estimate / 2**30:.2f} GiB) — ticks "
-                      f"drain the backlog with multiple dispatches",
-                      file=sys.stderr)
+            auto_shrank = self.hbm_estimate <= limit
+        # HBM-aware extend default: a capped score_batch (the one-knob
+        # escape hatch, or an auto_batch shrink) also caps the extend
+        # batch by default — but that cap staggers window availability
+        # into half-full score dispatch pairs (measured 2x device-ms/tick
+        # at S=1024 gated cascade, PERFORMANCE.md). When extend_batch was
+        # NOT set explicitly and the pre-flight estimate says the
+        # full-width extend still fits the device, keep
+        # extend_batch = max_streams; fall back to the cap when it does
+        # not fit or the device HBM is unknown.
+        full_extend = -(-max_streams // n_) * n_
+        if extend_batch is None and limit \
+                and self.extend_batch < full_extend:
+            capped, capped_est = self.extend_batch, self.hbm_estimate
+            self.extend_batch = full_extend
+            self.hbm_estimate = self._estimate_hbm(model, cfg, params,
+                                                   escalate)
+            if self.hbm_estimate > limit:
+                self.extend_batch, self.hbm_estimate = capped, capped_est
+        if auto_shrank:
+            print(f"[serving] auto_batch: ~{auto_req / 2**30:.2f} GiB "
+                  f"estimate exceeded the {limit / 2**30:.2f} GiB "
+                  f"limit; shrank batches to extend={self.extend_batch}"
+                  f" score={self.score_batch} esc={self.esc_batch} "
+                  f"(~{self.hbm_estimate / 2**30:.2f} GiB) — ticks "
+                  f"drain the backlog with multiple dispatches",
+                  file=sys.stderr)
         if limit and self.hbm_estimate > limit:
             err = ValueError(
                 f"serving configuration needs ~{self.hbm_estimate / 2**30:.2f}"
@@ -466,7 +488,12 @@ class MultiStreamScorer:
             return logits[:, 1]
 
         # feats/swave are donated: the rings are rewritten in place every
-        # extend instead of allocating fresh ring buffers per call
+        # extend instead of allocating fresh ring buffers per call.
+        # The raw closures are kept for the serving-artifact export
+        # (cli/export.py::export_serving serializes them via jax.export;
+        # donation is a perf-only property the artifact path drops).
+        self._extend_fn = extend
+        self._score_fn = score
         self._extend = jax.jit(extend, donate_argnums=(1, 2))
         self._score = jax.jit(score)
 
@@ -497,6 +524,7 @@ class MultiStreamScorer:
                 logits = esc_model.apply(variables, waves, train=False)
                 return logits[:, 1]
 
+            self._score_esc_fn = score_esc
             self._score_esc = jax.jit(score_esc)
 
         self._slots: Dict[int, _StreamState] = {}

@@ -111,6 +111,49 @@ def test_serving_escalation_bands(pair, wave):
                                                      for g in mid)
 
 
+def test_w8a8_screener_band_decisions(pair, wave):
+    """r4 (VERDICT item 2): serving with a w8a8-quantized screener.
+    Screener numerics gate escalation, so quantization drift must not
+    flip band decisions: with the band placed in the largest gap of the
+    bf16 screen-score distances, the quantized engine must escalate
+    exactly the same windows, escalated windows must still score exactly
+    on the (unquantized) flagship, and unescalated screen scores must
+    stay within bounded drift of bf16."""
+    import dataclasses
+
+    from rtdsd_tpu.models.quantize import quantize_encoder_params
+
+    flag, stud = pair
+    model, params, stats, cfg = stud
+    hop = DURATION // 2
+    s_exp = _direct(stud, wave, hop)
+    f_exp = _direct(flag, wave, hop)
+
+    center = float(np.median(s_exp))
+    d = np.sort(np.abs(s_exp - center))
+    gaps = np.diff(d)
+    i = int(np.argmax(gaps))
+    band = float((d[i] + d[i + 1]) / 2)
+
+    qcfg = dataclasses.replace(cfg, w8=True, a8=True)
+    qmodel = XLSR_AASIST(w2v_cfg=qcfg)
+    qparams = quantize_encoder_params(params)
+    esc = dict(escalate=(flag[0], flag[1], flag[2]),
+               escalate_center=center, escalate_band=band)
+
+    ref = _serve(stud, wave, hop, **esc)
+    got = _serve((qmodel, qparams, stats, qcfg), wave, hop, **esc)
+    assert [g.escalated for g in got] == [g.escalated for g in ref]
+    assert any(g.escalated for g in got)
+    assert not all(g.escalated for g in got)
+    for g, r, f in zip(got, ref, f_exp):
+        if g.escalated:
+            np.testing.assert_allclose(g.score, f, rtol=2e-4, atol=2e-5)
+        else:
+            assert abs(g.score - r.score) < 0.3, \
+                f"w8a8 screen drift {abs(g.score - r.score):.4f}"
+
+
 def test_serving_escalation_small_esc_batch(pair, wave):
     """Escalation backlog larger than esc_batch drains via chunked
     same-poll dispatches."""

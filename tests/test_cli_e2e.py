@@ -143,3 +143,67 @@ def test_streaming_cli(tmp_path):
     # CE only constrains logit *differences*; compare classes, not signs
     assert float(lines[bona]) > float(lines[spoof])
     assert bona in out and spoof in out
+
+
+def test_streaming_eer_vs_offline_crop(tmp_path):
+    """r4 (VERDICT item 8) streaming-quality harness: window-aggregated
+    streaming EER vs offline 1 s-crop EER on the synthetic track, both
+    through the public CLIs (cli.stream -> cli.evaluate vs cli.main
+    --is_score -> cli.evaluate). Long audio scored as mean-aggregated
+    1 s / 0.5 s windows (the paper's real-time use case) must not
+    degrade the separable task's EER vs the offline crop path — guards
+    serving/streaming changes against silent quality drift."""
+    _make_dataset(tmp_path)
+    cfg = _config(tmp_path)
+    _run(["rtdsd_tpu.cli.main", "--config", cfg, "--max_epoch", "6"])
+    runs = [d for d in os.listdir(tmp_path / "runs")
+            if d.startswith("best_")]
+    best = str(tmp_path / "runs" / (sorted(runs)[-1] if runs else "last"))
+
+    # long eval set (3..5.8 s — several windows per file), sine=bonafide
+    from rtdsd_tpu.data.io import write_wav
+
+    rng = np.random.default_rng(17)
+    long_proto, stream_proto, paths = [], [], []
+    for i in range(12):
+        t = np.arange(16000 * 3 + i * 4000) / 16000
+        bona = i % 2 == 1
+        wave = (0.3 * np.sin(2 * np.pi * (300 + 30 * i) * t) if bona
+                else 0.2 * rng.standard_normal(len(t))).astype(np.float32)
+        uid = f"LA_L_{i:04d}"
+        path = str(tmp_path / "audio" / f"{uid}.flac")
+        write_wav(path, wave, 16000)
+        label = "bonafide" if bona else "spoof"
+        long_proto.append(f"LA_0004 {uid} - A04 {label}")
+        stream_proto.append(f"LA_0004 {path} - A04 {label}")
+        paths.append(path)
+    (tmp_path / "eval19.txt").write_text("\n".join(long_proto) + "\n")
+    (tmp_path / "stream_proto.txt").write_text(
+        "\n".join(stream_proto) + "\n")
+
+    # offline: crop/tile to the 1 s eval duration through cli.main
+    (tmp_path / "scores_la19.txt").unlink(missing_ok=True)
+    _run(["rtdsd_tpu.cli.main", "--config", cfg, "--is_eval", "--is_score",
+          "--ckpt", best, "--tracks", "LA19"])
+    out_off = _run(["rtdsd_tpu.cli.evaluate", "--scores",
+                    str(tmp_path / "scores_la19.txt"), "--protocol",
+                    str(tmp_path / "eval19.txt"), "--file-field", "1",
+                    "--label-field", "4"])
+    eer_off = float(out_off.split("EER:")[1].split("%")[0])
+
+    # streaming: mean-aggregated 1 s / 0.5 s windows over the full audio
+    stream_scores = str(tmp_path / "stream_scores.txt")
+    _run(["rtdsd_tpu.cli.stream", "--config", cfg, "--ckpt", best,
+          "--audio"] + paths + ["--window_sec", "1", "--hop_sec", "0.5",
+                                "--aggregate", "mean",
+                                "--out", stream_scores])
+    out_str = _run(["rtdsd_tpu.cli.evaluate", "--scores", stream_scores,
+                    "--protocol", str(tmp_path / "stream_proto.txt"),
+                    "--file-field", "1", "--label-field", "4"])
+    eer_str = float(out_str.split("EER:")[1].split("%")[0])
+
+    print(f"streaming-quality harness: offline-crop EER {eer_off:.2f}% "
+          f"vs streaming window-aggregated EER {eer_str:.2f}%")
+    # windows see MORE of each long file than the single 1 s crop; on the
+    # separable synthetic task streaming must stay at least as good
+    assert eer_str <= eer_off + 1e-9

@@ -119,6 +119,109 @@ def test_export_streaming_matches_incremental_scorer(tiny, tmp_path):
     assert side["streaming"] and side["hop"] == hop
 
 
+def test_export_serving_artifact_matches_ckpt_engine(tiny, tmp_path):
+    """r4 (VERDICT item 5): a cli.export --serving bundle reconstructs a
+    MultiStreamScorer WITHOUT tracing model code, and its wire-visible
+    output (scores, escalated/gated flags, window order) is equal to the
+    model-backed engine's — cascade escalation, int16 transport, and the
+    host-side energy gate all composed."""
+    from rtdsd_tpu.cli.export import (export_serving, load_serving,
+                                      save_serving)
+    from rtdsd_tpu.engine.serving import MultiStreamScorer
+
+    spec, variables, direct = tiny
+    cfg = spec.module.w2v_cfg
+    duration = 80 * cfg.total_stride
+    hop = duration // 2
+    evars = init_variables_host(spec.module, jnp.zeros((2, T)), seed=5,
+                                train=False)
+    esc = (spec.module, evars["params"], evars.get("batch_stats", {}))
+
+    rng = np.random.default_rng(0)
+    wave = (rng.standard_normal(4 * hop + duration) * 0.1) \
+        .astype(np.float32)
+    # band from the screener's own score distribution so the cascade
+    # genuinely splits the loud windows (some escalate, some don't)
+    wins = np.stack([wave[s:s + duration]
+                     for s in range(0, len(wave) - duration + 1, hop)])
+    s_scores = np.asarray(direct(jnp.asarray(wins)))
+    center = float(np.median(s_scores))
+    band = float(np.quantile(np.abs(s_scores - center), 0.6)) + 1e-3
+    kwargs = dict(duration=duration, hop=hop, max_streams=2,
+                  transport_dtype="int16", escalate=esc,
+                  escalate_band=band, escalate_center=center)
+
+    ref_eng = MultiStreamScorer(spec.module, variables["params"],
+                                variables.get("batch_stats", {}), cfg,
+                                gate_rms_dbfs=-50.0, **kwargs)
+    ext, sco, escx, meta = export_serving(spec.module, variables, cfg,
+                                          platforms=("cpu",), **kwargs)
+    assert escx is not None
+    prefix = str(tmp_path / "serve_bundle")
+    save_serving(ext, sco, escx, prefix, meta, variables,
+                 esc_variables=evars)
+    eng, meta2 = load_serving(prefix, gate_rms_dbfs=-50.0)
+    assert meta2["escalate"] and meta2["transport_dtype"] == "int16"
+
+    outs = []
+    for e in (ref_eng, eng):
+        loud = e.open_stream("loud")
+        quiet = e.open_stream("quiet")
+        e.push(loud, wave)
+        e.push(quiet, wave * 1e-4)  # below the -50 dBFS gate
+        e.close_stream(loud, flush=True)
+        e.close_stream(quiet, flush=True)
+        outs.append(sorted(e.drain(),
+                           key=lambda g: (str(g.stream_id),
+                                          g.start_sample)))
+    ref, got = outs
+    assert len(ref) == len(got) > 0
+    assert [g.gated for g in got] == [g.gated for g in ref]
+    assert any(g.gated for g in got)
+    assert [g.escalated for g in got] == [g.escalated for g in ref]
+    assert any(g.escalated for g in got)
+    np.testing.assert_allclose([g.score for g in got],
+                               [g.score for g in ref],
+                               rtol=1e-5, atol=1e-6)
+
+    # the artifact engine has no model code to trace: its module stand-in
+    # refuses apply() so an accidental trace fails loudly
+    from rtdsd_tpu.cli.export import _artifact_model_stub
+    with pytest.raises(RuntimeError, match="no model code"):
+        _artifact_model_stub(jnp.float32).apply({}, None)
+
+
+def test_serve_cli_artifact_flag_validation(tiny, tmp_path):
+    """--artifact excludes --config/--ckpt and every export-baked flag;
+    --max_streams must match the bundle's compiled slot count."""
+    from rtdsd_tpu.cli.export import export_serving, save_serving
+    from rtdsd_tpu.cli.serve import build_engine, parse_args
+
+    spec, variables, direct = tiny
+    cfg = spec.module.w2v_cfg
+    duration = 80 * cfg.total_stride
+    ext, sco, escx, meta = export_serving(
+        spec.module, variables, cfg, duration=duration,
+        max_streams=2, transport_dtype="float32", platforms=("cpu",))
+    meta.update(sample_rate=16000)
+    prefix = str(tmp_path / "plain_bundle")
+    save_serving(ext, sco, escx, prefix, meta, variables)
+
+    args = parse_args(["--artifact", prefix, "--audio", "x.wav"])
+    eng, sr = build_engine(args, 1)
+    assert sr == 16000.0 and eng.max_streams == 2
+
+    with pytest.raises(SystemExit, match="replaces"):
+        build_engine(parse_args(["--artifact", prefix, "--config", "c",
+                                 "--ckpt", "k", "--audio", "x.wav"]), 1)
+    with pytest.raises(SystemExit, match="baked"):
+        build_engine(parse_args(["--artifact", prefix, "--window_sec",
+                                 "1", "--audio", "x.wav"]), 1)
+    with pytest.raises(SystemExit, match="slot count"):
+        build_engine(parse_args(["--artifact", prefix, "--max_streams",
+                                 "4", "--audio", "x.wav"]), 1)
+
+
 def test_export_streaming_rejects_subframe_hop(tiny):
     from rtdsd_tpu.cli.export import export_streaming
 

@@ -450,16 +450,74 @@ def test_auto_batch_respects_mesh_tiling(tiny):
 
 def test_capped_score_batch_caps_extend_batch(tiny):
     """The one-knob HBM escape hatch: capping score_batch alone also caps
-    the extend batch (r3: at S=1024 an uncapped extend's conv activations
-    faulted the worker even though score_batch was capped), while an
-    explicit extend_batch still wins."""
+    the extend batch when the device HBM is unknown (r3: at S=1024 an
+    uncapped extend's conv activations faulted the worker even though
+    score_batch was capped), while an explicit extend_batch still wins.
+    (With a KNOWN HBM limit the default is estimate-aware — see
+    test_hbm_aware_extend_batch_default.)"""
     model, params, stats, cfg, duration = tiny
     eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
-                            max_streams=8, score_batch=2)
+                            max_streams=8, score_batch=2, hbm_limit=0)
     assert eng.extend_batch == 2
     eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
-                            max_streams=8, score_batch=2, extend_batch=4)
+                            max_streams=8, score_batch=2, extend_batch=4,
+                            hbm_limit=0)
     assert eng.extend_batch == 4
+
+
+def test_hbm_aware_extend_batch_default(tiny):
+    """r4 (VERDICT item 1): when score_batch is capped for HBM but the
+    pre-flight estimate says the FULL-width extend batch still fits, the
+    extend_batch default goes back to max_streams (the one-knob cap
+    staggered window availability into half-full score dispatches:
+    141.6 -> 79.6 device-ms/tick at S=1024 gated cascade). It falls back
+    to the cap when the full extend does not fit or HBM is unknown, and
+    an explicit extend_batch is never overridden."""
+    model, params, stats, cfg, duration = tiny
+    full = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                             max_streams=8, score_batch=2, extend_batch=8,
+                             hbm_limit=0)
+    capped = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                               max_streams=8, score_batch=2, extend_batch=2,
+                               hbm_limit=0)
+    assert capped.hbm_estimate < full.hbm_estimate
+
+    # generous limit: the implicit extend default uncaps to max_streams
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            max_streams=8, score_batch=2,
+                            hbm_limit=full.hbm_estimate + 1)
+    assert (eng.extend_batch, eng.score_batch) == (8, 2)
+    assert eng.hbm_estimate == full.hbm_estimate
+
+    # limit between the capped and full estimates: cap is kept
+    mid = (capped.hbm_estimate + full.hbm_estimate) // 2
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            max_streams=8, score_batch=2, hbm_limit=mid)
+    assert eng.extend_batch == 2
+    assert eng.hbm_estimate == capped.hbm_estimate
+
+    # explicit extend_batch wins even when the full width would fit
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            max_streams=8, score_batch=2, extend_batch=4,
+                            hbm_limit=full.hbm_estimate + 1)
+    assert eng.extend_batch == 4
+
+
+def test_auto_batch_composes_with_extend_uncap(tiny):
+    """auto_batch shrinks score_batch to fit, then the HBM-aware extend
+    default restores extend_batch = max_streams when the post-shrink
+    estimate allows it."""
+    model, params, stats, cfg, duration = tiny
+    # limit chosen so (score=4, extend=8) fits exactly but (8, 8) does not
+    target = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                               max_streams=8, score_batch=4, extend_batch=8,
+                               hbm_limit=0)
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            max_streams=8, hbm_limit=target.hbm_estimate,
+                            auto_batch=True)
+    assert eng.score_batch == 4
+    assert eng.extend_batch == 8
+    assert eng.hbm_estimate <= target.hbm_estimate
 
 
 def test_dispatch_counts_and_device_costs(tiny):

@@ -135,6 +135,84 @@ def test_incremental_scorer_matches_naive():
                                rtol=2e-4, atol=2e-5)
 
 
+def test_streaming_eer_not_worse_than_offline_crop():
+    """r4 streaming-quality guard (in-process counterpart of the e2e
+    harness in test_cli_e2e.py): on a separable synthetic task, a model
+    trained to separate 1 s crops must separate long audio at least as
+    well through mean-aggregated streaming windows as through a single
+    offline crop. Guards the window-aggregation path against silent
+    quality drift."""
+    import optax
+    from flax import linen as nn
+
+    from rtdsd_tpu.utils.metrics import compute_eer
+
+    class _Feat(nn.Module):
+        @nn.compact
+        def __call__(self, x, *, train=False):
+            a = jnp.abs(x).reshape(x.shape[0], 20, -1)
+            f = jnp.concatenate([a.mean(-1), a.max(-1)], axis=-1)
+            return nn.Dense(2)(jax.nn.selu(nn.Dense(16)(f)))
+
+    dur, sr = 2000, 16000
+    rng = np.random.default_rng(0)
+
+    def batch(n, start=0):
+        waves, labels = [], []
+        for i in range(start, start + n):
+            bona = i % 2 == 1
+            t = np.arange(dur) / sr
+            w = (0.3 * np.sin(2 * np.pi * (350 + 10 * i) * t) if bona
+                 else 0.2 * rng.standard_normal(dur))
+            waves.append(w.astype(np.float32))
+            labels.append(int(bona))
+        return jnp.asarray(np.stack(waves)), jnp.asarray(labels)
+
+    model = _Feat()
+    params = model.init(jax.random.key(0), jnp.zeros((1, dur)))["params"]
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt, waves, labels):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, waves, train=True)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt)
+        return optax.apply_updates(params, updates), opt, loss
+
+    for step_i in range(60):
+        waves, labels = batch(16, start=(step_i * 16) % 64)
+        params, opt, loss = train_step(params, opt, waves, labels)
+    assert float(loss) < 0.1, f"toy task did not train (loss {loss})"
+
+    # long eval audio: 3x the train duration, unseen frequencies
+    longs, labels = [], []
+    for i in range(100, 112):
+        bona = i % 2 == 1
+        t = np.arange(3 * dur) / sr
+        w = (0.3 * np.sin(2 * np.pi * (350 + 10 * i) * t) if bona
+             else 0.2 * rng.standard_normal(3 * dur))
+        longs.append(w.astype(np.float32))
+        labels.append(int(bona))
+    labels = np.asarray(labels)
+
+    step = make_score_step(model)
+    offline = np.asarray(step(params, {},
+                              jnp.asarray(np.stack([w[:dur]
+                                                    for w in longs]))))
+    scorer = StreamingScorer(step, params, {}, duration=dur, hop=dur // 2,
+                             batch_size=8, aggregate="mean")
+    streamed = np.asarray([scorer.score(w) for w in longs])
+
+    assert compute_eer(streamed, labels) <= \
+        compute_eer(offline, labels) + 1e-12
+    assert compute_eer(streamed, labels) == 0.0  # separable task kept
+
+
 def test_incremental_scorer_rejects_group_norm():
     import pytest
 

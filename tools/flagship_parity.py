@@ -1,0 +1,232 @@
+"""Flagship-scale torch<->JAX score-file parity on a synthetic track
+(VERDICT r3 item 4).
+
+The per-module oracles (tests/test_w2v_parity.py, tests/
+test_reference_oracle.py) pin conversion at reduced configs; this tool
+closes the remaining daylight by running the FULL flagship composition —
+the hand-written torch fairseq-semantics XLSR encoder at 24-layer/315M
+shape feeding the reference's OWN torch AASIST model
+(/root/reference/models/xlsr_aasist.py:86-177, fe stubbed) — against
+``cli.main --is_eval --is_score`` on the same synthetic LA19 track and
+the same reference-format ``.pt`` checkpoint, asserting
+
+  * per-utterance |score_torch - score_jax| <= --tol (f32 forward), and
+  * EER delta == 0 (same ranking ordering).
+
+No real checkpoints exist in this environment
+(/root/reference/.MISSING_LARGE_BLOBS), so weights are seeded at
+flagship shape and flow through the SAME conversion path a real
+checkpoint would (``load_checkpoint_for_eval`` on a ``.pt``):
+
+    python tools/flagship_parity.py                 # full 24-layer/315M
+    python tools/flagship_parity.py --layers 4      # reduced smoke
+
+Results are recorded in docs/PARITY_RUNBOOK.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _load_test_module(name):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REPO, "tests", f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _make_dataset(root, n, sr, dur_sec):
+    from rtdsd_tpu.data.io import write_wav
+
+    rng = np.random.default_rng(11)
+    os.makedirs(os.path.join(root, "audio"), exist_ok=True)
+    lines = []
+    for i in range(n):
+        # varied lengths around the eval duration exercise tile/crop
+        t = np.arange(int(sr * dur_sec) + 900 * (i - n // 2)) / sr
+        bona = i % 2 == 1
+        wave = (0.3 * np.sin(2 * np.pi * (300 + 40 * i) * t) if bona
+                else 0.2 * rng.standard_normal(len(t))).astype(np.float32)
+        uid = f"PAR_E_{i:04d}"
+        write_wav(os.path.join(root, "audio", f"{uid}.flac"), wave, sr)
+        lines.append(f"LA_0007 {uid} - A07 "
+                     f"{'bonafide' if bona else 'spoof'}")
+    proto = os.path.join(root, "eval19.txt")
+    with open(proto, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return proto
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=24,
+                    help="encoder depth (24 = flagship XLSR-300M shape)")
+    ap.add_argument("--utts", type=int, default=16)
+    ap.add_argument("--dur_sec", type=float, default=1.0,
+                    help="eval crop (the paper's real-time window)")
+    ap.add_argument("--tol", type=float, default=2e-3,
+                    help="per-utterance |torch - jax| gate (f32 forward; "
+                         "24 layers of reassociation drift)")
+    ap.add_argument("--workdir", type=str, default=None)
+    args = ap.parse_args(argv)
+
+    import torch
+
+    w2v_mod = _load_test_module("test_w2v_parity")
+    ref_mod = _load_test_module("test_reference_oracle")
+
+    import dataclasses
+
+    import yaml
+
+    from rtdsd_tpu.models.registry import get_model
+    from rtdsd_tpu.models.wav2vec2 import Wav2Vec2Config
+
+    # the registry flagship's exact w2v geometry (fast paths are float32-
+    # gated off at score time; fast_gelu=False makes that explicit)
+    base_cfg = get_model("XLSR_AASIST").module.w2v_cfg
+    cfg = dataclasses.replace(base_cfg, encoder_layers=args.layers,
+                              fast_gelu=False)
+    np_params = sum(
+        int(np.prod(v.shape))
+        for v in w2v_mod._fairseq_sd(cfg, seed=3).values())
+    print(f"torch XLSR sd: {args.layers} layers, {np_params / 1e6:.0f}M "
+          f"encoder params", flush=True)
+    sd_w2v = w2v_mod._fairseq_sd(cfg, seed=3)
+
+    # reference torch AASIST model with the SSL front-end stubbed; at
+    # flagship scale its LL layer consumes 1024-d features
+    ref_mod._StubFE = None  # (loader holds its own class)
+    _, ref_x = ref_mod._load_reference()
+    fe_cls = sys.modules["refmodels.fe"].XLSR_FE
+    fe_cls.out_dim = cfg.encoder_embed_dim
+    torch.manual_seed(29)
+    model = ref_x.XLSR_AASIST(device="cpu")
+    ref_mod._randomize(model, 29)
+    model.eval()
+    model.ssl_model.extract_feat = \
+        lambda x: w2v_mod._torch_oracle(sd_w2v, x, cfg)
+
+    work = args.workdir or tempfile.mkdtemp(prefix="flagship_parity_")
+    os.makedirs(work, exist_ok=True)
+    sr = 16000
+    proto = _make_dataset(work, args.utts, sr, args.dur_sec)
+
+    # reference-format .pt: fairseq-prefixed SSL + the reference model's
+    # own AASIST naming — the exact shape load_checkpoint_for_eval expects
+    sd_full = {f"ssl_model.model.{k}": v for k, v in sd_w2v.items()}
+    sd_full.update({k: v.detach().clone()
+                    for k, v in model.state_dict().items()})
+    ckpt = os.path.join(work, "flagship_parity.pt")
+    torch.save(sd_full, ckpt)
+
+    score_path = os.path.join(work, "scores_la19.txt")
+    # "XLSR_AASIST" is pinned at the reference's 24 layers; the reduced
+    # smoke runs the same graph via the layer-count-parameterized student
+    model_name = "XLSR_AASIST" if args.layers == 24 else "My_XLSR_AASIST"
+    cfg_yaml = {
+        "SysConfig": {
+            "wandb_disabled": True, "model": model_name,
+            "ssl_ckpt_path": "", "ssl_pytree_path": "",
+            "path_label_asv_spoof_2019_la_train": proto,
+            "path_asv_spoof_2019_la_train": os.path.join(work, "audio"),
+            "path_label_asv_spoof_2019_la_dev": proto,
+            "path_asv_spoof_2019_la_dev": os.path.join(work, "audio"),
+            "path_label_asv_spoof_2019_la_eval": proto,
+            "path_asv_spoof_2019_la_eval": os.path.join(work, "audio"),
+            "path_to_save_model": os.path.join(work, "runs"),
+            "la19_score_save_path": score_path,
+            "num_workers": 0,
+        },
+        "ExpConfig": {
+            "random_seed": 1024, "is_pre_emphasis": True,
+            "pre_emphasis": 0.97, "sample_rate": sr,
+            "train_duration_sec": args.dur_sec,
+            "test_duration_sec": args.dur_sec,
+            "batch_size_train": 4, "batch_size_test": 4,
+            "lr": 1e-6, "weight_decay": 1e-4, "max_epoch": 1,
+            "allow_data_augmentation": False, "data_augmentation": [],
+            "compute_dtype": "float32",      # exact-parity forward
+            "la19_eval_random_start": False,  # deterministic first-N crop
+            "mesh_data_axis": -1, "mesh_model_axis": 1,
+            "kwargs": ({"w2v": {"fast_gelu": False}}
+                       if args.layers == 24 else
+                       {"num_layers": args.layers,
+                        "w2v": {"fast_gelu": False}}),
+        },
+    }
+    cfg_path = os.path.join(work, "parity.yaml")
+    with open(cfg_path, "w") as fh:
+        yaml.safe_dump(cfg_yaml, fh)
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(REPO, ".jax_cache"))
+    print("+ cli.main --is_eval --is_score (JAX, float32)", flush=True)
+    subprocess.run(
+        [sys.executable, "-m", "rtdsd_tpu.cli.main", "--config", cfg_path,
+         "--is_eval", "--is_score", "--ckpt", ckpt, "--tracks", "LA19"],
+        cwd=REPO, env=env, check=True)
+
+    jax_scores = {}
+    with open(score_path) as fh:
+        for ln in fh:
+            uid, s = ln.split()
+            jax_scores[uid] = float(s)
+
+    # torch side scores the IDENTICAL crops: reuse the framework's own
+    # eval dataset (duration-fit semantics are part of what parity pins)
+    from rtdsd_tpu.config import load_yaml_config
+    from rtdsd_tpu.data.dataset import ASVspoof2019LA_eval
+
+    sys_config, exp_config = load_yaml_config(cfg_path)
+    ds = ASVspoof2019LA_eval(sys_config, exp_config)
+    torch_scores, labels = {}, {}
+    with torch.no_grad():
+        for i in range(len(ds)):
+            uid, wave, label = ds.get(i)
+            logits = model(torch.from_numpy(np.asarray(wave))[None, :])
+            torch_scores[uid] = float(logits[0, 1])
+            labels[uid] = int(label)
+            print(f"  torch {uid}: {torch_scores[uid]:+.6f}", flush=True)
+
+    common = sorted(jax_scores)
+    assert set(common) == set(torch_scores), "utterance sets differ"
+    diffs = np.array([abs(jax_scores[u] - torch_scores[u])
+                      for u in common])
+
+    def eer_of(scores):
+        from rtdsd_tpu.utils.metrics import compute_eer
+
+        return compute_eer(np.array([scores[u] for u in common]),
+                           np.array([labels[u] for u in common]))
+
+    eer_j, eer_t = eer_of(jax_scores), eer_of(torch_scores)
+    print(f"\nutts={len(common)} layers={args.layers} "
+          f"dur={args.dur_sec}s float32")
+    print(f"per-utt |torch-jax|: max={diffs.max():.3e} "
+          f"mean={diffs.mean():.3e}")
+    print(f"EER torch={eer_t:.6f} jax={eer_j:.6f} "
+          f"delta={abs(eer_t - eer_j):.3e}")
+    ok = diffs.max() <= args.tol and abs(eer_t - eer_j) == 0.0
+    print("PARITY OK" if ok else "PARITY FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -48,6 +48,12 @@ def main():
                     help="screener encoder depth (6 = XLSR-6 student, "
                          "2 = XLSR-2; the screen is the cascade's largest "
                          "per-tick device cost once extend is row-granular)")
+    ap.add_argument("--w8a8_screen", action="store_true", default=False,
+                    help="quantize the cascade screener's transformer "
+                         "stack (int8 MXU w8a8) — the screen is the "
+                         "largest steady per-tick cost; composes with "
+                         "--w8a8 (which quantizes the escalation "
+                         "flagship)")
     ap.add_argument("--transport", default="int16",
                     choices=("int16", "float32", "mulaw8"),
                     help="sample upload dtype (int16 = 16-bit PCM; mulaw8 "
@@ -59,6 +65,11 @@ def main():
                     help="fraction of streams pushing pure silence "
                          "(models telephony dead air); pair with "
                          "--gate_db to measure the gate's capacity win")
+    ap.add_argument("--hbm_limit_gb", type=float, default=None,
+                    help="pre-flight HBM guard limit in GiB (the axon "
+                         "relay reports no bytes_limit, so the guard and "
+                         "the HBM-aware extend default are off without "
+                         "this; 16 = v5e)")
     args = ap.parse_args()
     sweep = args.streams or [32, 64, 128, 256]
 
@@ -94,16 +105,26 @@ def main():
     screener, sparams, sstats = model, params, stats
     esc_kwargs = {}
     if args.cascade is not None:
+        squant = {"w8": True, "a8": True} if args.w8a8_screen else {}
         stud_spec = get_model("My_XLSR_AASIST", dtype=jnp.bfloat16,
-                              num_layers=args.cascade_layers)
+                              num_layers=args.cascade_layers, w2v=squant)
         screener = stud_spec.module
-        svars = init_variables_host(screener,
+        # init on the UNQUANTIZED module (mirrors the flagship --w8a8
+        # path above), then quantize the param tree for the w8 module
+        sbase = (get_model("My_XLSR_AASIST", dtype=jnp.bfloat16,
+                           num_layers=args.cascade_layers).module
+                 if squant else screener)
+        svars = init_variables_host(sbase,
                                     jnp.zeros((2, duration), jnp.float32),
                                     train=False)
         sparams = dict(svars["params"])
         ssl = dict(sparams["ssl_model"])
         ssl["feature_extractor"] = params["ssl_model"]["feature_extractor"]
         sparams["ssl_model"] = ssl
+        if squant:
+            from rtdsd_tpu.models.quantize import quantize_encoder_params
+
+            sparams = quantize_encoder_params(jax.device_put(sparams))
         sparams = jax.device_put(sparams)
         sstats = jax.device_put(svars.get("batch_stats", {}))
         esc_kwargs = dict(escalate=(model, params, stats),
@@ -128,7 +149,14 @@ def main():
                                 score_batch=args.score_batch,
                                 extend_batch=args.extend_batch,
                                 gate_rms_dbfs=args.gate_db,
+                                hbm_limit=(None if args.hbm_limit_gb
+                                           is None
+                                           else int(args.hbm_limit_gb
+                                                    * 2**30)),
                                 **esc_kwargs)
+        log(f"S={S}: extend_batch={eng.extend_batch} "
+            f"score_batch={eng.score_batch} esc_batch={eng.esc_batch} "
+            f"est={eng.hbm_estimate / 2**30:.2f} GiB")
         t0 = time.time()
         eng.warmup()
         log(f"S={S}: warmup(compile) {time.time() - t0:.1f}s")
@@ -156,6 +184,10 @@ def main():
                 cal.extend(ws.score for ws in eng.drain()
                            if not ws.gated
                            and ws.stream_id not in silent_ids)
+            if not cal:
+                raise SystemExit(
+                    "no loud/ungated windows to calibrate the escalation "
+                    "band from — lower --silence_frac or --gate_db")
             cal = np.asarray(cal)
             eng.escalate_center = float(np.median(cal))
             eng.escalate_band = float(np.quantile(
