@@ -223,6 +223,7 @@ def export_serving(module, variables, cfg, *, duration: int,
         "extend_batch": int(eng.extend_batch),
         "score_batch": int(eng.score_batch),
         "esc_batch": int(eng.esc_batch),
+        "esc_gather": eng.esc_gather,
         "transport_dtype": transport_dtype,
         "escalate": escalate is not None,
         "escalate_band": float(eng.escalate_band),
@@ -317,6 +318,7 @@ def load_serving(prefix: str, *, hbm_limit: Optional[int] = None,
         ring_frames=meta["ring_frames"],
         extend_batch=meta["extend_batch"],
         score_batch=meta["score_batch"], esc_batch=meta["esc_batch"],
+        esc_gather=meta.get("esc_gather", "slice"),
         escalate=esc,
         escalate_band=(meta["escalate_band"] if escalate_band is None
                        else escalate_band),

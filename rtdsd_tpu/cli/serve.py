@@ -57,6 +57,11 @@ def add_engine_args(p):
                         "band are re-scored by --ckpt's model")
     p.add_argument("--cascade_config", type=str, default=None,
                    help="screener YAML (default: --config)")
+    p.add_argument("--esc_gather", type=str, default="slice",
+                   choices=("slice", "flat"),
+                   help="escalation window-gather form: 'slice' (vmapped "
+                        "dynamic_slice, 6x faster, default) or 'flat' "
+                        "(per-sample gather fallback)")
     p.add_argument("--cascade_w8a8", action="store_true", default=False,
                    help="quantize the screener's transformer stack (int8 "
                         "MXU w8a8) — the screen is the cascade's largest "
@@ -224,7 +229,8 @@ def build_engine(args, n_streams: int):
                                          else args.cascade_band),
                           escalate_center=(0.0 if args.cascade_center
                                            is None
-                                           else args.cascade_center))
+                                           else args.cascade_center),
+                          esc_gather=args.esc_gather)
         spec, state, cfg = spec_s, state_s, spec_s.module.w2v_cfg
 
     duration = snap_to_stride(int(round(window_sec * sr)), cfg.total_stride,

@@ -75,14 +75,51 @@ def kl_div_loss(student, teacher, labels, temperature: float = 1.0, **kw):
                             axis=-1)) * t * t
 
 
+def smooth_l1_loss(student, teacher, labels, beta: float = 1.0, **kw):
+    """torch SmoothL1Loss / Huber: quadratic inside ``beta``, linear out."""
+    d = jnp.abs(_flat(student) - _flat(teacher))
+    return jnp.mean(jnp.where(d < beta, 0.5 * d * d / beta,
+                              d - 0.5 * beta))
+
+
+def soft_ce_loss(student, teacher, labels, temperature: float = 1.0, **kw):
+    """Soft-label cross-entropy H(softmax(teacher/T), log_softmax(student/T))
+    x T^2 — the CrossEntropyLoss spelling of Hinton KD (differs from
+    KLDivLoss only by the teacher-entropy constant)."""
+    t = float(temperature)
+    log_p_s = jax.nn.log_softmax(student / t, axis=-1)
+    p_t = jax.nn.softmax(teacher / t, axis=-1)
+    return -jnp.mean(jnp.sum(p_t * log_p_s, axis=-1)) * t * t
+
+
+def attention_transfer_loss(student, teacher, labels, **kw):
+    """Zagoruyko-Komodakis attention transfer on (B, T, C) feature taps:
+    L2 between the L2-normalized per-position activation-energy maps
+    (sum over channels of x^2) — matches torchdistill's ATLoss for the
+    sequence layout this framework taps."""
+    def amap(x):
+        a = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1)
+        a = a.reshape(a.shape[0], -1)
+        return a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + 1e-8)
+
+    return jnp.mean(jnp.sum(jnp.square(amap(student) - amap(teacher)),
+                            axis=-1))
+
+
 KD_CRITERIA: Dict[str, Callable] = {
     "MSELoss": mse_loss,
     "mse": mse_loss,
     "L1Loss": l1_loss,
+    "SmoothL1Loss": smooth_l1_loss,
+    "HuberLoss": smooth_l1_loss,
     "CosineLoss": cosine_loss,
     "KDLoss": kl_div_loss,
     "KLDivLoss": kl_div_loss,
     "logits_kd": kl_div_loss,
+    "CrossEntropyLoss": soft_ce_loss,
+    "soft_ce": soft_ce_loss,
+    "ATLoss": attention_transfer_loss,
+    "attention_transfer": attention_transfer_loss,
 }
 
 

@@ -178,6 +178,7 @@ class MultiStreamScorer:
                  escalate_band: float = 2.0,
                  escalate_center: float = 0.0,
                  esc_batch: Optional[int] = None,
+                 esc_gather: str = "slice",
                  transport_dtype: str = "float32",
                  hbm_limit: Optional[int] = None,
                  auto_batch: bool = False,
@@ -455,6 +456,10 @@ class MultiStreamScorer:
         if self._ring_sharding is not None:
             self._swave = jax.device_put(self._swave, self._ring_sharding)
         escalate_on = self._escalate
+        if esc_gather not in ("slice", "flat"):
+            raise ValueError(f"esc_gather must be 'slice' or 'flat', got "
+                             f"{esc_gather!r}")
+        self.esc_gather = esc_gather
         seg_frames_ = self.seg_frames
 
         def extend(cp, feats, swave, segs, slots, frame_pos):
@@ -508,19 +513,37 @@ class MultiStreamScorer:
             dur_arange = jnp.arange(self.duration, dtype=jnp.int32)
             ring_samples_ = self.ring_samples
 
+            duration_ = self.duration
+
             def score_esc(p, stats, swave, slots, start_frames):
                 variables = {"params": p}
                 if stats:
                     variables["batch_stats"] = stats
-                # flat per-sample gather on the row ring reshaped
-                # contiguously: a row-granular gather here (B, rows, 320)
-                # reproducibly faulted the TPU worker at S=1024 while this
-                # form is proven at that scale (PERFORMANCE.md); the
-                # reshape is metadata-only
                 flat = swave.reshape(swave.shape[0], ring_samples_)
-                sidx = (start_frames[:, None] * stride_ + dur_arange) \
-                    % ring_samples_
-                waves = _decode(flat[slots[:, None], sidx])  # (B, duration)
+                if esc_gather == "slice":
+                    # r4: row-gather the B slot rows (contiguous), then a
+                    # vmapped dynamic_slice on the doubled row handles the
+                    # ring wrap — lowers to B contiguous slices instead of
+                    # B x duration per-ELEMENT gather: measured 25.0 ->
+                    # 4.0 ms at B=128 (tools/ gather shootout,
+                    # PERFORMANCE.md), bit-exact
+                    rows = flat[slots]  # (B, ring_samples)
+                    dbl = jnp.concatenate([rows, rows], axis=1)
+                    waves = jax.vmap(
+                        lambda r, s: jax.lax.dynamic_slice(
+                            r, (s * stride_,), (duration_,)))(
+                        dbl, start_frames)
+                    waves = _decode(waves)
+                else:
+                    # "flat": per-sample gather on the contiguous reshape —
+                    # the historically proven fallback (a (B, rows, 320)
+                    # row-granular gather reproducibly faulted the TPU
+                    # worker at S=1024 in r3; this flat form and the
+                    # "slice" form above are both verified at that scale,
+                    # PERFORMANCE.md)
+                    sidx = (start_frames[:, None] * stride_ + dur_arange) \
+                        % ring_samples_
+                    waves = _decode(flat[slots[:, None], sidx])
                 logits = esc_model.apply(variables, waves, train=False)
                 return logits[:, 1]
 

@@ -154,6 +154,24 @@ def test_w8a8_screener_band_decisions(pair, wave):
                 f"w8a8 screen drift {abs(g.score - r.score):.4f}"
 
 
+def test_esc_gather_forms_equal(pair, wave):
+    """r4: the 'slice' escalation gather (vmapped dynamic_slice on the
+    doubled slot row, 6x faster on TPU) must reproduce the proven 'flat'
+    per-sample gather exactly — same windows, same flagship scores."""
+    flag, stud = pair
+    hop = DURATION // 2
+    esc = dict(escalate=(flag[0], flag[1], flag[2]), escalate_band=1e9)
+    a = _serve(stud, wave, hop, esc_gather="flat", **esc)
+    b = _serve(stud, wave, hop, esc_gather="slice", **esc)
+    assert len(a) == len(b) > 0
+    assert all(g.escalated for g in b)
+    np.testing.assert_allclose([g.score for g in b],
+                               [g.score for g in a], rtol=1e-6, atol=1e-7)
+
+    with pytest.raises(ValueError, match="esc_gather"):
+        _serve(stud, wave, hop, esc_gather="bogus", **esc)
+
+
 def test_serving_escalation_small_esc_batch(pair, wave):
     """Escalation backlog larger than esc_batch drains via chunked
     same-poll dispatches."""

@@ -50,6 +50,54 @@ def test_kl_matches_torch():
     assert abs(got - want) < 1e-5
 
 
+def test_smooth_l1_matches_torch():
+    torch = pytest.importorskip("torch")
+    from rtdsd_tpu.engine.kd import smooth_l1_loss
+
+    rng = np.random.default_rng(1)
+    s = rng.standard_normal((4, 8)).astype(np.float32) * 2
+    t = rng.standard_normal((4, 8)).astype(np.float32) * 2
+    for beta in (1.0, 0.5):
+        want = torch.nn.functional.smooth_l1_loss(
+            torch.tensor(s), torch.tensor(t), beta=beta).item()
+        got = float(smooth_l1_loss(jnp.asarray(s), jnp.asarray(t), None,
+                                   beta=beta))
+        assert abs(got - want) < 1e-6
+
+
+def test_soft_ce_matches_torch():
+    torch = pytest.importorskip("torch")
+    from rtdsd_tpu.engine.kd import soft_ce_loss
+
+    rng = np.random.default_rng(2)
+    s = rng.standard_normal((4, 2)).astype(np.float32)
+    t = rng.standard_normal((4, 2)).astype(np.float32)
+    T = 3.0
+    want = (torch.nn.functional.cross_entropy(
+        torch.tensor(s) / T,
+        torch.softmax(torch.tensor(t) / T, dim=-1)) * T * T).item()
+    got = float(soft_ce_loss(jnp.asarray(s), jnp.asarray(t), None,
+                             temperature=T))
+    assert abs(got - want) < 1e-5
+
+
+def test_attention_transfer_loss_properties():
+    """AT loss: zero iff the normalized activation-energy maps agree
+    (incl. scale invariance), positive otherwise; registry-dispatched."""
+    from rtdsd_tpu.engine.kd import attention_transfer_loss, \
+        get_mid_level_loss
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 9, 16)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((2, 9, 16)).astype(np.float32))
+    assert float(attention_transfer_loss(x, x, None)) < 1e-12
+    # per-position energy maps are L2-normalized -> scale invariant
+    assert float(attention_transfer_loss(2.5 * x, x, None)) < 1e-10
+    assert float(attention_transfer_loss(x, y, None)) > 1e-3
+    fn, kwargs = get_mid_level_loss({"key": "ATLoss"})
+    assert fn is attention_transfer_loss and kwargs == {}
+
+
 def test_copy_teacher_weights_with_layer_subset():
     teacher = {
         "ssl_model": {"layers": {"layer": {

@@ -65,6 +65,11 @@ def main():
                     help="fraction of streams pushing pure silence "
                          "(models telephony dead air); pair with "
                          "--gate_db to measure the gate's capacity win")
+    ap.add_argument("--esc_gather", type=str, default="slice",
+                    choices=("slice", "flat"),
+                    help="escalation window-gather form (slice = vmapped "
+                         "dynamic_slice, 6x faster; flat = per-sample "
+                         "gather fallback)")
     ap.add_argument("--hbm_limit_gb", type=float, default=None,
                     help="pre-flight HBM guard limit in GiB (the axon "
                          "relay reports no bytes_limit, so the guard and "
@@ -128,7 +133,8 @@ def main():
         sparams = jax.device_put(sparams)
         sstats = jax.device_put(svars.get("batch_stats", {}))
         esc_kwargs = dict(escalate=(model, params, stats),
-                          escalate_band=-1.0)
+                          escalate_band=-1.0,
+                          esc_gather=args.esc_gather)
 
     budget_ms = hop / sr * 1000
     log(f"window {duration} hop {hop} budget {budget_ms:.0f} ms/tick")
