@@ -310,6 +310,38 @@ def test_cli_export_smoke(trained):
     assert scores.shape == (3,) and np.all(np.isfinite(scores))
 
 
+def test_cli_export_serving_smoke(trained):
+    """cli.export --serving: engine-program bundle (cascade included),
+    then cli.serve --artifact serves a wav from it with no --config/--ckpt
+    and reproduces the ckpt-backed aggregate."""
+    root, cfg, last = trained
+    prefix = root / "serve_art"
+
+    out = _run(["rtdsd_tpu.cli.export", "--config", cfg, "--ckpt", last,
+                "--serving", "--max_streams", "2", "--platforms", "cpu",
+                "--cascade_ckpt", last, "--out", str(prefix)])
+    assert "serving" in out
+    for ext in (".extend", ".score", ".escalate", ".params",
+                ".esc.params", ".json"):
+        assert (root / ("serve_art" + ext)).stat().st_size > 0
+
+    from rtdsd_tpu.data.io import write_wav
+
+    wav = str(root / "serve_art_in.wav")
+    write_wav(wav, np.random.default_rng(4).standard_normal(24000)
+              .astype(np.float32) * 0.1, 16000)
+    art_out = _run(["rtdsd_tpu.cli.serve", "--artifact", str(prefix),
+                    "--cascade_band", "1e9", "--audio", wav])
+    ckpt_out = _run(["rtdsd_tpu.cli.serve", "--config", cfg, "--ckpt",
+                     last, "--audio", wav])
+    score_of = lambda s: float(next(
+        ln for ln in s.strip().splitlines()
+        if ln.startswith(wav)).rsplit(" ", 1)[1])
+    # band=1e9 escalates every window to the flagship (--ckpt's model),
+    # so the artifact aggregate equals the plain ckpt-backed serve
+    assert abs(score_of(art_out) - score_of(ckpt_out)) < 1e-4
+
+
 def test_cli_export_streaming_smoke(trained):
     """cli.export --streaming: two-program incremental-scorer bundle, then
     load the model-free StreamingArtifact runner and score long audio."""
