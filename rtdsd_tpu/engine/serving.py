@@ -362,6 +362,20 @@ class MultiStreamScorer:
                                                    escalate)
             if self.hbm_estimate > limit:
                 self.extend_batch, self.hbm_estimate = capped, capped_est
+        elif extend_batch is None and not limit \
+                and self.extend_batch < full_extend:
+            # the capped extend staggers window availability into
+            # half-full score dispatches (measured ~2x device-ms/tick on
+            # gated workloads, PERFORMANCE.md) — warn loudly when the
+            # fallback engages only because the device reports no memory
+            # limit (e.g. through the axon relay)
+            print(f"[serving] score_batch cap also capped extend_batch "
+                  f"at {self.extend_batch} because the device reports no "
+                  f"HBM limit; if {full_extend} fits your device, pass "
+                  f"extend_batch={full_extend} (or hbm_limit=) — a "
+                  f"capped extend staggers windows into half-full score "
+                  f"dispatches (~2x tick cost on gated workloads)",
+                  file=sys.stderr)
         if auto_shrank:
             print(f"[serving] auto_batch: ~{auto_req / 2**30:.2f} GiB "
                   f"estimate exceeded the {limit / 2**30:.2f} GiB "

@@ -645,3 +645,49 @@ def test_daemon_gated_flag_over_wire(tiny, tmp_path):
             assert not (flags & FLAG_GATED), (start, flags)
             assert not (flags & FLAG_ESCALATED)
     assert n_gated >= 2
+
+
+def test_daemon_from_artifact_matches_ckpt_daemon(tiny, tmp_path):
+    """r4 (VERDICT item 5) wire exactness: a daemon running on an
+    artifact-reconstructed engine (cli.export --serving bundle, no model
+    code traced) must emit byte-identical SCORE events to a daemon on
+    the model-backed engine for the same pushed samples."""
+    from rtdsd_tpu.cli.export import export_serving, load_serving, \
+        save_serving
+
+    model, params, stats, cfg, duration = tiny
+    hop = duration // 2
+    variables = {"params": params}
+    if stats:
+        variables["batch_stats"] = stats
+    ext, sco, escx, meta = export_serving(
+        model, variables, cfg, duration=duration, hop=hop, max_streams=2,
+        transport_dtype="int16", platforms=("cpu",))
+    prefix = str(tmp_path / "bundle")
+    save_serving(ext, sco, escx, prefix, meta, variables)
+    art_eng, _meta = load_serving(prefix)
+
+    ckpt_eng = MultiStreamScorer(model, params, stats, cfg,
+                                 duration=duration, hop=hop,
+                                 max_streams=2, transport_dtype="int16")
+    rng = np.random.default_rng(9)
+    wave = rng.standard_normal(3 * hop + duration).astype(np.float32) * 0.1
+    results = []
+    for tag, eng in (("art", art_eng), ("ckpt", ckpt_eng)):
+        dt = _DaemonThread(eng, tmp_path / f"{tag}.sock")
+        try:
+            cli = ServeClient(unix_path=dt.sock_path)
+            h = cli.open("wire")
+            for i in range(0, len(wave), 700):
+                cli.push(h, wave[i:i + 700])
+            cli.close(h, flush=True)
+            results.append(sorted(cli.collect({h})[h]))
+            cli.close_socket()
+        finally:
+            dt.stop()
+    art, ckpt = results
+    assert len(art) == len(ckpt) > 0
+    assert [s for s, _, _ in art] == [s for s, _, _ in ckpt]
+    np.testing.assert_allclose([sc for _, sc, _ in art],
+                               [sc for _, sc, _ in ckpt],
+                               rtol=1e-5, atol=1e-6)
