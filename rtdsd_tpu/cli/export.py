@@ -278,7 +278,8 @@ def load_serving(prefix: str, *, hbm_limit: Optional[int] = None,
                  gate_rms_dbfs: Optional[float] = None,
                  gate_score: float = 0.0,
                  escalate_band: Optional[float] = None,
-                 escalate_center: Optional[float] = None):
+                 escalate_center: Optional[float] = None,
+                 extend_fastpath: bool = True):
     """Reconstruct a :class:`MultiStreamScorer` from an
     :func:`export_serving` bundle — no model code runs on this host.
 
@@ -319,6 +320,7 @@ def load_serving(prefix: str, *, hbm_limit: Optional[int] = None,
         extend_batch=meta["extend_batch"],
         score_batch=meta["score_batch"], esc_batch=meta["esc_batch"],
         esc_gather=meta.get("esc_gather", "slice"),
+        extend_fastpath=extend_fastpath,
         escalate=esc,
         escalate_band=(meta["escalate_band"] if escalate_band is None
                        else escalate_band),
@@ -331,6 +333,11 @@ def load_serving(prefix: str, *, hbm_limit: Optional[int] = None,
     eng._score = load_exported(prefix + ".score").call
     if esc is not None:
         eng._score_esc = load_exported(prefix + ".escalate").call
+    # the exported extend is fixed-shape: the half-batch fastpath shape
+    # can't run through it (the zero-segment CONST fastpath still works —
+    # extend_const is scatter-only jnp, no model code, and the conv(0)
+    # rows derive through the exported full-shape extend)
+    eng._extend_half_ok = False
     eng.artifact_meta = meta
     return eng, meta
 

@@ -57,6 +57,11 @@ def add_engine_args(p):
                         "band are re-scored by --ckpt's model")
     p.add_argument("--cascade_config", type=str, default=None,
                    help="screener YAML (default: --config)")
+    p.add_argument("--no_extend_fastpath", action="store_true",
+                   default=False,
+                   help="disable the zero-segment (dead-air) const-scatter"
+                        " + half-batch extend fastpath (bit-exact, on by "
+                        "default)")
     p.add_argument("--esc_gather", type=str, default="slice",
                    choices=("slice", "flat"),
                    help="escalation window-gather form: 'slice' (vmapped "
@@ -181,7 +186,8 @@ def build_engine(args, n_streams: int):
                        else int(args.hbm_limit_gb * 2**30)),
             gate_rms_dbfs=args.gate_db, gate_score=args.gate_score,
             escalate_band=args.cascade_band,
-            escalate_center=args.cascade_center)
+            escalate_center=args.cascade_center,
+            extend_fastpath=not args.no_extend_fastpath)
         if args.max_streams is not None \
                 and args.max_streams != eng.max_streams:
             raise SystemExit(
@@ -254,6 +260,7 @@ def build_engine(args, n_streams: int):
         duration=duration, hop=hop,
         max_streams=args.max_streams or n_streams,
         score_batch=args.score_batch, extend_batch=args.extend_batch,
+        extend_fastpath=not args.no_extend_fastpath,
         auto_batch=args.auto_batch,
         transport_dtype=(args.transport if args.transport else
                          "float32" if args.f32_transport else "int16"),
@@ -459,7 +466,8 @@ def main(argv=None):
                     for k in counts_loop}
         dev = sum(costs.get(k, 0.0) * per_tick[k] for k in per_tick)
         detail = " ".join(f"{k}:{costs.get(k, 0.0):.2f}ms x{per_tick[k]:.2f}"
-                          for k in ("extend", "score", "escalate")
+                          for k in ("extend", "extend_half", "extend_const",
+                                    "score", "escalate")
                           if per_tick.get(k))
         print(f"  [device {dev:.1f} ms/tick ({detail}) vs "
               f"{hop / sr * 1000:.0f} ms hop budget]", file=sys.stderr)

@@ -179,6 +179,7 @@ class MultiStreamScorer:
                  escalate_center: float = 0.0,
                  esc_batch: Optional[int] = None,
                  esc_gather: str = "slice",
+                 extend_fastpath: bool = True,
                  transport_dtype: str = "float32",
                  hbm_limit: Optional[int] = None,
                  auto_batch: bool = False,
@@ -516,6 +517,44 @@ class MultiStreamScorer:
         self._extend = jax.jit(extend, donate_argnums=(1, 2))
         self._score = jax.jit(score)
 
+        # ----- r4 zero-segment fastpath: an EXACT-zero segment (telephony
+        # DTX dead air; 0 encodes to 0 in every transport incl. mulaw) has
+        # a constant conv output — VALID convs over an all-zero segment
+        # produce identical frames — so such segments skip the conv
+        # entirely: a scatter-only program writes the precomputed
+        # conv(0-segment) feature rows (+ zero sample-ring rows). And when
+        # the remaining LIVE segments fit half the extend batch, the
+        # (shape-polymorphic) extend jit dispatches at the half shape —
+        # dispatch cost is ~linear in rows (PERFORMANCE.md esc-floor
+        # decomposition). Both paths are bit-exact by construction
+        # (tests/test_serving.py::test_zero_segment_fastpath_exact).
+        self._fastpath = bool(extend_fastpath)
+        # exported (fixed-shape) extend programs can't take half shapes;
+        # cli/export.py::load_serving clears this
+        self._extend_half_ok = True
+        self._half_extend = (self.extend_batch // 2 // n_) * n_
+        self._const_rows = None  # conv(zero segment) rows, derived lazily
+
+        def extend_const(const_rows, feats, swave, slots, frame_pos):
+            idx = (frame_pos[:, None] + seg_arange) % ring_frames_
+            feats = feats.at[slots[:, None], idx].set(
+                jnp.broadcast_to(const_rows[None].astype(feats.dtype),
+                                 (slots.shape[0],) + const_rows.shape))
+            if escalate_on:
+                if tail_rows_:
+                    tidx = (frame_pos[:, None] + seg_frames_
+                            + jnp.arange(tail_rows_, dtype=jnp.int32)) \
+                        % ring_frames_
+                    swave = swave.at[slots[:, None], tidx].set(
+                        jnp.zeros((slots.shape[0], tail_rows_, stride_),
+                                  swave.dtype))
+                swave = swave.at[slots[:, None], idx].set(
+                    jnp.zeros((slots.shape[0], seg_frames_, stride_),
+                              swave.dtype))
+            return feats, swave
+
+        self._extend_const = jax.jit(extend_const, donate_argnums=(1, 2))
+
         if self._escalate:
             esc_model, esc_params, esc_stats = escalate
             if mesh is not None:
@@ -576,7 +615,9 @@ class MultiStreamScorer:
             self._put = jnp.asarray
         # cumulative device-dispatch counts (capacity accounting: pairs
         # with :meth:`device_costs` to split compute from relay/host time)
-        self.dispatch_counts = {"extend": 0, "score": 0, "escalate": 0}
+        self.dispatch_counts = {"extend": 0, "extend_half": 0,
+                                "extend_const": 0, "score": 0,
+                                "escalate": 0}
 
     # ---------------------------------------------------------- memory guard
 
@@ -929,28 +970,71 @@ class MultiStreamScorer:
         for k in [k for k in st.engsq if k < oldest]:
             del st.engsq[k]
 
+    def _ensure_const_rows(self) -> None:
+        """Derive the conv(zero-segment) feature rows once per weight set:
+        run the already-compiled extend on an all-zero scratch batch and
+        capture the scratch slot's rows (no extra model compile)."""
+        if self._const_rows is not None:
+            return
+        seg0 = self._put(np.zeros((self.extend_batch, self.seg_samples),
+                                  self._tdtype))
+        slots = self._put(np.full((self.extend_batch,), self._scratch,
+                                  np.int32))
+        pos = self._put(np.zeros((self.extend_batch,), np.int32))
+        self._feats, self._swave = self._extend(
+            self._conv_params, self._feats, self._swave, seg0, slots, pos)
+        self._const_rows = jnp.array(
+            self._feats[self._scratch, :self.seg_frames])
+
     def poll(self) -> List[WindowScore]:
-        """Run at most one ``extend`` and one ``score`` dispatch; returns
-        the completed window scores. Call repeatedly (or :meth:`drain`)
-        to work through a backlog larger than the batch sizes."""
+        """Run at most one ``extend`` (+ one zero-segment const scatter)
+        and one ``score`` dispatch; returns the completed window scores.
+        Call repeatedly (or :meth:`drain`) to work through a backlog
+        larger than the batch sizes."""
         results: List[WindowScore] = []
         self._last_poll_work = False
         self._rr += 1  # rotate fairness offset (see _iter_slots)
         segs = self._due_segments(limit=self.extend_batch)
         if segs:
             self._last_poll_work = True
-            seg_mat = np.zeros((self.extend_batch, self.seg_samples),
-                               self._tdtype)
-            slots = np.full((self.extend_batch,), self._scratch, np.int32)
-            pos = np.zeros((self.extend_batch,), np.int32)
-            for i, (slot, seg_idx, samples) in enumerate(segs):
-                seg_mat[i] = samples
-                slots[i] = slot
-                pos[i] = (seg_idx * self.seg_frames) % self.ring_frames
-            self._feats, self._swave = self._extend(
-                self._conv_params, self._feats, self._swave,
-                self._put(seg_mat), self._put(slots), self._put(pos))
-            self.dispatch_counts["extend"] += 1
+            if self._fastpath:
+                live = [s for s in segs if s[2].any()]
+                zero_segs = [s for s in segs if not s[2].any()]
+            else:
+                live, zero_segs = segs, []
+            # const scatter FIRST: a later live segment's first sample-ring
+            # row must overwrite the preceding zero segment's tail row —
+            # the same real-data-wins order the single-batch extend uses
+            # (all other cross-dispatch row overlaps write equal zeros)
+            if zero_segs:
+                self._ensure_const_rows()
+                slots = np.full((self.extend_batch,), self._scratch,
+                                np.int32)
+                pos = np.zeros((self.extend_batch,), np.int32)
+                for i, (slot, seg_idx, _s) in enumerate(zero_segs):
+                    slots[i] = slot
+                    pos[i] = (seg_idx * self.seg_frames) % self.ring_frames
+                self._feats, self._swave = self._extend_const(
+                    self._const_rows, self._feats, self._swave,
+                    self._put(slots), self._put(pos))
+                self.dispatch_counts["extend_const"] += 1
+            if live:
+                nb, key = self.extend_batch, "extend"
+                if (self._fastpath and self._extend_half_ok
+                        and self._half_extend
+                        and len(live) <= self._half_extend):
+                    nb, key = self._half_extend, "extend_half"
+                seg_mat = np.zeros((nb, self.seg_samples), self._tdtype)
+                slots = np.full((nb,), self._scratch, np.int32)
+                pos = np.zeros((nb,), np.int32)
+                for i, (slot, seg_idx, samples) in enumerate(live):
+                    seg_mat[i] = samples
+                    slots[i] = slot
+                    pos[i] = (seg_idx * self.seg_frames) % self.ring_frames
+                self._feats, self._swave = self._extend(
+                    self._conv_params, self._feats, self._swave,
+                    self._put(seg_mat), self._put(slots), self._put(pos))
+                self.dispatch_counts[key] += 1
             self._consume(segs)
 
         gated = []
@@ -1109,6 +1193,7 @@ class MultiStreamScorer:
         self.params = params
         self.batch_stats = stats
         self._conv_params = params["ssl_model"]["feature_extractor"]
+        self._const_rows = None  # conv(0) rows follow the new conv weights
         self.model_swaps += 1
 
     @staticmethod
@@ -1133,7 +1218,7 @@ class MultiStreamScorer:
                     f"architecture checkpoints only")
 
     def warmup(self) -> None:
-        """Compile both programs once (scratch-only batches) so the first
+        """Compile every program once (scratch-only batches) so the first
         real poll is not a compile."""
         self._feats, self._swave = self._extend(
             self._conv_params, self._feats, self._swave,
@@ -1142,6 +1227,24 @@ class MultiStreamScorer:
             self._put(np.full((self.extend_batch,), self._scratch,
                               np.int32)),
             self._put(np.zeros((self.extend_batch,), np.int32)))
+        if self._fastpath:
+            # the warmup extend above ran the all-zero scratch batch —
+            # capture the conv(0) rows while they are fresh
+            self._const_rows = jnp.array(
+                self._feats[self._scratch, :self.seg_frames])
+            self._feats, self._swave = self._extend_const(
+                self._const_rows, self._feats, self._swave,
+                self._put(np.full((self.extend_batch,), self._scratch,
+                                  np.int32)),
+                self._put(np.zeros((self.extend_batch,), np.int32)))
+            if self._extend_half_ok and self._half_extend:
+                self._feats, self._swave = self._extend(
+                    self._conv_params, self._feats, self._swave,
+                    self._put(np.zeros((self._half_extend,
+                                        self.seg_samples), self._tdtype)),
+                    self._put(np.full((self._half_extend,), self._scratch,
+                                      np.int32)),
+                    self._put(np.zeros((self._half_extend,), np.int32)))
         jax.block_until_ready(np.asarray(self._score(
             self.params, self.batch_stats, self._feats,
             self._put(np.full((self.score_batch,), self._scratch,
@@ -1185,6 +1288,34 @@ class MultiStreamScorer:
                 epos)
         force(self._feats[self._scratch, 0])
         out["extend"] = (time.perf_counter() - t0) / n * 1000.0
+
+        if self._fastpath:
+            self._ensure_const_rows()
+            t0 = time.perf_counter()
+            for _ in range(n):
+                self._feats, self._swave = self._extend_const(
+                    self._const_rows, self._feats, self._swave, eslots,
+                    epos)
+            force(self._feats[self._scratch, 0])
+            out["extend_const"] = (time.perf_counter() - t0) / n * 1000.0
+            if self._extend_half_ok and self._half_extend:
+                hseg = self._put(np.zeros(
+                    (self._half_extend, self.seg_samples), self._tdtype))
+                hslots = self._put(np.full((self._half_extend,),
+                                           self._scratch, np.int32))
+                hpos = self._put(np.zeros((self._half_extend,), np.int32))
+                self._feats, self._swave = self._extend(
+                    self._conv_params, self._feats, self._swave, hseg,
+                    hslots, hpos)
+                force(self._feats[self._scratch, 0])
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    self._feats, self._swave = self._extend(
+                        self._conv_params, self._feats, self._swave,
+                        hseg, hslots, hpos)
+                force(self._feats[self._scratch, 0])
+                out["extend_half"] = (time.perf_counter() - t0) / n \
+                    * 1000.0
 
         sslots = self._put(np.full((self.score_batch,), self._scratch,
                                    np.int32))

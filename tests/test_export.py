@@ -222,6 +222,42 @@ def test_serve_cli_artifact_flag_validation(tiny, tmp_path):
                                  "4", "--audio", "x.wav"]), 1)
 
 
+def test_reload_params_from_artifact_sidecars(tiny, tmp_path):
+    """cli.serve.reload_params in --artifact mode re-reads the weight
+    sidecars from disk (the daemon's SIGHUP zero-downtime reload path
+    for artifact deployments)."""
+    import argparse
+
+    from rtdsd_tpu.cli.export import export_serving, save_serving
+    from rtdsd_tpu.cli.serve import reload_params
+
+    spec, variables, direct = tiny
+    cfg = spec.module.w2v_cfg
+    duration = 80 * cfg.total_stride
+    evars = init_variables_host(spec.module, jnp.zeros((2, T)), seed=7,
+                                train=False)
+    esc = (spec.module, evars["params"], evars.get("batch_stats", {}))
+    ext, sco, escx, meta = export_serving(
+        spec.module, variables, cfg, duration=duration, max_streams=2,
+        escalate=esc, platforms=("cpu",))
+    prefix = str(tmp_path / "reload_bundle")
+    save_serving(ext, sco, escx, prefix, meta, variables,
+                 esc_variables=evars)
+
+    args = argparse.Namespace(artifact=prefix)
+    params, stats, esc_out = reload_params(args)
+    want = jax.tree_util.tree_leaves(variables["params"])
+    got = jax.tree_util.tree_leaves(params)
+    assert len(want) == len(got)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+    assert esc_out is not None
+    ew = jax.tree_util.tree_leaves(evars["params"])
+    eg = jax.tree_util.tree_leaves(esc_out[0])
+    for w, g in zip(ew, eg):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+
 def test_export_streaming_rejects_subframe_hop(tiny):
     from rtdsd_tpu.cli.export import export_streaming
 

@@ -520,6 +520,101 @@ def test_auto_batch_composes_with_extend_uncap(tiny):
     assert eng.hbm_estimate <= target.hbm_estimate
 
 
+def test_zero_segment_fastpath_exact(tiny):
+    """r4 extend fastpath: exact-zero (dead-air) segments route to a
+    scatter-only const program and the live extend drops to the half
+    shape when it fits — BIT-EXACT vs the plain engine for audio that
+    interleaves speech, exact silence, and straddling windows, with
+    escalation reading the sample ring across the same boundaries."""
+    model, params, stats, cfg, duration = tiny
+    hop = duration // 2
+    rng = np.random.default_rng(11)
+    # loud | 4 hops of exact zeros | loud — windows straddle both edges
+    wave = np.concatenate([
+        rng.standard_normal(2 * hop).astype(np.float32) * 0.1,
+        np.zeros(4 * hop, np.float32),
+        rng.standard_normal(2 * hop + duration).astype(np.float32) * 0.1,
+    ])
+    esc_model = model
+    evars_band = 1e9  # escalate everything: sample-ring content checked
+
+    outs = []
+    for fast in (False, True):
+        eng = MultiStreamScorer(model, params, stats, cfg,
+                                duration=duration, hop=hop, max_streams=4,
+                                transport_dtype="int16",
+                                extend_fastpath=fast,
+                                escalate=(esc_model, params, stats),
+                                escalate_band=evars_band)
+        h = eng.open_stream("z")
+        for i in range(0, len(wave), 700):  # uneven pushes
+            eng.push(h, wave[i:i + 700])
+        eng.close_stream(h, flush=True)
+        outs.append(sorted(eng.drain(), key=lambda g: g.start_sample))
+        if fast:
+            assert eng.dispatch_counts["extend_const"] > 0
+            assert eng.dispatch_counts["extend_half"] > 0
+    ref, got = outs
+    assert len(ref) == len(got) > 0
+    assert [g.start_sample for g in got] == [g.start_sample for g in ref]
+    assert [g.escalated for g in got] == [g.escalated for g in ref]
+    np.testing.assert_array_equal([g.score for g in got],
+                                  [g.score for g in ref])
+
+
+def test_zero_segment_fastpath_with_gate_and_swap(tiny):
+    """Fastpath composes with the energy gate (gated flags identical) and
+    survives a hot weight swap (conv(0) rows re-derive for the new conv
+    weights — a stale const row block would poison the ring)."""
+    model, params, stats, cfg, duration = tiny
+    hop = duration // 2
+    rng = np.random.default_rng(13)
+    wave = np.concatenate([
+        np.zeros(2 * hop, np.float32),
+        rng.standard_normal(2 * hop + duration).astype(np.float32) * 0.1,
+    ])
+
+    outs = []
+    for fast in (False, True):
+        eng = MultiStreamScorer(model, params, stats, cfg,
+                                duration=duration, hop=hop, max_streams=2,
+                                transport_dtype="int16",
+                                extend_fastpath=fast,
+                                gate_rms_dbfs=-50.0, gate_score=-7.0)
+        h = eng.open_stream("g")
+        eng.push(h, wave)
+        eng.close_stream(h, flush=True)
+        outs.append(sorted(eng.drain(), key=lambda g: g.start_sample))
+    ref, got = outs
+    assert [g.gated for g in got] == [g.gated for g in ref]
+    assert any(g.gated for g in got)
+    np.testing.assert_array_equal([g.score for g in got],
+                                  [g.score for g in ref])
+
+    # hot swap: scaled conv weights change conv(0) (LN biases differ) —
+    # the fastpath engine must re-derive, matching a fresh plain engine
+    import jax as _jax
+
+    new_params = _jax.tree_util.tree_map(lambda x: x * 1.1, params)
+    fast_eng = MultiStreamScorer(model, params, stats, cfg,
+                                 duration=duration, hop=hop,
+                                 max_streams=2, transport_dtype="int16",
+                                 extend_fastpath=True)
+    fast_eng.swap_model(new_params, stats)
+    plain_eng = MultiStreamScorer(model, new_params, stats, cfg,
+                                  duration=duration, hop=hop,
+                                  max_streams=2, transport_dtype="int16",
+                                  extend_fastpath=False)
+    res = []
+    for eng in (fast_eng, plain_eng):
+        h = eng.open_stream("s")
+        eng.push(h, wave)
+        eng.close_stream(h, flush=True)
+        res.append([g.score for g in sorted(eng.drain(),
+                                            key=lambda g: g.start_sample)])
+    np.testing.assert_array_equal(res[0], res[1])
+
+
 def test_dispatch_counts_and_device_costs(tiny):
     """Capacity accounting: dispatch_counts tracks one increment per device
     program call (the O(1)-dispatches-per-poll claim), and device_costs
@@ -537,16 +632,23 @@ def test_dispatch_counts_and_device_costs(tiny):
         delta = {k: eng.dispatch_counts[k] - before[k]
                  for k in eng.dispatch_counts}
         if not (eng._last_poll_work or out):
-            assert delta == {"extend": 0, "score": 0, "escalate": 0}
+            assert not any(delta.values())
             break
         polls_with_work += 1
-        assert delta["extend"] <= 1 and delta["score"] <= 1  # O(1)/poll
+        # O(1)/poll: at most one live extend (full OR half), one const
+        # scatter, one score
+        assert delta["extend"] + delta["extend_half"] <= 1
+        assert delta["extend_const"] <= 1 and delta["score"] <= 1
     assert polls_with_work >= 1
-    assert eng.dispatch_counts["extend"] >= 1
+    # the pushed audio is all zeros, so the fastpath routes every segment
+    # through the const scatter program
+    assert eng.dispatch_counts["extend_const"] >= 1
+    assert eng.dispatch_counts["extend"] \
+        + eng.dispatch_counts["extend_half"] == 0
     assert eng.dispatch_counts["score"] >= 1
 
     costs = eng.device_costs(n=2)
-    assert set(costs) == {"extend", "score"}
+    assert {"extend", "extend_const", "score"} <= set(costs)
     assert all(v > 0 for v in costs.values())
     # the accounting itself must not perturb stream state
     eng.close_stream(h, flush=True)

@@ -65,6 +65,10 @@ def main():
                     help="fraction of streams pushing pure silence "
                          "(models telephony dead air); pair with "
                          "--gate_db to measure the gate's capacity win")
+    ap.add_argument("--no_extend_fastpath", action="store_true",
+                    default=False,
+                    help="disable the zero-segment const-scatter + "
+                         "half-batch extend fastpath (A/B control)")
     ap.add_argument("--esc_gather", type=str, default="slice",
                     choices=("slice", "flat"),
                     help="escalation window-gather form (slice = vmapped "
@@ -154,6 +158,7 @@ def main():
                                 transport_dtype=args.transport,
                                 score_batch=args.score_batch,
                                 extend_batch=args.extend_batch,
+                                extend_fastpath=not args.no_extend_fastpath,
                                 gate_rms_dbfs=args.gate_db,
                                 hbm_limit=(None if args.hbm_limit_gb
                                            is None
@@ -239,7 +244,8 @@ def main():
                     / args.ticks for k in eng.dispatch_counts}
         dev_ms = sum(costs.get(k, 0.0) * per_tick[k] for k in per_tick)
         detail = " ".join(f"{k}:{costs.get(k, 0.0):.2f}ms x{per_tick[k]:.2f}"
-                          for k in ("extend", "score", "escalate")
+                          for k in ("extend", "extend_half", "extend_const",
+                                    "score", "escalate")
                           if per_tick.get(k))
         dev_cap = int(S * budget_ms / max(dev_ms, 1e-9))
         log(f"S={S}: device {dev_ms:.1f} ms/tick ({detail}) "
