@@ -201,7 +201,8 @@ def export_serving(module, variables, cfg, *, duration: int,
                                    eng._swave.dtype)
     pf = tuple(platforms)
     ext_exp = jexport.export(jax.jit(eng._extend_fn), platforms=pf)(
-        _avals(eng._conv_params), feats_av, swave_av, segs_av,
+        _avals(eng._conv_params), aval(eng._const_zero), feats_av,
+        swave_av, segs_av, i32(eng.extend_batch), i32(eng.extend_batch),
         i32(eng.extend_batch), i32(eng.extend_batch))
     score_exp = jexport.export(jax.jit(eng._score_fn), platforms=pf)(
         _avals(eng.params), _avals(eng.batch_stats), feats_av,
@@ -214,6 +215,10 @@ def export_serving(module, variables, cfg, *, duration: int,
 
     meta = {
         "serving": True,
+        # format 2 (r4): the extend program carries the folded
+        # zero-segment const scatter (cp, const_rows, feats, swave,
+        # segs, slots, pos, zslots, zpos)
+        "serving_format": 2,
         "w2v_cfg": dataclasses.asdict(cfg),
         "model_dtype": str(jnp.dtype(module.dtype)),
         "duration": int(eng.duration), "hop": int(eng.hop),
@@ -298,6 +303,12 @@ def load_serving(prefix: str, *, hbm_limit: Optional[int] = None,
         raise ValueError(
             f"{prefix} is not a serving artifact (export with "
             f"cli.export --serving)")
+    if meta.get("serving_format", 1) != 2:
+        raise ValueError(
+            f"{prefix} is a format-{meta.get('serving_format', 1)} "
+            f"serving bundle; this engine expects format 2 (the extend "
+            f"program carries the folded zero-segment scatter) — "
+            f"re-export with this version's cli.export --serving")
     cfgd = dict(meta["w2v_cfg"])
     cfgd["conv_layers"] = tuple(tuple(l) for l in cfgd["conv_layers"])
     cfg = Wav2Vec2Config(**cfgd)

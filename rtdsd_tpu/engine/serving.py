@@ -477,7 +477,36 @@ class MultiStreamScorer:
         self.esc_gather = esc_gather
         seg_frames_ = self.seg_frames
 
-        def extend(cp, feats, swave, segs, slots, frame_pos):
+        def _zero_scatter(const_rows, feats, swave, zslots, zpos):
+            """Write conv(0) feature rows + zero sample rows for the
+            zero-segment batch (scratch-padded; ~free when all-scratch)."""
+            zidx = (zpos[:, None] + seg_arange) % ring_frames_
+            feats = feats.at[zslots[:, None], zidx].set(
+                jnp.broadcast_to(const_rows[None].astype(feats.dtype),
+                                 (zslots.shape[0],) + const_rows.shape))
+            if escalate_on:
+                if tail_rows_:
+                    ztidx = (zpos[:, None] + seg_frames_
+                             + jnp.arange(tail_rows_, dtype=jnp.int32)) \
+                        % ring_frames_
+                    swave = swave.at[zslots[:, None], ztidx].set(
+                        jnp.zeros((zslots.shape[0], tail_rows_, stride_),
+                                  swave.dtype))
+                swave = swave.at[zslots[:, None], zidx].set(
+                    jnp.zeros((zslots.shape[0], seg_frames_, stride_),
+                              swave.dtype))
+            return feats, swave
+
+        def extend(cp, const_rows, feats, swave, segs, slots, frame_pos,
+                   zslots, zpos):
+            # r4: the zero-segment const scatter rides INSIDE the live
+            # extend dispatch (XLA overlaps it under the conv; saves the
+            # separate dispatch). Writes happen const-FIRST so a live
+            # segment's first sample-ring row overwrites the preceding
+            # zero segment's tail row — the same real-data-wins order as
+            # the single-batch semantics.
+            feats, swave = _zero_scatter(const_rows, feats, swave,
+                                         zslots, zpos)
             waves = _decode(segs)
             new = conv.apply({"params": cp}, waves)
             idx = (frame_pos[:, None] + seg_arange) % ring_frames_
@@ -514,7 +543,7 @@ class MultiStreamScorer:
         # donation is a perf-only property the artifact path drops).
         self._extend_fn = extend
         self._score_fn = score
-        self._extend = jax.jit(extend, donate_argnums=(1, 2))
+        self._extend = jax.jit(extend, donate_argnums=(2, 3))
         self._score = jax.jit(score)
 
         # ----- r4 zero-segment fastpath: an EXACT-zero segment (telephony
@@ -534,26 +563,15 @@ class MultiStreamScorer:
         self._extend_half_ok = True
         self._half_extend = (self.extend_batch // 2 // n_) * n_
         self._const_rows = None  # conv(zero segment) rows, derived lazily
+        # placeholder for calls before derivation (the zero-batch rows
+        # those calls write are all scratch, so the values never matter;
+        # swapping in the derived rows later changes values, not shapes)
+        self._const_zero = jnp.zeros((self.seg_frames, self._channels),
+                                     model.dtype)
 
-        def extend_const(const_rows, feats, swave, slots, frame_pos):
-            idx = (frame_pos[:, None] + seg_arange) % ring_frames_
-            feats = feats.at[slots[:, None], idx].set(
-                jnp.broadcast_to(const_rows[None].astype(feats.dtype),
-                                 (slots.shape[0],) + const_rows.shape))
-            if escalate_on:
-                if tail_rows_:
-                    tidx = (frame_pos[:, None] + seg_frames_
-                            + jnp.arange(tail_rows_, dtype=jnp.int32)) \
-                        % ring_frames_
-                    swave = swave.at[slots[:, None], tidx].set(
-                        jnp.zeros((slots.shape[0], tail_rows_, stride_),
-                                  swave.dtype))
-                swave = swave.at[slots[:, None], idx].set(
-                    jnp.zeros((slots.shape[0], seg_frames_, stride_),
-                              swave.dtype))
-            return feats, swave
-
-        self._extend_const = jax.jit(extend_const, donate_argnums=(1, 2))
+        # standalone const scatter for ticks with ONLY zero segments (a
+        # folded dispatch would pay the conv on an all-padding batch)
+        self._extend_const = jax.jit(_zero_scatter, donate_argnums=(1, 2))
 
         if self._escalate:
             esc_model, esc_params, esc_stats = escalate
@@ -970,6 +988,11 @@ class MultiStreamScorer:
         for k in [k for k in st.engsq if k < oldest]:
             del st.engsq[k]
 
+    def _scratch_batch(self, n):
+        """(slots, pos) scratch-padding arrays of length ``n``."""
+        return (self._put(np.full((n,), self._scratch, np.int32)),
+                self._put(np.zeros((n,), np.int32)))
+
     def _ensure_const_rows(self) -> None:
         """Derive the conv(zero-segment) feature rows once per weight set:
         run the already-compiled extend on an all-zero scratch batch and
@@ -978,11 +1001,11 @@ class MultiStreamScorer:
             return
         seg0 = self._put(np.zeros((self.extend_batch, self.seg_samples),
                                   self._tdtype))
-        slots = self._put(np.full((self.extend_batch,), self._scratch,
-                                  np.int32))
-        pos = self._put(np.zeros((self.extend_batch,), np.int32))
+        slots, pos = self._scratch_batch(self.extend_batch)
+        zslots, zpos = self._scratch_batch(self.extend_batch)
         self._feats, self._swave = self._extend(
-            self._conv_params, self._feats, self._swave, seg0, slots, pos)
+            self._conv_params, self._const_zero, self._feats, self._swave,
+            seg0, slots, pos, zslots, zpos)
         self._const_rows = jnp.array(
             self._feats[self._scratch, :self.seg_frames])
 
@@ -1002,23 +1025,19 @@ class MultiStreamScorer:
                 zero_segs = [s for s in segs if not s[2].any()]
             else:
                 live, zero_segs = segs, []
-            # const scatter FIRST: a later live segment's first sample-ring
-            # row must overwrite the preceding zero segment's tail row —
-            # the same real-data-wins order the single-batch extend uses
-            # (all other cross-dispatch row overlaps write equal zeros)
+            zslots_np = np.full((self.extend_batch,), self._scratch,
+                                np.int32)
+            zpos_np = np.zeros((self.extend_batch,), np.int32)
             if zero_segs:
                 self._ensure_const_rows()
-                slots = np.full((self.extend_batch,), self._scratch,
-                                np.int32)
-                pos = np.zeros((self.extend_batch,), np.int32)
                 for i, (slot, seg_idx, _s) in enumerate(zero_segs):
-                    slots[i] = slot
-                    pos[i] = (seg_idx * self.seg_frames) % self.ring_frames
-                self._feats, self._swave = self._extend_const(
-                    self._const_rows, self._feats, self._swave,
-                    self._put(slots), self._put(pos))
-                self.dispatch_counts["extend_const"] += 1
+                    zslots_np[i] = slot
+                    zpos_np[i] = (seg_idx * self.seg_frames) \
+                        % self.ring_frames
             if live:
+                # the zero-segment const scatter rides inside this
+                # dispatch (program writes const rows FIRST — the
+                # real-data-wins order of the single-batch semantics)
                 nb, key = self.extend_batch, "extend"
                 if (self._fastpath and self._extend_half_ok
                         and self._half_extend
@@ -1032,9 +1051,20 @@ class MultiStreamScorer:
                     slots[i] = slot
                     pos[i] = (seg_idx * self.seg_frames) % self.ring_frames
                 self._feats, self._swave = self._extend(
-                    self._conv_params, self._feats, self._swave,
-                    self._put(seg_mat), self._put(slots), self._put(pos))
+                    self._conv_params,
+                    (self._const_rows if self._const_rows is not None
+                     else self._const_zero),
+                    self._feats, self._swave,
+                    self._put(seg_mat), self._put(slots), self._put(pos),
+                    self._put(zslots_np), self._put(zpos_np))
                 self.dispatch_counts[key] += 1
+            elif zero_segs:
+                # all-silent tick: scatter-only program (a folded dispatch
+                # would pay the conv on an all-padding batch)
+                self._feats, self._swave = self._extend_const(
+                    self._const_rows, self._feats, self._swave,
+                    self._put(zslots_np), self._put(zpos_np))
+                self.dispatch_counts["extend_const"] += 1
             self._consume(segs)
 
         gated = []
@@ -1220,31 +1250,28 @@ class MultiStreamScorer:
     def warmup(self) -> None:
         """Compile every program once (scratch-only batches) so the first
         real poll is not a compile."""
+        zslots, zpos = self._scratch_batch(self.extend_batch)
+        slots, pos = self._scratch_batch(self.extend_batch)
         self._feats, self._swave = self._extend(
-            self._conv_params, self._feats, self._swave,
+            self._conv_params, self._const_zero, self._feats, self._swave,
             self._put(np.zeros((self.extend_batch, self.seg_samples),
                                self._tdtype)),
-            self._put(np.full((self.extend_batch,), self._scratch,
-                              np.int32)),
-            self._put(np.zeros((self.extend_batch,), np.int32)))
+            slots, pos, zslots, zpos)
         if self._fastpath:
             # the warmup extend above ran the all-zero scratch batch —
             # capture the conv(0) rows while they are fresh
             self._const_rows = jnp.array(
                 self._feats[self._scratch, :self.seg_frames])
             self._feats, self._swave = self._extend_const(
-                self._const_rows, self._feats, self._swave,
-                self._put(np.full((self.extend_batch,), self._scratch,
-                                  np.int32)),
-                self._put(np.zeros((self.extend_batch,), np.int32)))
+                self._const_rows, self._feats, self._swave, zslots, zpos)
             if self._extend_half_ok and self._half_extend:
+                hslots, hpos = self._scratch_batch(self._half_extend)
                 self._feats, self._swave = self._extend(
-                    self._conv_params, self._feats, self._swave,
+                    self._conv_params, self._const_rows, self._feats,
+                    self._swave,
                     self._put(np.zeros((self._half_extend,
                                         self.seg_samples), self._tdtype)),
-                    self._put(np.full((self._half_extend,), self._scratch,
-                                      np.int32)),
-                    self._put(np.zeros((self._half_extend,), np.int32)))
+                    hslots, hpos, zslots, zpos)
         jax.block_until_ready(np.asarray(self._score(
             self.params, self.batch_stats, self._feats,
             self._put(np.full((self.score_batch,), self._scratch,
@@ -1273,46 +1300,46 @@ class MultiStreamScorer:
             return float(jnp.asarray(x).reshape(-1)[0].astype(jnp.float32))
 
         out: Dict[str, float] = {}
+        self._ensure_const_rows()
+        const = self._const_rows
         seg0 = self._put(np.zeros((self.extend_batch, self.seg_samples),
                                   self._tdtype))
-        eslots = self._put(np.full((self.extend_batch,), self._scratch,
-                                   np.int32))
-        epos = self._put(np.zeros((self.extend_batch,), np.int32))
+        eslots, epos = self._scratch_batch(self.extend_batch)
+        zslots, zpos = self._scratch_batch(self.extend_batch)
         self._feats, self._swave = self._extend(
-            self._conv_params, self._feats, self._swave, seg0, eslots, epos)
+            self._conv_params, const, self._feats, self._swave, seg0,
+            eslots, epos, zslots, zpos)
         force(self._feats[self._scratch, 0])
         t0 = time.perf_counter()
         for _ in range(n):
             self._feats, self._swave = self._extend(
-                self._conv_params, self._feats, self._swave, seg0, eslots,
-                epos)
+                self._conv_params, const, self._feats, self._swave, seg0,
+                eslots, epos, zslots, zpos)
         force(self._feats[self._scratch, 0])
         out["extend"] = (time.perf_counter() - t0) / n * 1000.0
 
         if self._fastpath:
-            self._ensure_const_rows()
+            self._feats, self._swave = self._extend_const(
+                const, self._feats, self._swave, zslots, zpos)
             t0 = time.perf_counter()
             for _ in range(n):
                 self._feats, self._swave = self._extend_const(
-                    self._const_rows, self._feats, self._swave, eslots,
-                    epos)
+                    const, self._feats, self._swave, zslots, zpos)
             force(self._feats[self._scratch, 0])
             out["extend_const"] = (time.perf_counter() - t0) / n * 1000.0
             if self._extend_half_ok and self._half_extend:
                 hseg = self._put(np.zeros(
                     (self._half_extend, self.seg_samples), self._tdtype))
-                hslots = self._put(np.full((self._half_extend,),
-                                           self._scratch, np.int32))
-                hpos = self._put(np.zeros((self._half_extend,), np.int32))
+                hslots, hpos = self._scratch_batch(self._half_extend)
                 self._feats, self._swave = self._extend(
-                    self._conv_params, self._feats, self._swave, hseg,
-                    hslots, hpos)
+                    self._conv_params, const, self._feats, self._swave,
+                    hseg, hslots, hpos, zslots, zpos)
                 force(self._feats[self._scratch, 0])
                 t0 = time.perf_counter()
                 for _ in range(n):
                     self._feats, self._swave = self._extend(
-                        self._conv_params, self._feats, self._swave,
-                        hseg, hslots, hpos)
+                        self._conv_params, const, self._feats,
+                        self._swave, hseg, hslots, hpos, zslots, zpos)
                 force(self._feats[self._scratch, 0])
                 out["extend_half"] = (time.perf_counter() - t0) / n \
                     * 1000.0

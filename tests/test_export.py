@@ -168,12 +168,16 @@ def test_export_serving_artifact_matches_ckpt_engine(tiny, tmp_path):
         loud = e.open_stream("loud")
         quiet = e.open_stream("quiet")
         e.push(loud, wave)
-        e.push(quiet, wave * 1e-4)  # below the -50 dBFS gate
+        # exact zeros: gated AND through the zero-segment const-scatter
+        # fastpath — which the artifact engine must drive through its
+        # DESERIALIZED extend program (conv(0) row derivation)
+        e.push(quiet, np.zeros_like(wave))
         e.close_stream(loud, flush=True)
         e.close_stream(quiet, flush=True)
         outs.append(sorted(e.drain(),
                            key=lambda g: (str(g.stream_id),
                                           g.start_sample)))
+        assert e.dispatch_counts["extend_const"] > 0
     ref, got = outs
     assert len(ref) == len(got) > 0
     assert [g.gated for g in got] == [g.gated for g in ref]
