@@ -168,6 +168,7 @@ async def _amain(args):
                   f"idle_sheds={daemon.idle_sheds} "
                   f"reloads={daemon.reloads} "
                   f"gated={eng.gated_windows} "
+                  f"zero_segs={eng.zero_segments} "
                   f"dispatches={dict(eng.dispatch_counts)}",
                   file=sys.stderr, flush=True)
 

@@ -314,6 +314,7 @@ class MultiStreamScorer:
                          else 10.0 ** (gate_rms_dbfs / 10.0))
         self.gate_score = float(gate_score)
         self.gated_windows = 0  # observability counter
+        self.zero_segments = 0  # segments served by the const fastpath
         self.model_swaps = 0  # hot checkpoint swaps (see swap_model)
 
         self.params = params
@@ -1030,6 +1031,7 @@ class MultiStreamScorer:
             zpos_np = np.zeros((self.extend_batch,), np.int32)
             if zero_segs:
                 self._ensure_const_rows()
+                self.zero_segments += len(zero_segs)
                 for i, (slot, seg_idx, _s) in enumerate(zero_segs):
                     zslots_np[i] = slot
                     zpos_np[i] = (seg_idx * self.seg_frames) \

@@ -177,7 +177,7 @@ def test_export_serving_artifact_matches_ckpt_engine(tiny, tmp_path):
         outs.append(sorted(e.drain(),
                            key=lambda g: (str(g.stream_id),
                                           g.start_sample)))
-        assert e.dispatch_counts["extend_const"] > 0
+        assert e.zero_segments > 0  # const fastpath engaged
     ref, got = outs
     assert len(ref) == len(got) > 0
     assert [g.gated for g in got] == [g.gated for g in ref]

@@ -552,7 +552,7 @@ def test_zero_segment_fastpath_exact(tiny):
         eng.close_stream(h, flush=True)
         outs.append(sorted(eng.drain(), key=lambda g: g.start_sample))
         if fast:
-            assert eng.dispatch_counts["extend_const"] > 0
+            assert eng.zero_segments > 0
             assert eng.dispatch_counts["extend_half"] > 0
     ref, got = outs
     assert len(ref) == len(got) > 0
