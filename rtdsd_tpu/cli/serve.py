@@ -62,6 +62,11 @@ def add_engine_args(p):
                    help="disable the zero-segment (dead-air) const-scatter"
                         " + half-batch extend fastpath (bit-exact, on by "
                         "default)")
+    p.add_argument("--extend_rungs", type=int, default=2,
+                   help="halving rungs below the full extend shape the "
+                        "fastpath may dispatch at (default 2 = half + "
+                        "quarter; each rung is one extra warmup compile; "
+                        "quarter is +20%% capacity at 75%% dead air)")
     p.add_argument("--esc_gather", type=str, default="slice",
                    choices=("slice", "flat"),
                    help="escalation window-gather form: 'slice' (vmapped "
@@ -261,6 +266,7 @@ def build_engine(args, n_streams: int):
         max_streams=args.max_streams or n_streams,
         score_batch=args.score_batch, extend_batch=args.extend_batch,
         extend_fastpath=not args.no_extend_fastpath,
+        extend_rungs=args.extend_rungs,
         auto_batch=args.auto_batch,
         transport_dtype=(args.transport if args.transport else
                          "float32" if args.f32_transport else "int16"),
@@ -466,8 +472,9 @@ def main(argv=None):
                     for k in counts_loop}
         dev = sum(costs.get(k, 0.0) * per_tick[k] for k in per_tick)
         detail = " ".join(f"{k}:{costs.get(k, 0.0):.2f}ms x{per_tick[k]:.2f}"
-                          for k in ("extend", "extend_half", "extend_const",
-                                    "score", "escalate")
+                          for k in ("extend", "extend_half",
+                                    "extend_quarter", "extend_eighth",
+                                    "extend_const", "score", "escalate")
                           if per_tick.get(k))
         print(f"  [device {dev:.1f} ms/tick ({detail}) vs "
               f"{hop / sr * 1000:.0f} ms hop budget]", file=sys.stderr)

@@ -180,6 +180,7 @@ class MultiStreamScorer:
                  esc_batch: Optional[int] = None,
                  esc_gather: str = "slice",
                  extend_fastpath: bool = True,
+                 extend_rungs: int = 2,
                  transport_dtype: str = "float32",
                  hbm_limit: Optional[int] = None,
                  auto_batch: bool = False,
@@ -559,10 +560,27 @@ class MultiStreamScorer:
         # decomposition). Both paths are bit-exact by construction
         # (tests/test_serving.py::test_zero_segment_fastpath_exact).
         self._fastpath = bool(extend_fastpath)
-        # exported (fixed-shape) extend programs can't take half shapes;
+        # exported (fixed-shape) extend programs can't take sub-shapes;
         # cli/export.py::load_serving clears this
         self._extend_half_ok = True
-        self._half_extend = (self.extend_batch // 2 // n_) * n_
+        # r4 extend ladder: `extend_rungs` successive halvings of the live
+        # extend shape. The default quarter rung is measured worth
+        # 25.6 -> 21.4 device-ms/tick at S=512 gated 75%-silence (+20%
+        # capacity, PERFORMANCE.md); each rung is one more warmup compile
+        # of the same shape-polymorphic extend jit and costs nothing per
+        # tick when it doesn't engage (live rows pick the smallest fit).
+        self._extend_rungs: List[tuple] = []
+        _rung_names = ("extend_half", "extend_quarter", "extend_eighth")
+        rb = self.extend_batch
+        for i in range(max(0, int(extend_rungs))):
+            rb = (rb // 2 // n_) * n_
+            if rb <= 0:
+                break
+            nm = (_rung_names[i] if i < len(_rung_names)
+                  else f"extend_1_{2 ** (i + 1)}")
+            self._extend_rungs.append((rb, nm))
+        self._half_extend = (self._extend_rungs[0][0]
+                             if self._extend_rungs else 0)
         self._const_rows = None  # conv(zero segment) rows, derived lazily
         # placeholder for calls before derivation (the zero-batch rows
         # those calls write are all scratch, so the values never matter;
@@ -634,9 +652,11 @@ class MultiStreamScorer:
             self._put = jnp.asarray
         # cumulative device-dispatch counts (capacity accounting: pairs
         # with :meth:`device_costs` to split compute from relay/host time)
-        self.dispatch_counts = {"extend": 0, "extend_half": 0,
-                                "extend_const": 0, "score": 0,
-                                "escalate": 0}
+        self.dispatch_counts = {"extend": 0, "extend_const": 0,
+                                "score": 0, "escalate": 0}
+        for _rb, _nm in (self._extend_rungs or [(0, "extend_half")]):
+            self.dispatch_counts.setdefault(_nm, 0)
+        self.dispatch_counts.setdefault("extend_half", 0)
 
     # ---------------------------------------------------------- memory guard
 
@@ -1041,10 +1061,14 @@ class MultiStreamScorer:
                 # dispatch (program writes const rows FIRST — the
                 # real-data-wins order of the single-batch semantics)
                 nb, key = self.extend_batch, "extend"
-                if (self._fastpath and self._extend_half_ok
-                        and self._half_extend
-                        and len(live) <= self._half_extend):
-                    nb, key = self._half_extend, "extend_half"
+                if self._fastpath and self._extend_half_ok:
+                    # ladder rungs are descending; take the smallest that
+                    # still fits the live rows
+                    for rb, rname in self._extend_rungs:
+                        if len(live) <= rb:
+                            nb, key = rb, rname
+                        else:
+                            break
                 seg_mat = np.zeros((nb, self.seg_samples), self._tdtype)
                 slots = np.full((nb,), self._scratch, np.int32)
                 pos = np.zeros((nb,), np.int32)
@@ -1266,14 +1290,15 @@ class MultiStreamScorer:
                 self._feats[self._scratch, :self.seg_frames])
             self._feats, self._swave = self._extend_const(
                 self._const_rows, self._feats, self._swave, zslots, zpos)
-            if self._extend_half_ok and self._half_extend:
-                hslots, hpos = self._scratch_batch(self._half_extend)
-                self._feats, self._swave = self._extend(
-                    self._conv_params, self._const_rows, self._feats,
-                    self._swave,
-                    self._put(np.zeros((self._half_extend,
-                                        self.seg_samples), self._tdtype)),
-                    hslots, hpos, zslots, zpos)
+            if self._extend_half_ok:
+                for rb, _rname in self._extend_rungs:
+                    hslots, hpos = self._scratch_batch(rb)
+                    self._feats, self._swave = self._extend(
+                        self._conv_params, self._const_rows, self._feats,
+                        self._swave,
+                        self._put(np.zeros((rb, self.seg_samples),
+                                           self._tdtype)),
+                        hslots, hpos, zslots, zpos)
         jax.block_until_ready(np.asarray(self._score(
             self.params, self.batch_stats, self._feats,
             self._put(np.full((self.score_batch,), self._scratch,
@@ -1329,22 +1354,22 @@ class MultiStreamScorer:
                     const, self._feats, self._swave, zslots, zpos)
             force(self._feats[self._scratch, 0])
             out["extend_const"] = (time.perf_counter() - t0) / n * 1000.0
-            if self._extend_half_ok and self._half_extend:
-                hseg = self._put(np.zeros(
-                    (self._half_extend, self.seg_samples), self._tdtype))
-                hslots, hpos = self._scratch_batch(self._half_extend)
-                self._feats, self._swave = self._extend(
-                    self._conv_params, const, self._feats, self._swave,
-                    hseg, hslots, hpos, zslots, zpos)
-                force(self._feats[self._scratch, 0])
-                t0 = time.perf_counter()
-                for _ in range(n):
+            if self._extend_half_ok:
+                for rb, rname in self._extend_rungs:
+                    hseg = self._put(np.zeros(
+                        (rb, self.seg_samples), self._tdtype))
+                    hslots, hpos = self._scratch_batch(rb)
                     self._feats, self._swave = self._extend(
-                        self._conv_params, const, self._feats,
-                        self._swave, hseg, hslots, hpos, zslots, zpos)
-                force(self._feats[self._scratch, 0])
-                out["extend_half"] = (time.perf_counter() - t0) / n \
-                    * 1000.0
+                        self._conv_params, const, self._feats, self._swave,
+                        hseg, hslots, hpos, zslots, zpos)
+                    force(self._feats[self._scratch, 0])
+                    t0 = time.perf_counter()
+                    for _ in range(n):
+                        self._feats, self._swave = self._extend(
+                            self._conv_params, const, self._feats,
+                            self._swave, hseg, hslots, hpos, zslots, zpos)
+                    force(self._feats[self._scratch, 0])
+                    out[rname] = (time.perf_counter() - t0) / n * 1000.0
 
         sslots = self._put(np.full((self.score_batch,), self._scratch,
                                    np.int32))

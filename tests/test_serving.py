@@ -553,11 +553,68 @@ def test_zero_segment_fastpath_exact(tiny):
         outs.append(sorted(eng.drain(), key=lambda g: g.start_sample))
         if fast:
             assert eng.zero_segments > 0
-            assert eng.dispatch_counts["extend_half"] > 0
+            # a sub-shape rung (half or the default quarter) carried at
+            # least one live extend
+            assert eng.dispatch_counts["extend_half"] \
+                + eng.dispatch_counts["extend_quarter"] > 0
     ref, got = outs
     assert len(ref) == len(got) > 0
     assert [g.start_sample for g in got] == [g.start_sample for g in ref]
     assert [g.escalated for g in got] == [g.escalated for g in ref]
+    np.testing.assert_array_equal([g.score for g in got],
+                                  [g.score for g in ref])
+
+
+def test_extend_ladder_quarter_rung(tiny):
+    """extend_rungs=2: when the live rows fit a QUARTER of the extend
+    batch the dispatch drops two rungs (smallest fitting shape wins),
+    stays bit-exact vs the plain engine, and the rung is visible in
+    dispatch_counts/device_costs."""
+    model, params, stats, cfg, duration = tiny
+    hop = duration // 2
+    rng = np.random.default_rng(17)
+    loud = rng.standard_normal(4 * hop + duration).astype(np.float32) * 0.1
+    dead = np.zeros_like(loud)
+
+    outs = []
+    for fast, rungs in ((False, 0), (True, 2)):
+        eng = MultiStreamScorer(model, params, stats, cfg,
+                                duration=duration, hop=hop, max_streams=8,
+                                transport_dtype="int16",
+                                extend_fastpath=fast, extend_rungs=rungs)
+        if fast:
+            assert [nm for _b, nm in eng._extend_rungs] == \
+                ["extend_half", "extend_quarter"]
+            assert eng._extend_rungs[1][0] == eng.extend_batch // 4
+        hs = [eng.open_stream("live"), eng.open_stream("dtx")]
+        for i in range(0, len(loud), 900):
+            eng.push(hs[0], loud[i:i + 900])
+            eng.push(hs[1], dead[i:i + 900])
+        for h in hs:
+            eng.close_stream(h, flush=True)
+        outs.append(sorted(eng.drain(),
+                           key=lambda g: (g.stream_id, g.start_sample)))
+        if fast:
+            # 1 live stream: small drain polls ride the quarter rung (a
+            # backlogged poll may batch enough same-stream segments to
+            # need the half rung, but never the full shape)
+            assert eng.dispatch_counts["extend_quarter"] > 0
+            assert eng.dispatch_counts["extend"] == 0
+            costs = eng.device_costs(n=2)
+            assert costs["extend_quarter"] > 0
+            # deterministic rung choice: exactly ONE live segment due ->
+            # the smallest rung (quarter), not half or full
+            h2 = eng.open_stream("one-seg")
+            eng.push(h2, loud[:eng.seg_samples])
+            before = dict(eng.dispatch_counts)
+            eng.poll()
+            delta = {k: eng.dispatch_counts[k] - before[k]
+                     for k in before}
+            assert delta["extend_quarter"] == 1
+            assert delta["extend"] == delta["extend_half"] == 0
+            eng.close_stream(h2)
+    ref, got = outs
+    assert len(ref) == len(got) > 0
     np.testing.assert_array_equal([g.score for g in got],
                                   [g.score for g in ref])
 
@@ -635,16 +692,17 @@ def test_dispatch_counts_and_device_costs(tiny):
             assert not any(delta.values())
             break
         polls_with_work += 1
-        # O(1)/poll: at most one live extend (full OR half), one const
-        # scatter, one score
-        assert delta["extend"] + delta["extend_half"] <= 1
+        # O(1)/poll: at most one live extend (full OR a ladder rung),
+        # one const scatter, one score
+        assert sum(delta[k] for k in delta
+                   if k.startswith("extend") and k != "extend_const") <= 1
         assert delta["extend_const"] <= 1 and delta["score"] <= 1
     assert polls_with_work >= 1
     # the pushed audio is all zeros, so the fastpath routes every segment
     # through the const scatter program
     assert eng.dispatch_counts["extend_const"] >= 1
-    assert eng.dispatch_counts["extend"] \
-        + eng.dispatch_counts["extend_half"] == 0
+    assert sum(v for k, v in eng.dispatch_counts.items()
+               if k.startswith("extend") and k != "extend_const") == 0
     assert eng.dispatch_counts["score"] >= 1
 
     costs = eng.device_costs(n=2)

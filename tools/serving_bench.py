@@ -69,6 +69,9 @@ def main():
                     default=False,
                     help="disable the zero-segment const-scatter + "
                          "half-batch extend fastpath (A/B control)")
+    ap.add_argument("--extend_rungs", type=int, default=2,
+                    help="fastpath halving rungs below the full extend "
+                         "shape (default 2 = half + quarter)")
     ap.add_argument("--esc_gather", type=str, default="slice",
                     choices=("slice", "flat"),
                     help="escalation window-gather form (slice = vmapped "
@@ -159,6 +162,7 @@ def main():
                                 score_batch=args.score_batch,
                                 extend_batch=args.extend_batch,
                                 extend_fastpath=not args.no_extend_fastpath,
+                                extend_rungs=args.extend_rungs,
                                 gate_rms_dbfs=args.gate_db,
                                 hbm_limit=(None if args.hbm_limit_gb
                                            is None
@@ -244,8 +248,9 @@ def main():
                     / args.ticks for k in eng.dispatch_counts}
         dev_ms = sum(costs.get(k, 0.0) * per_tick[k] for k in per_tick)
         detail = " ".join(f"{k}:{costs.get(k, 0.0):.2f}ms x{per_tick[k]:.2f}"
-                          for k in ("extend", "extend_half", "extend_const",
-                                    "score", "escalate")
+                          for k in ("extend", "extend_half",
+                                    "extend_quarter", "extend_eighth",
+                                    "extend_const", "score", "escalate")
                           if per_tick.get(k))
         dev_cap = int(S * budget_ms / max(dev_ms, 1e-9))
         log(f"S={S}: device {dev_ms:.1f} ms/tick ({detail}) "
