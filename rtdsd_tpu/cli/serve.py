@@ -67,6 +67,18 @@ def add_engine_args(p):
                         "fastpath may dispatch at (default 2 = half + "
                         "quarter; each rung is one extra warmup compile; "
                         "quarter is +20%% capacity at 75%% dead air)")
+    p.add_argument("--score_rungs", type=int, default=0,
+                   help="halving rungs below score_batch the window-score "
+                        "dispatch may drop to when few loud windows are "
+                        "due (opt-in: each rung is one extra warmup "
+                        "compile of the score program; for bursty/diurnal "
+                        "workloads where loud concurrency undershoots the "
+                        "provisioned score_batch)")
+    p.add_argument("--esc_rungs", type=int, default=0,
+                   help="halving rungs below esc_batch for the final "
+                        "part-full escalation chunk (esc cost is ~linear "
+                        "per row, so padding pays real time; opt-in, one "
+                        "extra warmup compile per rung)")
     p.add_argument("--esc_gather", type=str, default="slice",
                    choices=("slice", "flat"),
                    help="escalation window-gather form: 'slice' (vmapped "
@@ -267,6 +279,7 @@ def build_engine(args, n_streams: int):
         score_batch=args.score_batch, extend_batch=args.extend_batch,
         extend_fastpath=not args.no_extend_fastpath,
         extend_rungs=args.extend_rungs,
+        score_rungs=args.score_rungs, esc_rungs=args.esc_rungs,
         auto_batch=args.auto_batch,
         transport_dtype=(args.transport if args.transport else
                          "float32" if args.f32_transport else "int16"),
@@ -474,7 +487,10 @@ def main(argv=None):
         detail = " ".join(f"{k}:{costs.get(k, 0.0):.2f}ms x{per_tick[k]:.2f}"
                           for k in ("extend", "extend_half",
                                     "extend_quarter", "extend_eighth",
-                                    "extend_const", "score", "escalate")
+                                    "extend_const", "score", "score_half",
+                                    "score_quarter", "score_eighth",
+                                    "escalate", "escalate_half",
+                                    "escalate_quarter", "escalate_eighth")
                           if per_tick.get(k))
         print(f"  [device {dev:.1f} ms/tick ({detail}) vs "
               f"{hop / sr * 1000:.0f} ms hop budget]", file=sys.stderr)

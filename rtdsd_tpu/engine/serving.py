@@ -92,6 +92,23 @@ def _device_hbm_bytes():
         return None
 
 
+def _shape_ladder(full: int, rungs: int, prefix: str, n: int):
+    """``rungs`` successive halvings of a dispatch shape, rounded down to
+    the mesh-axis multiple ``n``; rungs that hit zero rows are dropped.
+    Returns [(rows, counter_name), ...] in descending row order — a
+    dispatch picks the SMALLEST rung its live rows fit."""
+    names = ("half", "quarter", "eighth")
+    out = []
+    b = full
+    for i in range(max(0, int(rungs))):
+        b = (b // 2 // n) * n
+        if b <= 0:
+            break
+        suffix = names[i] if i < len(names) else f"1_{2 ** (i + 1)}"
+        out.append((b, f"{prefix}_{suffix}"))
+    return out
+
+
 class WindowScore(NamedTuple):
     stream_id: object
     start_sample: int  # window start in absolute stream samples
@@ -181,6 +198,8 @@ class MultiStreamScorer:
                  esc_gather: str = "slice",
                  extend_fastpath: bool = True,
                  extend_rungs: int = 2,
+                 score_rungs: int = 0,
+                 esc_rungs: int = 0,
                  transport_dtype: str = "float32",
                  hbm_limit: Optional[int] = None,
                  auto_batch: bool = False,
@@ -569,18 +588,22 @@ class MultiStreamScorer:
         # capacity, PERFORMANCE.md); each rung is one more warmup compile
         # of the same shape-polymorphic extend jit and costs nothing per
         # tick when it doesn't engage (live rows pick the smallest fit).
-        self._extend_rungs: List[tuple] = []
-        _rung_names = ("extend_half", "extend_quarter", "extend_eighth")
-        rb = self.extend_batch
-        for i in range(max(0, int(extend_rungs))):
-            rb = (rb // 2 // n_) * n_
-            if rb <= 0:
-                break
-            nm = (_rung_names[i] if i < len(_rung_names)
-                  else f"extend_1_{2 ** (i + 1)}")
-            self._extend_rungs.append((rb, nm))
+        self._extend_rungs = _shape_ladder(self.extend_batch,
+                                           extend_rungs, "extend", n_)
         self._half_extend = (self._extend_rungs[0][0]
                              if self._extend_rungs else 0)
+        # score/escalation ladders (opt-in): with the energy gate the due
+        # LOUD window count is workload-dependent, and a half-empty
+        # fixed-shape score dispatch costs the same as a full one
+        # (PERFORMANCE.md operational rule 1). Each configured rung is one
+        # more warmup compile of the (expensive) score/esc program, so
+        # these default OFF; turn on for bursty / diurnal workloads where
+        # the loud concurrency routinely undershoots the provisioned
+        # score_batch.
+        self._score_rungs = _shape_ladder(self.score_batch, score_rungs,
+                                          "score", n_)
+        self._esc_rungs = _shape_ladder(self.esc_batch, esc_rungs,
+                                        "escalate", n_)
         self._const_rows = None  # conv(zero segment) rows, derived lazily
         # placeholder for calls before derivation (the zero-batch rows
         # those calls write are all scratch, so the values never matter;
@@ -654,9 +677,11 @@ class MultiStreamScorer:
         # with :meth:`device_costs` to split compute from relay/host time)
         self.dispatch_counts = {"extend": 0, "extend_const": 0,
                                 "score": 0, "escalate": 0}
-        for _rb, _nm in (self._extend_rungs or [(0, "extend_half")]):
+        for _rb, _nm in (self._extend_rungs + self._score_rungs
+                         + self._esc_rungs):
             self.dispatch_counts.setdefault(_nm, 0)
         self.dispatch_counts.setdefault("extend_half", 0)
+        self.dispatch_counts.setdefault("extend_quarter", 0)
 
     # ---------------------------------------------------------- memory guard
 
@@ -1110,15 +1135,22 @@ class MultiStreamScorer:
                                                False, True))
         if wins:
             self._last_poll_work = True
-            slots = np.full((self.score_batch,), self._scratch, np.int32)
-            starts = np.zeros((self.score_batch,), np.int32)
+            nbs, skey = self.score_batch, "score"
+            if self._extend_half_ok:
+                for rb, rname in self._score_rungs:
+                    if len(wins) <= rb:
+                        nbs, skey = rb, rname
+                    else:
+                        break
+            slots = np.full((nbs,), self._scratch, np.int32)
+            starts = np.zeros((nbs,), np.int32)
             for i, (slot, w, start) in enumerate(wins):
                 slots[i] = slot
                 starts[i] = start % self.ring_frames
             scores = np.array(self._score(
                 self.params, self.batch_stats, self._feats,
                 self._put(slots), self._put(starts)))
-            self.dispatch_counts["score"] += 1
+            self.dispatch_counts[skey] += 1
             escalated = np.zeros(len(wins), bool)
             if self._escalate:
                 # same-poll escalation: the ring rows are still protected
@@ -1128,16 +1160,26 @@ class MultiStreamScorer:
                        <= self.escalate_band]
                 for c0 in range(0, len(due), self.esc_batch):
                     chunk = due[c0: c0 + self.esc_batch]
-                    eslots = np.full((self.esc_batch,), self._scratch,
-                                     np.int32)
-                    estarts = np.zeros((self.esc_batch,), np.int32)
+                    # esc cost is ~linear per row with no fixed floor
+                    # (PERFORMANCE.md esc-floor probe), so padding the
+                    # final part-full chunk pays real time — drop to the
+                    # smallest configured rung that fits it
+                    nbe, ekey = self.esc_batch, "escalate"
+                    if self._extend_half_ok:
+                        for rb, rname in self._esc_rungs:
+                            if len(chunk) <= rb:
+                                nbe, ekey = rb, rname
+                            else:
+                                break
+                    eslots = np.full((nbe,), self._scratch, np.int32)
+                    estarts = np.zeros((nbe,), np.int32)
                     for j, i in enumerate(chunk):
                         eslots[j] = slots[i]
                         estarts[j] = starts[i]
                     esc_scores = np.asarray(self._score_esc(
                         self._esc_params, self._esc_stats, self._swave,
                         self._put(eslots), self._put(estarts)))
-                    self.dispatch_counts["escalate"] += 1
+                    self.dispatch_counts[ekey] += 1
                     for j, i in enumerate(chunk):
                         scores[i] = esc_scores[j]
                         escalated[i] = True
@@ -1299,17 +1341,19 @@ class MultiStreamScorer:
                         self._put(np.zeros((rb, self.seg_samples),
                                            self._tdtype)),
                         hslots, hpos, zslots, zpos)
-        jax.block_until_ready(np.asarray(self._score(
-            self.params, self.batch_stats, self._feats,
-            self._put(np.full((self.score_batch,), self._scratch,
-                              np.int32)),
-            self._put(np.zeros((self.score_batch,), np.int32)))))
+        for sb in [self.score_batch] + [rb for rb, _ in self._score_rungs
+                                        if self._extend_half_ok]:
+            jax.block_until_ready(np.asarray(self._score(
+                self.params, self.batch_stats, self._feats,
+                self._put(np.full((sb,), self._scratch, np.int32)),
+                self._put(np.zeros((sb,), np.int32)))))
         if self._escalate:
-            jax.block_until_ready(np.asarray(self._score_esc(
-                self._esc_params, self._esc_stats, self._swave,
-                self._put(np.full((self.esc_batch,), self._scratch,
-                                  np.int32)),
-                self._put(np.zeros((self.esc_batch,), np.int32)))))
+            for eb in [self.esc_batch] + [rb for rb, _ in self._esc_rungs
+                                          if self._extend_half_ok]:
+                jax.block_until_ready(np.asarray(self._score_esc(
+                    self._esc_params, self._esc_stats, self._swave,
+                    self._put(np.full((eb,), self._scratch, np.int32)),
+                    self._put(np.zeros((eb,), np.int32)))))
 
     def device_costs(self, n: int = 10) -> Dict[str, float]:
         """Amortized ON-DEVICE cost (ms) of one dispatch of each compiled
@@ -1371,28 +1415,33 @@ class MultiStreamScorer:
                     force(self._feats[self._scratch, 0])
                     out[rname] = (time.perf_counter() - t0) / n * 1000.0
 
-        sslots = self._put(np.full((self.score_batch,), self._scratch,
-                                   np.int32))
-        sstarts = self._put(np.zeros((self.score_batch,), np.int32))
-        force(self._score(self.params, self.batch_stats, self._feats,
-                          sslots, sstarts))
-        t0 = time.perf_counter()
-        for _ in range(n):
-            r = self._score(self.params, self.batch_stats, self._feats,
-                            sslots, sstarts)
-        force(r)
-        out["score"] = (time.perf_counter() - t0) / n * 1000.0
-
-        if self._escalate:
-            cslots = self._put(np.full((self.esc_batch,), self._scratch,
-                                       np.int32))
-            cstarts = self._put(np.zeros((self.esc_batch,), np.int32))
-            force(self._score_esc(self._esc_params, self._esc_stats,
-                                  self._swave, cslots, cstarts))
+        score_shapes = [(self.score_batch, "score")] \
+            + (self._score_rungs if self._extend_half_ok else [])
+        for sb, sname in score_shapes:
+            sslots = self._put(np.full((sb,), self._scratch, np.int32))
+            sstarts = self._put(np.zeros((sb,), np.int32))
+            force(self._score(self.params, self.batch_stats, self._feats,
+                              sslots, sstarts))
             t0 = time.perf_counter()
             for _ in range(n):
-                r = self._score_esc(self._esc_params, self._esc_stats,
-                                    self._swave, cslots, cstarts)
+                r = self._score(self.params, self.batch_stats,
+                                self._feats, sslots, sstarts)
             force(r)
-            out["escalate"] = (time.perf_counter() - t0) / n * 1000.0
+            out[sname] = (time.perf_counter() - t0) / n * 1000.0
+
+        if self._escalate:
+            esc_shapes = [(self.esc_batch, "escalate")] \
+                + (self._esc_rungs if self._extend_half_ok else [])
+            for eb, ename in esc_shapes:
+                cslots = self._put(np.full((eb,), self._scratch,
+                                           np.int32))
+                cstarts = self._put(np.zeros((eb,), np.int32))
+                force(self._score_esc(self._esc_params, self._esc_stats,
+                                      self._swave, cslots, cstarts))
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    r = self._score_esc(self._esc_params, self._esc_stats,
+                                        self._swave, cslots, cstarts)
+                force(r)
+                out[ename] = (time.perf_counter() - t0) / n * 1000.0
         return out

@@ -619,6 +619,64 @@ def test_extend_ladder_quarter_rung(tiny):
                                   [g.score for g in ref])
 
 
+def test_score_and_esc_rungs(tiny):
+    """Opt-in score/esc ladders: when due loud windows (or the final
+    escalation chunk) fit a half shape, the dispatch drops to the rung —
+    escalation decisions and gated flags identical to the fixed-shape
+    engine, scores equal to f32 tolerance (a different batch shape
+    retiles the model forward, ~1e-6 reassociation — unlike the conv
+    extend ladder, which is bit-exact because each conv row is computed
+    independently of its batch neighbors)."""
+    model, params, stats, cfg, duration = tiny
+    hop = duration // 2
+    rng = np.random.default_rng(23)
+    loud = rng.standard_normal(4 * hop + duration).astype(np.float32) * 0.1
+    dead = np.zeros_like(loud)
+
+    outs = []
+    for rungs in (0, 1):
+        eng = MultiStreamScorer(model, params, stats, cfg,
+                                duration=duration, hop=hop, max_streams=8,
+                                transport_dtype="int16",
+                                gate_rms_dbfs=-50.0, gate_score=-7.0,
+                                escalate=(model, params, stats),
+                                escalate_band=1e9,
+                                score_rungs=rungs, esc_rungs=rungs)
+        if rungs:
+            assert eng._score_rungs == [(eng.score_batch // 2,
+                                         "score_half")]
+            assert eng._esc_rungs == [(eng.esc_batch // 2,
+                                       "escalate_half")]
+        hs = [eng.open_stream("live"), eng.open_stream("dtx")]
+        res = []
+        for i in range(0, len(loud), 900):
+            eng.push(hs[0], loud[i:i + 900])
+            eng.push(hs[1], dead[i:i + 900])
+            res += eng.poll()
+        for h in hs:
+            eng.close_stream(h, flush=True)
+        res += eng.drain()
+        outs.append(sorted(res,
+                           key=lambda g: (g.stream_id, g.start_sample)))
+        if rungs:
+            # 1 loud stream against score_batch=8: every score dispatch
+            # fits the half rung; the full shape never runs
+            assert eng.dispatch_counts["score_half"] > 0
+            assert eng.dispatch_counts["score"] == 0
+            assert eng.dispatch_counts["escalate_half"] > 0
+            costs = eng.device_costs(n=2)
+            assert costs["score_half"] > 0
+            assert costs["escalate_half"] > 0
+    ref, got = outs
+    assert len(ref) == len(got) > 0
+    assert [g.gated for g in got] == [g.gated for g in ref]
+    assert [g.escalated for g in got] == [g.escalated for g in ref]
+    assert any(g.escalated for g in got)
+    np.testing.assert_allclose([g.score for g in got],
+                               [g.score for g in ref],
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_zero_segment_fastpath_with_gate_and_swap(tiny):
     """Fastpath composes with the energy gate (gated flags identical) and
     survives a hot weight swap (conv(0) rows re-derive for the new conv

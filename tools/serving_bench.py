@@ -72,6 +72,12 @@ def main():
     ap.add_argument("--extend_rungs", type=int, default=2,
                     help="fastpath halving rungs below the full extend "
                          "shape (default 2 = half + quarter)")
+    ap.add_argument("--score_rungs", type=int, default=0,
+                    help="halving rungs below score_batch for part-full "
+                         "score dispatches (opt-in)")
+    ap.add_argument("--esc_rungs", type=int, default=0,
+                    help="halving rungs below esc_batch for the final "
+                         "part-full escalation chunk (opt-in)")
     ap.add_argument("--esc_gather", type=str, default="slice",
                     choices=("slice", "flat"),
                     help="escalation window-gather form (slice = vmapped "
@@ -163,6 +169,8 @@ def main():
                                 extend_batch=args.extend_batch,
                                 extend_fastpath=not args.no_extend_fastpath,
                                 extend_rungs=args.extend_rungs,
+                                score_rungs=args.score_rungs,
+                                esc_rungs=args.esc_rungs,
                                 gate_rms_dbfs=args.gate_db,
                                 hbm_limit=(None if args.hbm_limit_gb
                                            is None
@@ -250,7 +258,10 @@ def main():
         detail = " ".join(f"{k}:{costs.get(k, 0.0):.2f}ms x{per_tick[k]:.2f}"
                           for k in ("extend", "extend_half",
                                     "extend_quarter", "extend_eighth",
-                                    "extend_const", "score", "escalate")
+                                    "extend_const", "score", "score_half",
+                                    "score_quarter", "score_eighth",
+                                    "escalate", "escalate_half",
+                                    "escalate_quarter", "escalate_eighth")
                           if per_tick.get(k))
         dev_cap = int(S * budget_ms / max(dev_ms, 1e-9))
         log(f"S={S}: device {dev_ms:.1f} ms/tick ({detail}) "
