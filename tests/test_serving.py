@@ -565,6 +565,24 @@ def test_zero_segment_fastpath_exact(tiny):
                                   [g.score for g in ref])
 
 
+def test_shape_ladder_helper():
+    """Rung geometry: successive halvings, mesh-axis rounding, zero-row
+    rungs dropped, deep-rung naming."""
+    from rtdsd_tpu.engine.serving import _shape_ladder
+
+    assert _shape_ladder(512, 2, "extend", 1) == \
+        [(256, "extend_half"), (128, "extend_quarter")]
+    # mesh multiple: rungs round DOWN to n and drop at zero
+    assert _shape_ladder(512, 2, "extend", 8) == \
+        [(256, "extend_half"), (128, "extend_quarter")]
+    assert _shape_ladder(24, 3, "score", 8) == [(8, "score_half")]
+    assert _shape_ladder(4, 3, "extend", 8) == []
+    assert _shape_ladder(64, 4, "x", 1) == \
+        [(32, "x_half"), (16, "x_quarter"), (8, "x_eighth"),
+         (4, "x_1_16")]
+    assert _shape_ladder(64, 0, "x", 1) == []
+
+
 def test_extend_ladder_quarter_rung(tiny):
     """extend_rungs=2: when the live rows fit a QUARTER of the extend
     batch the dispatch drops two rungs (smallest fitting shape wins),
