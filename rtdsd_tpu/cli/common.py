@@ -253,19 +253,29 @@ def score_dataset(dataset, spec: ModelSpec, state: TrainState,
     late — the per-batch host sync (device compute + link RTT; ~30 ms per
     dispatch on a remote relay) overlaps with subsequent dispatches
     instead of serializing the loop.
+
+    Multi-process SPMD: each process's loader takes the
+    ``process_index::process_count`` stripe (DistributedSampler semantics,
+    ``/root/reference/main.py:33-39``), batches assemble into global
+    arrays spanning all hosts, and each process reads back only its own
+    rows — the returned (utt_ids, scores) are this process's stripe;
+    :func:`produce_evaluation_file` merges stripes before writing.
     """
     from rtdsd_tpu.data.loader import readback_late
+    from rtdsd_tpu.parallel.distributed import host_local_rows
 
     score_step = make_score_step(spec.module)
     loader = DataLoader(dataset, batch_size, shuffle=False, drop_last=False,
                         num_workers=num_workers, pad_last=True,
+                        process_index=jax.process_index(),
+                        process_count=jax.process_count(),
                         on_decode_error=on_decode_error)
     names, scores = [], []
     entries = ((score_step(state.params, state.batch_stats, b.waves),
                 b.utt_ids, b.valid)
                for b in device_prefetch(loader, size=2, sharding=sharding))
     for out, ids, valid in readback_late(entries):
-        s = np.asarray(out).ravel()
+        s = host_local_rows(out).ravel()
         names.extend(ids[:valid])
         scores.extend(s[:valid].tolist())
     return names, scores
@@ -315,9 +325,28 @@ def produce_evaluation_file(dataset, spec: ModelSpec, state: TrainState,
                             on_decode_error: str = "raise") -> None:
     """Write the ``"{utt_id} {score}"`` CM score file — byte format identical
     to the reference (``/root/reference/main.py:199-221``); score = raw
-    bonafide logit, float via python repr like ``'{}'.format(score)``."""
+    bonafide logit, float via python repr like ``'{}'.format(score)``.
+
+    Multi-process: stripes are gathered from every process and re-ordered
+    to dataset order (the stripe interleaving is an implementation detail;
+    the written file matches the single-process row order byte for byte);
+    only process 0 writes."""
     names, scores = score_dataset(dataset, spec, state, batch_size,
                                   sharding, num_workers, on_decode_error)
+    if jax.process_count() > 1:
+        from rtdsd_tpu.parallel.distributed import all_gather_objects
+
+        merged = {}
+        for part_names, part_scores in all_gather_objects((names, scores)):
+            # stripe padding duplicates a few utts on the last process;
+            # scores for a duplicated utt are identical, first write wins
+            for n, s in zip(part_names, part_scores):
+                merged.setdefault(n, s)
+        names = [t.utt_id for t in dataset.trials if t.utt_id in merged]
+        scores = [merged[n] for n in names]
+        if jax.process_index() != 0:
+            _check_score_shortfall(dataset, names)
+            return
     _check_score_shortfall(dataset, names)
     _write_score_file(save_path, names, scores)
 

@@ -344,11 +344,12 @@ def load_serving(prefix: str, *, hbm_limit: Optional[int] = None,
     eng._score = load_exported(prefix + ".score").call
     if esc is not None:
         eng._score_esc = load_exported(prefix + ".escalate").call
-    # the exported extend is fixed-shape: the half-batch fastpath shape
-    # can't run through it (the zero-segment CONST fastpath still works —
+    # exported programs are fixed-shape: no sub-shape dispatch of ANY of
+    # the three families — extend half/quarter fastpath, score rungs,
+    # escalation rungs (the zero-segment CONST fastpath still works —
     # extend_const is scatter-only jnp, no model code, and the conv(0)
     # rows derive through the exported full-shape extend)
-    eng._extend_half_ok = False
+    eng._subshape_ok = False
     eng.artifact_meta = meta
     return eng, meta
 

@@ -484,13 +484,10 @@ def main(argv=None):
         per_tick = {k: (counts_loop[k] - counts0.get(k, 0)) / tick
                     for k in counts_loop}
         dev = sum(costs.get(k, 0.0) * per_tick[k] for k in per_tick)
+        from rtdsd_tpu.engine.serving import dispatch_detail_keys
+
         detail = " ".join(f"{k}:{costs.get(k, 0.0):.2f}ms x{per_tick[k]:.2f}"
-                          for k in ("extend", "extend_half",
-                                    "extend_quarter", "extend_eighth",
-                                    "extend_const", "score", "score_half",
-                                    "score_quarter", "score_eighth",
-                                    "escalate", "escalate_half",
-                                    "escalate_quarter", "escalate_eighth")
+                          for k in dispatch_detail_keys(per_tick)
                           if per_tick.get(k))
         print(f"  [device {dev:.1f} ms/tick ({detail}) vs "
               f"{hop / sr * 1000:.0f} ms hop budget]", file=sys.stderr)

@@ -231,11 +231,17 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
     """Move batches to device ahead of compute.
 
     With a ``NamedSharding``, waves/labels land pre-sharded across the mesh
-    data axis (jit then consumes them with no layout transfer).
+    data axis (jit then consumes them with no layout transfer). Under
+    multi-process SPMD the sharding spans other hosts' devices: each
+    process's loader stripe becomes its slice of ONE global array
+    (``parallel/distributed.py::make_global_array``), so the same jitted
+    step runs unchanged on a pod.
     ``size <= 0`` degrades to depth-1 (prefetch disabled, batches still
     flow — a zero fill would silently yield nothing).
     """
     import jax
+
+    from rtdsd_tpu.parallel.distributed import make_global_array
 
     size = max(int(size), 1)
     buf: "queue.Queue" = queue.Queue()
@@ -248,8 +254,8 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
             return False
         waves, labels = b.waves, b.labels
         if sharding is not None:
-            waves = jax.device_put(waves, sharding)
-            labels = jax.device_put(labels, sharding)
+            waves = make_global_array(waves, sharding)
+            labels = make_global_array(labels, sharding)
         else:
             waves = jax.device_put(waves)
             labels = jax.device_put(labels)

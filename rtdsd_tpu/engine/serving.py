@@ -96,7 +96,14 @@ def _shape_ladder(full: int, rungs: int, prefix: str, n: int):
     """``rungs`` successive halvings of a dispatch shape, rounded down to
     the mesh-axis multiple ``n``; rungs that hit zero rows are dropped.
     Returns [(rows, counter_name), ...] in descending row order — a
-    dispatch picks the SMALLEST rung its live rows fit."""
+    dispatch picks the SMALLEST rung its live rows fit.
+
+    Counter names are positional in the ladder (``half``, ``quarter``,
+    ...), NOT exact fractions: the mesh rounding compounds across rungs
+    (``(b // 2 // n) * n`` of the previous rounded value), so e.g.
+    ``full=24, n=8`` yields one rung of 8 rows still named
+    ``score_half``. Capacity accounting must read actual rows from
+    ``MultiStreamScorer.rung_rows[counter_name]``, not parse the name."""
     names = ("half", "quarter", "eighth")
     out = []
     b = full
@@ -106,6 +113,26 @@ def _shape_ladder(full: int, rungs: int, prefix: str, n: int):
             break
         suffix = names[i] if i < len(names) else f"1_{2 ** (i + 1)}"
         out.append((b, f"{prefix}_{suffix}"))
+    return out
+
+
+def dispatch_detail_keys(counts) -> list:
+    """Stable display order for dispatch/cost counter keys: extend family
+    first, then score, then escalate; base shape before its sub-shape
+    rungs (insertion order = descending rows), ``extend_const`` last in
+    its family. Built from the LIVE counter keys so arbitrarily deep
+    rungs (``*_1_16``, ...) are never dropped from a breakdown — the
+    advisor-flagged failure mode of hard-coding names up to ``_eighth``
+    (cli/serve.py, tools/serving_bench.py share this)."""
+    fams = ("extend", "score", "escalate")
+    order = list(counts)
+    out = []
+    for f in fams:
+        ks = [k for k in order if k == f or k.startswith(f + "_")]
+        ks.sort(key=lambda k: (k != f, k == "extend_const", order.index(k)))
+        out.extend(ks)
+    out.extend(k for k in order
+               if not any(k == f or k.startswith(f + "_") for f in fams))
     return out
 
 
@@ -579,9 +606,11 @@ class MultiStreamScorer:
         # decomposition). Both paths are bit-exact by construction
         # (tests/test_serving.py::test_zero_segment_fastpath_exact).
         self._fastpath = bool(extend_fastpath)
-        # exported (fixed-shape) extend programs can't take sub-shapes;
-        # cli/export.py::load_serving clears this
-        self._extend_half_ok = True
+        # exported (fixed-shape, AOT) programs can't take sub-shapes;
+        # cli/export.py::load_serving clears this, which disables ALL
+        # THREE sub-shape dispatch families — the extend half/quarter
+        # fastpath AND the score/escalation rung ladders below
+        self._subshape_ok = True
         # r4 extend ladder: `extend_rungs` successive halvings of the live
         # extend shape. The default quarter rung is measured worth
         # 25.6 -> 21.4 device-ms/tick at S=512 gated 75%-silence (+20%
@@ -677,9 +706,17 @@ class MultiStreamScorer:
         # with :meth:`device_costs` to split compute from relay/host time)
         self.dispatch_counts = {"extend": 0, "extend_const": 0,
                                 "score": 0, "escalate": 0}
+        # actual dispatch rows per counter — rung NAMES are positional
+        # (see _shape_ladder: mesh rounding can make a "half" rung much
+        # smaller than full/2); read rows from here, not from the name
+        self.rung_rows = {"extend": self.extend_batch,
+                          "extend_const": self.extend_batch,
+                          "score": self.score_batch,
+                          "escalate": self.esc_batch}
         for _rb, _nm in (self._extend_rungs + self._score_rungs
                          + self._esc_rungs):
             self.dispatch_counts.setdefault(_nm, 0)
+            self.rung_rows[_nm] = _rb
         self.dispatch_counts.setdefault("extend_half", 0)
         self.dispatch_counts.setdefault("extend_quarter", 0)
 
@@ -1086,7 +1123,7 @@ class MultiStreamScorer:
                 # dispatch (program writes const rows FIRST — the
                 # real-data-wins order of the single-batch semantics)
                 nb, key = self.extend_batch, "extend"
-                if self._fastpath and self._extend_half_ok:
+                if self._fastpath and self._subshape_ok:
                     # ladder rungs are descending; take the smallest that
                     # still fits the live rows
                     for rb, rname in self._extend_rungs:
@@ -1136,7 +1173,7 @@ class MultiStreamScorer:
         if wins:
             self._last_poll_work = True
             nbs, skey = self.score_batch, "score"
-            if self._extend_half_ok:
+            if self._subshape_ok:
                 for rb, rname in self._score_rungs:
                     if len(wins) <= rb:
                         nbs, skey = rb, rname
@@ -1165,7 +1202,7 @@ class MultiStreamScorer:
                     # final part-full chunk pays real time — drop to the
                     # smallest configured rung that fits it
                     nbe, ekey = self.esc_batch, "escalate"
-                    if self._extend_half_ok:
+                    if self._subshape_ok:
                         for rb, rname in self._esc_rungs:
                             if len(chunk) <= rb:
                                 nbe, ekey = rb, rname
@@ -1332,7 +1369,7 @@ class MultiStreamScorer:
                 self._feats[self._scratch, :self.seg_frames])
             self._feats, self._swave = self._extend_const(
                 self._const_rows, self._feats, self._swave, zslots, zpos)
-            if self._extend_half_ok:
+            if self._subshape_ok:
                 for rb, _rname in self._extend_rungs:
                     hslots, hpos = self._scratch_batch(rb)
                     self._feats, self._swave = self._extend(
@@ -1342,14 +1379,14 @@ class MultiStreamScorer:
                                            self._tdtype)),
                         hslots, hpos, zslots, zpos)
         for sb in [self.score_batch] + [rb for rb, _ in self._score_rungs
-                                        if self._extend_half_ok]:
+                                        if self._subshape_ok]:
             jax.block_until_ready(np.asarray(self._score(
                 self.params, self.batch_stats, self._feats,
                 self._put(np.full((sb,), self._scratch, np.int32)),
                 self._put(np.zeros((sb,), np.int32)))))
         if self._escalate:
             for eb in [self.esc_batch] + [rb for rb, _ in self._esc_rungs
-                                          if self._extend_half_ok]:
+                                          if self._subshape_ok]:
                 jax.block_until_ready(np.asarray(self._score_esc(
                     self._esc_params, self._esc_stats, self._swave,
                     self._put(np.full((eb,), self._scratch, np.int32)),
@@ -1398,7 +1435,7 @@ class MultiStreamScorer:
                     const, self._feats, self._swave, zslots, zpos)
             force(self._feats[self._scratch, 0])
             out["extend_const"] = (time.perf_counter() - t0) / n * 1000.0
-            if self._extend_half_ok:
+            if self._subshape_ok:
                 for rb, rname in self._extend_rungs:
                     hseg = self._put(np.zeros(
                         (rb, self.seg_samples), self._tdtype))
@@ -1416,7 +1453,7 @@ class MultiStreamScorer:
                     out[rname] = (time.perf_counter() - t0) / n * 1000.0
 
         score_shapes = [(self.score_batch, "score")] \
-            + (self._score_rungs if self._extend_half_ok else [])
+            + (self._score_rungs if self._subshape_ok else [])
         for sb, sname in score_shapes:
             sslots = self._put(np.full((sb,), self._scratch, np.int32))
             sstarts = self._put(np.zeros((sb,), np.int32))
@@ -1431,7 +1468,7 @@ class MultiStreamScorer:
 
         if self._escalate:
             esc_shapes = [(self.esc_batch, "escalate")] \
-                + (self._esc_rungs if self._extend_half_ok else [])
+                + (self._esc_rungs if self._subshape_ok else [])
             for eb, ename in esc_shapes:
                 cslots = self._put(np.full((eb,), self._scratch,
                                            np.int32))

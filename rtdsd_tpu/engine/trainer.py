@@ -145,8 +145,16 @@ def run_eval_loop(eval_step, state, loader, prefetch, batch_sharding
                   ) -> Tuple[float, float, np.ndarray, np.ndarray]:
     """Shared dev/eval pass (Trainer and KDTrainer): pad-row-aware weighted
     loss, accuracy, and the per-trial (scores, labels) for EER. Returns
-    ``(eval_loss, accuracy, scores, labels)``."""
+    ``(eval_loss, accuracy, scores, labels)``.
+
+    Multi-process SPMD: each process reads back only its own rows of the
+    global batch (its loader stripe), then partial sums / score stripes
+    are gathered and reduced so every process returns the SAME global
+    (loss, acc, scores, labels) — the checkpoint-on-dev-loss decision in
+    the epoch loop must agree across hosts."""
     from rtdsd_tpu.data.loader import readback_late
+    from rtdsd_tpu.parallel.distributed import (all_gather_objects,
+                                                host_local_rows)
 
     loss_sum = 0.0
     num_correct = 0
@@ -163,15 +171,23 @@ def run_eval_loop(eval_step, state, loader, prefetch, batch_sharding
         # weighted mean over the REAL rows only — the padded-batch mean
         # would count the duplicated pad rows (ref trainer.py:335-337
         # never sees pad rows)
-        terms = np.asarray(out["loss_terms"])[:v]
-        wsum = float(np.asarray(out["loss_weights"])[:v].sum())
+        terms = host_local_rows(out["loss_terms"])[:v]
+        wsum = float(host_local_rows(out["loss_weights"])[:v].sum())
         loss_sum += float(terms.sum()) / max(wsum, 1e-12) * v
-        num_correct += int(np.asarray(out["correct"])[:v].sum())
+        num_correct += int(host_local_rows(out["correct"])[:v].sum())
         num_total += v
-        scores.append(np.asarray(out["scores"])[:v])
-        labels.append(np.asarray(blabels)[:v])
-    eval_loss = loss_sum / max(num_total, 1)
-    accuracy = 100.0 * num_correct / max(num_total, 1)
+        scores.append(host_local_rows(out["scores"])[:v])
+        labels.append(host_local_rows(blabels)[:v])
     scores = np.concatenate(scores) if scores else np.zeros(0)
     labels = np.concatenate(labels) if labels else np.zeros(0)
+    if jax.process_count() > 1:
+        parts = all_gather_objects(
+            (loss_sum, num_correct, num_total, scores, labels))
+        loss_sum = sum(p[0] for p in parts)
+        num_correct = sum(p[1] for p in parts)
+        num_total = sum(p[2] for p in parts)
+        scores = np.concatenate([p[3] for p in parts])
+        labels = np.concatenate([p[4] for p in parts])
+    eval_loss = loss_sum / max(num_total, 1)
+    accuracy = 100.0 * num_correct / max(num_total, 1)
     return eval_loss, accuracy, scores, labels

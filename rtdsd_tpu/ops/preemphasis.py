@@ -3,8 +3,7 @@
 Reference: ``PreEmphasis`` (``/root/reference/data/preprocess.py:8-29``) —
 reflect-pad by one sample then conv1d with fixed kernel ``[-alpha, 1]`` under
 ``no_grad``; train-time only (the scoring path never applies it,
-``/root/reference/main.py:199-221``). With reflect padding the first output
-sample is ``x[1] - alpha*x[1]``... no: reflect pad prepends ``x[1]``, so
+``/root/reference/main.py:199-221``). Reflect padding prepends ``x[1]``, so
 ``y[0] = x[0] - alpha*x[1]`` and ``y[t] = x[t] - alpha*x[t-1]`` for t>=1.
 
 On TPU a length-2 conv is pure bandwidth; we express it as a shift-and-

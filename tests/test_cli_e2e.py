@@ -207,3 +207,34 @@ def test_streaming_eer_vs_offline_crop(tmp_path):
     # windows see MORE of each long file than the single 1 s crop; on the
     # separable synthetic task streaming must stay at least as good
     assert eer_str <= eer_off + 1e-9
+
+
+def test_flagship_scale_parity_gated():
+    """r5 (VERDICT r4 item 4): flagship-scale torch<->JAX parity as a GATE,
+    not just a tool. Runs ``tools/flagship_parity.py`` at FULL depth/width
+    (24-layer/315M XLSR feeding the reference's own torch AASIST graph,
+    fe stubbed) on a reduced utterance count for runtime, and asserts the
+    documented bounds: per-utt |torch-jax| <= 1e-2, identical ranking,
+    EER delta 0. The printed near-tie outlier count (|diff| > 1e-3 —
+    GraphPool top-k near-ties, CLAUDE.md) is bounded so scale-emergent
+    conversion drift cannot regress silently."""
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(REPO, ".jax_cache"))
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "flagship_parity.py"),
+         "--layers", "24", "--utts", "8", "--dur_sec", "1.0"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=7200)
+    tail = r.stdout[-3000:] + r.stderr[-2000:]
+    assert r.returncode == 0, tail
+    assert "PARITY OK" in r.stdout, tail
+    assert "score ranking identical: True" in r.stdout, tail
+    m = [ln for ln in r.stdout.splitlines()
+         if ln.startswith("near-tie outliers")]
+    assert m, tail
+    near, total = m[0].split(":")[1].strip().split("/")
+    # r4 runbook: ONE near-tie in 16 utts at full scale; allow headroom
+    # but fail if a conversion regression makes outliers the norm
+    assert int(near) <= max(2, int(total) // 4), m[0]

@@ -1,10 +1,20 @@
-"""Multi-host utility behavior in the single-process degenerate case.
+"""Multi-host utilities: single-process contracts AND a REAL 2-process
+distributed run.
 
-(`parallel/distributed.py` wraps jax multihost_utils; on one process the
-contracts below are what callers rely on. Multi-process behavior runs only
-on a real multi-host pod — the 8-virtual-device CPU mesh is still one
-process.)
+`parallel/distributed.py` wraps jax multihost_utils; on one process the
+contracts below are what callers rely on. The multi-process code paths
+(rendezvous, object collectives, striped loader -> global arrays, eval
+reduction, score-file stripe merge) execute for real in
+``test_two_process_distributed_run``: two subprocesses x 4 virtual CPU
+devices rendezvous over localhost and form the 8-device global mesh —
+the same recipe as a TPU pod (one process per host), per-process Gloo
+for host collectives.
 """
+
+import json
+import os
+import subprocess
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +47,183 @@ def test_maybe_initialize_distributed_no_env(monkeypatch):
     for var in ("JAX_COORDINATOR", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
         monkeypatch.delenv(var, raising=False)
     assert maybe_initialize_distributed() is False
+
+
+def test_maybe_initialize_explicit_failure_raises(monkeypatch):
+    """An explicitly requested rendezvous that fails must RAISE, not
+    silently degrade to single-host training (1/N data, 1/N throughput,
+    no error anywhere — the silent-fallback defect flagged in r4)."""
+
+    def boom(**kwargs):
+        raise RuntimeError("coordinator unreachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    with pytest.raises(RuntimeError, match="coordinator unreachable"):
+        maybe_initialize_distributed(coordinator="localhost:1",
+                                     num_processes=2, process_id=0)
+    # env-var coordinator counts as explicit too
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "localhost:1")
+    with pytest.raises(RuntimeError, match="coordinator unreachable"):
+        maybe_initialize_distributed()
+
+
+def test_maybe_initialize_auto_failure_falls_back(monkeypatch):
+    """Auto-discovery (TPU pod metadata, no explicit coordinator) keeps the
+    tolerant fallback: a discovery hiccup must not kill a single-host run."""
+
+    def boom(**kwargs):
+        raise RuntimeError("metadata incomplete")
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    assert maybe_initialize_distributed() is False  # process_count() == 1
+
+
+def _write_mp_dataset(root, n=16, duration=5000):
+    from rtdsd_tpu.data.io import write_wav
+
+    rng = np.random.default_rng(3)
+    os.makedirs(os.path.join(root, "audio"), exist_ok=True)
+    lines = []
+    for i in range(n):
+        t = np.arange(duration + 173 * i) / 16000.0
+        bona = i % 2 == 1
+        wave = (0.3 * np.sin(2 * np.pi * 440 * t) if bona
+                else 0.2 * rng.standard_normal(len(t))).astype(np.float32)
+        uid = f"MP_{i:04d}"
+        write_wav(os.path.join(root, "audio", uid + ".wav"), wave, 16000)
+        lines.append(f"{uid} {'bonafide' if bona else 'spoof'}")
+    with open(os.path.join(root, "protocol.txt"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+def test_two_process_distributed_run(tmp_path):
+    """THE real multi-process run: 2 processes x 4 virtual CPU devices
+    rendezvous via jax.distributed.initialize and execute the full
+    distributed surface — sharded train steps over the 8-device global
+    mesh fed by the striped loader, object collectives, shared seed,
+    cross-process eval reduction, and a merged score file that matches a
+    single-process run of the same model bit for bit.
+
+    This is the rebuild counterpart of the reference actually spawning
+    worker processes (``/root/reference/main.py:42-47,493-496``).
+    """
+    import socket
+
+    workdir = str(tmp_path)
+    _write_mp_dataset(workdir)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = " ".join(f for f in env.get("XLA_FLAGS", "").split()
+                     if "xla_force_host_platform_device_count" not in f)
+    env["XLA_FLAGS"] = (flags
+                        + " --xla_force_host_platform_device_count=4").strip()
+    pp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+          if p and ".axon_site" not in p]
+    env["PYTHONPATH"] = os.pathsep.join(pp + [repo])
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(repo, ".jax_cache"))
+
+    worker = os.path.join(repo, "tests", "_mp_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), "2", str(port), workdir],
+        env=env, cwd=repo, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+
+    reports = []
+    for i in range(2):
+        with open(os.path.join(workdir, f"report_{i}.json")) as fh:
+            reports.append(json.load(fh))
+
+    for r in reports:
+        assert r["process_count"] == 2
+        assert r["global_devices"] == 8
+        assert sorted(r["gathered_pids"]) == [0, 1]
+        assert r["gathered_arr_ok"]
+        assert r["broadcast"] == 4242  # root 0's value on both
+        assert r["eval_rows"] == 16    # global count after reduction
+        assert all(np.isfinite(x) for x in r["train_losses"])
+        assert len(r["train_losses"]) == 2  # 16 utts / 8 global batch
+    # cross-process agreement: same seed, same global losses, same eval
+    assert reports[0]["shared_seed"] == reports[1]["shared_seed"]
+    assert reports[0]["train_losses"] == reports[1]["train_losses"]
+    assert reports[0]["eval_loss"] == reports[1]["eval_loss"]
+    assert reports[0]["eval_acc"] == reports[1]["eval_acc"]
+
+    # ---- score file: the merged multi-process file == single-process ----
+    mp_scores = {}
+    with open(os.path.join(workdir, "scores_mp.txt")) as fh:
+        for ln in fh.read().strip().splitlines():
+            u, s = ln.split()
+            mp_scores[u] = float(s)
+    assert len(mp_scores) == 16
+
+    sp = _single_process_scores(workdir)
+    assert set(sp) == set(mp_scores)
+    for u in sp:
+        assert sp[u] == mp_scores[u], (u, sp[u], mp_scores[u])
+
+
+def _single_process_scores(workdir):
+    """Score the same dataset with the same seed-0 tiny model in THIS
+    (single) process over the 8-virtual-device mesh — same global batch
+    shape (8 rows), so per-row math matches the 2-process run exactly."""
+    import optax
+
+    from rtdsd_tpu.cli.common import produce_evaluation_file
+    from rtdsd_tpu.data.dataset import AudioDataset
+    from rtdsd_tpu.data.protocols import Trial
+    from rtdsd_tpu.engine.steps import create_train_state
+    from rtdsd_tpu.models.registry import ModelSpec
+    from rtdsd_tpu.models.wav2vec2 import Wav2Vec2Config
+    from rtdsd_tpu.models.zoo import XLSR_AASIST
+    from rtdsd_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    tiny = Wav2Vec2Config(
+        conv_layers=((16, 10, 5), (16, 3, 2), (16, 2, 2)),
+        encoder_embed_dim=16, encoder_ffn_dim=32, encoder_heads=2,
+        encoder_layers=2, conv_pos=8, conv_pos_groups=2)
+    model = XLSR_AASIST(w2v_cfg=tiny, dtype=jnp.float32)
+    state = create_train_state(model, jax.random.key(0),
+                               jnp.zeros((2, 4000), jnp.float32),
+                               optax.sgd(1e-3))
+    with open(os.path.join(workdir, "protocol.txt")) as fh:
+        rows = [ln.split() for ln in fh.read().strip().splitlines()]
+    trials = [Trial(utt_id=u,
+                    path=os.path.join(workdir, "audio", u + ".wav"),
+                    label=1 if lab == "bonafide" else 0)
+              for u, lab in rows]
+    dataset = AudioDataset(trials, duration=4000, is_random_start=False)
+    mesh = make_mesh(data=8)
+    spec = ModelSpec(name="tiny", module=model, freeze_patterns=(),
+                     unfreeze_patterns=(), reinit_patterns=(),
+                     layer_indices=None)
+    out = os.path.join(workdir, "scores_sp.txt")
+    produce_evaluation_file(dataset, spec, jax.device_put(state), out,
+                            batch_size=8, sharding=batch_sharding(mesh),
+                            num_workers=1)
+    return {u: float(s) for u, s in
+            (ln.split() for ln in open(out).read().strip().splitlines())}
 
 
 def test_grouped_conv_grad_multiaxis_mesh():

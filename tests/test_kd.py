@@ -279,3 +279,20 @@ def test_kd_aasist_submodule_taps_reference_paths():
     assert not np.allclose(
         s_before["backend"]["GAT_layer_S"]["att_proj"]["kernel"],
         np.asarray(state.params["backend"]["GAT_layer_S"]["att_proj"]["kernel"]))
+
+
+def test_kd_criteria_torch_names_stay_registered():
+    """The reference dispatches criteria by torchdistill/torch class name
+    (``/root/reference/trainer.py:263``); a rename here would silently break
+    every reference KD YAML. Pin the torch-compatible names AND that each
+    alias resolves to the same callable as its canonical name."""
+    torch_names = ["MSELoss", "L1Loss", "SmoothL1Loss", "HuberLoss",
+                   "CosineLoss", "KDLoss", "KLDivLoss", "CrossEntropyLoss"]
+    for name in torch_names:
+        assert name in KD_CRITERIA, f"torch-name criterion {name} missing"
+    assert KD_CRITERIA["mse"] is KD_CRITERIA["MSELoss"]
+    assert KD_CRITERIA["HuberLoss"] is KD_CRITERIA["SmoothL1Loss"]
+    assert KD_CRITERIA["logits_kd"] is KD_CRITERIA["KDLoss"]
+    assert KD_CRITERIA["KLDivLoss"] is KD_CRITERIA["KDLoss"]
+    assert KD_CRITERIA["soft_ce"] is KD_CRITERIA["CrossEntropyLoss"]
+    assert KD_CRITERIA["attention_transfer"] is KD_CRITERIA["ATLoss"]

@@ -583,6 +583,46 @@ def test_shape_ladder_helper():
     assert _shape_ladder(64, 0, "x", 1) == []
 
 
+def test_dispatch_detail_keys_covers_deep_rungs():
+    """The cost-breakdown ordering is built from the live counter keys, so
+    rungs deeper than '_eighth' (and any future counters) are never
+    silently dropped (advisor r4); family order extend -> score ->
+    escalate, base before rungs, extend_const last in its family."""
+    from rtdsd_tpu.engine.serving import dispatch_detail_keys
+
+    counts = {"extend": 1, "extend_const": 2, "score": 3, "escalate": 4,
+              "extend_half": 5, "extend_quarter": 6, "score_half": 7,
+              "escalate_half": 8, "escalate_quarter": 9,
+              "escalate_eighth": 10, "escalate_1_16": 11, "other": 12}
+    keys = dispatch_detail_keys(counts)
+    assert set(keys) == set(counts)
+    assert keys.index("extend") < keys.index("extend_half") \
+        < keys.index("extend_quarter") < keys.index("extend_const")
+    assert keys.index("extend_const") < keys.index("score")
+    assert keys.index("score") < keys.index("score_half") \
+        < keys.index("escalate")
+    assert keys.index("escalate") < keys.index("escalate_half") \
+        < keys.index("escalate_1_16")
+    assert "escalate_1_16" in keys  # the deep rung the old tuple dropped
+    assert keys[-1] == "other"
+
+
+def test_rung_rows_reports_actual_dispatch_rows(tiny):
+    """rung_rows maps every counter to its TRUE row count — the honest
+    source for capacity accounting, since positional rung names like
+    'half' understate mesh rounding (advisor r4)."""
+    model, params, stats, cfg, dur = tiny
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=dur,
+                            hop=dur // 2, max_streams=4, score_batch=4,
+                            extend_rungs=2)
+    assert eng.rung_rows["score"] == 4
+    assert eng.rung_rows["extend"] == eng.extend_batch
+    for rows, name in eng._extend_rungs:
+        assert eng.rung_rows[name] == rows
+    assert set(eng.dispatch_counts) <= set(eng.rung_rows) | {"extend_half",
+                                                             "extend_quarter"}
+
+
 def test_extend_ladder_quarter_rung(tiny):
     """extend_rungs=2: when the live rows fit a QUARTER of the extend
     batch the dispatch drops two rungs (smallest fitting shape wins),

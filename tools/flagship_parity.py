@@ -228,6 +228,11 @@ def main(argv=None):
           f"dur={args.dur_sec}s float32")
     print(f"per-utt |torch-jax|: max={diffs.max():.3e} "
           f"mean={diffs.mean():.3e} median={np.median(diffs):.3e}")
+    # GraphPool near-ties are the one known drift amplifier (CLAUDE.md):
+    # report the outlier count so growth is visible across rounds
+    near_tie = int((diffs > 1e-3).sum())
+    print(f"near-tie outliers (|torch-jax| > 1e-3): "
+          f"{near_tie}/{len(common)}")
     print(f"score ranking identical: {order_j == order_t}")
     print(f"EER torch={eer_t:.6f} jax={eer_j:.6f} "
           f"delta={abs(eer_t - eer_j):.3e}")

@@ -255,13 +255,10 @@ def main():
         per_tick = {k: (eng.dispatch_counts[k] - counts0.get(k, 0))
                     / args.ticks for k in eng.dispatch_counts}
         dev_ms = sum(costs.get(k, 0.0) * per_tick[k] for k in per_tick)
+        from rtdsd_tpu.engine.serving import dispatch_detail_keys
+
         detail = " ".join(f"{k}:{costs.get(k, 0.0):.2f}ms x{per_tick[k]:.2f}"
-                          for k in ("extend", "extend_half",
-                                    "extend_quarter", "extend_eighth",
-                                    "extend_const", "score", "score_half",
-                                    "score_quarter", "score_eighth",
-                                    "escalate", "escalate_half",
-                                    "escalate_quarter", "escalate_eighth")
+                          for k in dispatch_detail_keys(per_tick)
                           if per_tick.get(k))
         dev_cap = int(S * budget_ms / max(dev_ms, 1e-9))
         log(f"S={S}: device {dev_ms:.1f} ms/tick ({detail}) "
