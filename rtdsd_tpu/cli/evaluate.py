@@ -37,6 +37,7 @@ EER matches the flagship row, pass it to ``--cascade_band``.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -101,6 +102,20 @@ def main(argv=None):
                         "trials); prints escalation rate + cascade EER per "
                         "band so you can pick --cascade_band")
     p.add_argument("--cascade-center", type=float, default=0.0)
+    p.add_argument("--cascade-out", default=None, metavar="JSON",
+                   help="with --cascade-sweep: choose a band on a dense "
+                        "sweep and write it (+ center, rates, EERs) as a "
+                        "sidecar that cli.serve / cli.daemon / cli.export "
+                        "consume via --cascade_calibration — the one-"
+                        "command re-calibration flow after a screener "
+                        "change")
+    p.add_argument("--cascade-pick-esc", type=float, default=None,
+                   help="with --cascade-out: pick the band at this target "
+                        "escalation fraction instead of the EER rule")
+    p.add_argument("--cascade-pick-tol", type=float, default=0.02,
+                   help="EER pick rule: smallest band whose cascade EER "
+                        "is within this RELATIVE margin of the best "
+                        "cascade EER over the dense sweep (default 2%%)")
     p.add_argument("--calibrate", action="store_true", default=False,
                    help="print a deployment operating point as JSON: EER "
                         "threshold, thresholds at --target-far/--target-frr"
@@ -243,6 +258,41 @@ def main(argv=None):
             merged = np.where(esc, f, s)
             c_eer = compute_eer(merged, y, pos_label=1)
             print(f"{band:7.3f}  {esc.mean() * 100:6.1f} %  {c_eer:.4f}")
+        if args.cascade_out:
+            import json
+
+            # dense sweep for the pick (the table above is for eyes)
+            qs = np.arange(0.0, 1.0001, 0.02)
+            cands = []
+            for q in qs:
+                band = float(np.quantile(dev, q)) if q > 0 else 0.0
+                esc = dev <= band
+                c = compute_eer(np.where(esc, f, s), y, pos_label=1)
+                cands.append((band, float(esc.mean()), c))
+            if args.cascade_pick_esc is not None:
+                pick = min(cands, key=lambda t:
+                           abs(t[1] - args.cascade_pick_esc))
+            else:
+                # smallest band (= cheapest escalation) whose cascade EER
+                # is within the relative tolerance of the best achieved
+                best = min(c for _b, _r, c in cands)
+                tol = best * (1.0 + args.cascade_pick_tol) + 1e-12
+                pick = next(t for t in cands if t[2] <= tol)
+            band, rate, c_eer = pick
+            side = {"kind": "cascade_calibration",
+                    "band": band, "center": args.cascade_center,
+                    "escalation_rate": rate,
+                    "screener_eer": float(eer),
+                    "flagship_eer": float(f_eer),
+                    "cascade_eer": float(c_eer),
+                    "n_trials": int(len(common)),
+                    "screener_scores": os.path.basename(args.scores),
+                    "flagship_scores": os.path.basename(
+                        args.cascade_sweep)}
+            with open(args.cascade_out, "w") as fh:
+                json.dump(side, fh, indent=1)
+            print(f"picked band {band:.4f} (escalates {rate * 100:.1f}%, "
+                  f"cascade EER {c_eer:.4f}%) -> {args.cascade_out}")
     if args.calibrate:
         import json
 

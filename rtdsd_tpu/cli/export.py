@@ -577,6 +577,17 @@ def main(argv=None):
                    help="serving: screener YAML (default: --config)")
     p.add_argument("--cascade_w8a8", action="store_true",
                    help="serving: w8a8-quantize the screener transformer")
+    p.add_argument("--cascade_band", type=float, default=None,
+                   help="serving: escalation half-band baked into the "
+                        "bundle (default 2.0)")
+    p.add_argument("--cascade_center", type=float, default=None,
+                   help="serving: escalation band center baked into the "
+                        "bundle (default 0.0)")
+    p.add_argument("--cascade_calibration", type=str, default=None,
+                   help="serving: cascade band sidecar from 'cli.evaluate "
+                        "--cascade-sweep --cascade-out' — bakes the "
+                        "dev-set band/center into the bundle (explicit "
+                        "--cascade_band/--cascade_center override it)")
     p.add_argument("--platforms", type=str, default="cpu,tpu",
                    help="comma-separated lowering platforms")
     args = p.parse_args(argv)
@@ -631,12 +642,26 @@ def main(argv=None):
             if state_s.batch_stats:
                 mvars["batch_stats"] = state_s.batch_stats
             model_name = f"{spec_s.name} -> {spec.name} cascade"
+        band, center = args.cascade_band, args.cascade_center
+        if args.cascade_calibration:
+            from rtdsd_tpu.utils.metrics import load_cascade_calibration
+
+            cal = load_cascade_calibration(args.cascade_calibration)
+            if band is None:
+                band = float(cal["band"])
+            if center is None:
+                center = float(cal["center"])
+            print(f"baking cascade band {band} around {center} from "
+                  f"{args.cascade_calibration}")
         ext_exp, score_exp, esc_exp, meta = export_serving(
             module, mvars, module.w2v_cfg, duration=duration, hop=hop,
             max_streams=args.max_streams,
             extend_batch=args.extend_batch, score_batch=args.score_batch,
             esc_batch=args.esc_batch, transport_dtype=args.transport,
-            escalate=escalate, platforms=platforms)
+            escalate=escalate,
+            escalate_band=2.0 if band is None else band,
+            escalate_center=0.0 if center is None else center,
+            platforms=platforms)
         meta.update(model=model_name, ckpt=os.path.abspath(args.ckpt),
                     sample_rate=sr, quant=quant)
         save_serving(ext_exp, score_exp, esc_exp, args.out, meta, mvars,

@@ -79,6 +79,12 @@ def add_engine_args(p):
                         "part-full escalation chunk (esc cost is ~linear "
                         "per row, so padding pays real time; opt-in, one "
                         "extra warmup compile per rung)")
+    p.add_argument("--no_auto_provision", action="store_true",
+                   default=False,
+                   help="disable adaptive provisioning (the engine "
+                        "deepening its rung ladders from observed "
+                        "live-row EMAs; on by default — disable for "
+                        "fixed-shape bit-stability)")
     p.add_argument("--esc_gather", type=str, default="slice",
                    choices=("slice", "flat"),
                    help="escalation window-gather form: 'slice' (vmapped "
@@ -95,6 +101,14 @@ def add_engine_args(p):
     p.add_argument("--cascade_center", type=float, default=None,
                    help="escalation band center (default 0.0; for "
                         "--artifact: the bundle's baked center)")
+    p.add_argument("--cascade_calibration", type=str, default=None,
+                   help="cascade band sidecar from 'cli.evaluate "
+                        "--cascade-sweep --cascade-out': sets the "
+                        "escalation band/center chosen on a dev set "
+                        "(explicit --cascade_band/--cascade_center "
+                        "override it) — re-tuning after a screener "
+                        "depth change is sweep -> sidecar -> serve, no "
+                        "hand-carried numbers")
     p.add_argument("--score_batch", type=int, default=None,
                    help="cap the window-score batch below max_streams — the "
                         "HBM escape hatch for large stream counts; each tick "
@@ -176,6 +190,21 @@ def build_engine(args, n_streams: int):
     """Construct a warmed :class:`MultiStreamScorer` from the shared
     engine flags (``add_engine_args``); used by this CLI and the network
     daemon (cli/daemon.py). Returns ``(engine, sample_rate_hz)``."""
+    if getattr(args, "cascade_calibration", None):
+        from rtdsd_tpu.utils.metrics import load_cascade_calibration
+
+        cal = load_cascade_calibration(args.cascade_calibration)
+        # explicit flags win; the sidecar fills the rest
+        if args.cascade_band is None:
+            args.cascade_band = float(cal["band"])
+        if args.cascade_center is None:
+            args.cascade_center = float(cal["center"])
+        print(f"[serve] cascade band {args.cascade_band} around "
+              f"{args.cascade_center} from {args.cascade_calibration} "
+              f"(dev escalation "
+              f"{cal.get('escalation_rate', float('nan')) * 100:.1f}%, "
+              f"cascade EER {cal.get('cascade_eer', float('nan')):.4f}%)",
+              file=sys.stderr)
     if args.artifact:
         if args.config or args.ckpt:
             raise SystemExit(
@@ -280,6 +309,7 @@ def build_engine(args, n_streams: int):
         extend_fastpath=not args.no_extend_fastpath,
         extend_rungs=args.extend_rungs,
         score_rungs=args.score_rungs, esc_rungs=args.esc_rungs,
+        auto_provision=not args.no_auto_provision,
         auto_batch=args.auto_batch,
         transport_dtype=(args.transport if args.transport else
                          "float32" if args.f32_transport else "int16"),
@@ -472,7 +502,7 @@ def main(argv=None):
     if args.cascade_ckpt:
         n_esc = sum(w.escalated for ws_list in per_file for w in ws_list)
         print(f"  [cascade: {n_esc}/{total_windows} windows escalated "
-              f"(band {args.cascade_band} around {args.cascade_center})]",
+              f"(band {eng.escalate_band} around {eng.escalate_center})]",
               file=sys.stderr)
     if args.gate_db is not None:
         print(f"  [energy gate: {eng.gated_windows}/{total_windows} "

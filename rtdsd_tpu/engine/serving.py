@@ -43,6 +43,7 @@ before any subsequent extend can overwrite the ring rows.
 from __future__ import annotations
 
 import collections
+import os
 import sys
 from typing import Dict, List, NamedTuple, Optional
 
@@ -82,14 +83,110 @@ def mulaw_decode(q: jnp.ndarray) -> jnp.ndarray:
         * (1.0 / _MU)
 
 
+def hbm_limit_file_path() -> str:
+    """Location of the calibrated-HBM sidecar (see ``probe_hbm_bytes``):
+    ``$RTDSD_HBM_LIMIT_FILE`` or ``~/.cache/rtdsd_tpu/hbm_limit.json``."""
+    return os.environ.get("RTDSD_HBM_LIMIT_FILE") or os.path.join(
+        os.path.expanduser("~"), ".cache", "rtdsd_tpu", "hbm_limit.json")
+
+
 def _device_hbm_bytes():
-    """The default device's memory limit in bytes, when the backend
-    reports one (TPU does; CPU backends return None -> guard disabled)."""
+    """The default device's usable memory in bytes, from (in order):
+
+    1. the backend's own ``memory_stats()['bytes_limit']`` (TPU local);
+    2. ``$RTDSD_HBM_GB`` (operator override, GiB);
+    3. the calibrated sidecar written by ``probe_hbm_bytes`` /
+       ``tools/serving_bench.py --calibrate_hbm`` — the relay-attached
+       case, where the device reports no stats and the HBM-aware extend
+       default would otherwise stay inert (VERDICT r4 item 3);
+    4. None -> guard disabled (CPU backends).
+    """
     try:
         stats = jax.local_devices()[0].memory_stats() or {}
-        return int(stats.get("bytes_limit", 0)) or None
+        limit = int(stats.get("bytes_limit", 0)) or None
     except Exception:
-        return None
+        limit = None
+    if limit:
+        return limit
+    env_gb = os.environ.get("RTDSD_HBM_GB")
+    if env_gb:
+        try:
+            return int(float(env_gb) * 2 ** 30)
+        except ValueError:
+            pass
+    try:
+        import json
+
+        with open(hbm_limit_file_path()) as fh:
+            rec = json.load(fh)
+        kind = jax.local_devices()[0].device_kind
+        if rec.get("device_kind") in (None, kind):
+            return int(rec["bytes"]) or None
+    except Exception:
+        pass
+    return None
+
+
+def probe_hbm_bytes(max_gb: float = 64.0, block_gb: float = 1.0,
+                    alloc=None, record: bool = False) -> int:
+    """Empirically measure usable device memory by bounded trial
+    allocation — for deployments where the device reports no
+    ``bytes_limit`` (e.g. a remote relay). Holds an increasing count of
+    fixed ``block_gb`` buffers until one fails (or ``max_gb`` is
+    reached); usable = blocks held × block size, 1 GiB resolution.
+
+    Two relay-shaped constraints (both measured, r5) dictate this form:
+    every distinct allocation SIZE is a fresh remote compile (seconds to
+    minutes each — a binary search of varying sizes times out), and the
+    first failed allocation poisons the worker for the rest of the
+    process (a 12 GiB trial that succeeded before a 16 GiB failure fails
+    with RESOURCE_EXHAUSTED after it), so all successful trials must
+    precede the single failure. Fixed-size blocks compile ONCE and
+    ascend monotonically. Run it as a one-shot whose process exits after
+    recording (``tools/serving_bench.py --calibrate_hbm`` does).
+
+    ``alloc()`` (one block, no args) is injectable for tests; the
+    default allocates a device uint8 buffer and forces materialization
+    with a one-element readback (``block_until_ready`` does not block
+    through a relay, CLAUDE.md). ``record=True`` writes the result to
+    :func:`hbm_limit_file_path` so ``_device_hbm_bytes`` (and with it
+    the HBM-aware extend default and the pre-flight guard) picks it up
+    in every later process.
+    """
+    gib = 2 ** 30
+    block = int(block_gb * gib)
+    if alloc is None:
+        def alloc():
+            x = jnp.zeros((block,), jnp.uint8)
+            np.asarray(x[-1])  # force through the relay
+            return x
+
+    held = []
+    try:
+        while len(held) * block < int(max_gb * gib):
+            held.append(alloc())
+    except Exception:
+        pass
+    lo = len(held) * block
+    del held
+    if lo == 0:
+        raise RuntimeError(
+            f"HBM probe: even a {block_gb:g} GiB allocation failed — "
+            "device busy or broken, not calibrating")
+    if record:
+        import json
+
+        path = hbm_limit_file_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            kind = jax.local_devices()[0].device_kind
+        except Exception:
+            kind = None
+        with open(path, "w") as fh:
+            json.dump({"bytes": lo, "device_kind": kind}, fh)
+        print(f"[hbm probe] recorded {lo / gib:.2f} GiB usable "
+              f"({kind}) -> {path}", file=sys.stderr)
+    return lo
 
 
 def _shape_ladder(full: int, rungs: int, prefix: str, n: int):
@@ -227,6 +324,8 @@ class MultiStreamScorer:
                  extend_rungs: int = 2,
                  score_rungs: int = 0,
                  esc_rungs: int = 0,
+                 auto_provision: bool = True,
+                 provision_after: int = 48,
                  transport_dtype: str = "float32",
                  hbm_limit: Optional[int] = None,
                  auto_batch: bool = False,
@@ -619,8 +718,6 @@ class MultiStreamScorer:
         # tick when it doesn't engage (live rows pick the smallest fit).
         self._extend_rungs = _shape_ladder(self.extend_batch,
                                            extend_rungs, "extend", n_)
-        self._half_extend = (self._extend_rungs[0][0]
-                             if self._extend_rungs else 0)
         # score/escalation ladders (opt-in): with the energy gate the due
         # LOUD window count is workload-dependent, and a half-empty
         # fixed-shape score dispatch costs the same as a full one
@@ -633,6 +730,28 @@ class MultiStreamScorer:
                                           "score", n_)
         self._esc_rungs = _shape_ladder(self.esc_batch, esc_rungs,
                                         "escalate", n_)
+        # ---- adaptive provisioning (r5, VERDICT r4 item 2): the engine
+        # watches its own live-row telemetry and DEEPENS the rung ladders
+        # to match observed demand, so the measured hand-tuned best
+        # points (score_rungs/esc_rungs on under-filled workloads,
+        # PERFORMANCE.md "shape ladders") no longer need an operator.
+        # Mechanics: EMAs of live rows per dispatch family update on
+        # every poll that dispatches that family; after ``provision_after``
+        # polls of evidence (hysteresis — short bursts and test runs never
+        # trigger), each family whose EMA sits below half its smallest
+        # compiled shape gains rungs until one fits the EMA, within a
+        # total compile budget (each new rung = one compile at first
+        # engagement). Smallest-fitting-rung dispatch (existing mechanics)
+        # then does the per-poll adaptation — cost is ~linear per row
+        # (esc-floor probe), so matching the residual chunk IS the
+        # measured win. Sub-shape score/esc dispatches retile XLA fusion
+        # (~1e-6 score drift, same class as the opt-in rungs); pass
+        # auto_provision=False for fixed-shape bit-stability.
+        self._auto_provision = bool(auto_provision)
+        self._provision_after = max(int(provision_after), 1)
+        self._ap_polls = 0
+        self._ap_budget = 6  # max auto-added rungs (compile cap)
+        self._ap_ema = {"score": None, "escalate": None, "extend": None}
         self._const_rows = None  # conv(zero segment) rows, derived lazily
         # placeholder for calls before derivation (the zero-batch rows
         # those calls write are all scratch, so the values never matter;
@@ -1092,6 +1211,59 @@ class MultiStreamScorer:
         self._const_rows = jnp.array(
             self._feats[self._scratch, :self.seg_frames])
 
+    # ------------------------------------------------ adaptive provisioning
+
+    def _ap_obs(self, fam: str, rows: int) -> None:
+        """Update the live-row EMA for a dispatch family (polls where the
+        family did not dispatch contribute nothing — an idle engine must
+        not drift the EMA to zero and deepen ladders for free)."""
+        prev = self._ap_ema[fam]
+        self._ap_ema[fam] = rows if prev is None \
+            else prev + (rows - prev) * (1.0 / 16.0)
+
+    def _maybe_auto_provision(self) -> None:
+        """Deepen rung ladders to match observed demand (see the
+        constructor note). Runs the check every ``provision_after`` polls;
+        each added rung spends one unit of the compile budget."""
+        if (not self._auto_provision or not self._subshape_ok
+                or self._ap_budget <= 0
+                or self._ap_polls < self._provision_after):
+            return
+        self._ap_polls = 0
+        n_ = self._mesh_n
+        added = []
+        for fam, full, attr in (("score", self.score_batch, "_score_rungs"),
+                                ("extend", self.extend_batch,
+                                 "_extend_rungs"),
+                                ("escalate", self.esc_batch, "_esc_rungs")):
+            ema = self._ap_ema[fam]
+            if ema is None or (fam == "extend" and not self._fastpath):
+                continue  # extend sub-shapes only dispatch with fastpath
+            rungs = getattr(self, attr)
+            depth = len(rungs)
+            while self._ap_budget > 0 and depth < 4:
+                smallest = rungs[-1][0] if rungs else full
+                if ema >= smallest / 2:
+                    break  # a compiled shape already fits the demand
+                deeper = _shape_ladder(full, depth + 1, fam, n_)
+                if len(deeper) <= len(rungs):
+                    break  # mesh-multiple floor reached
+                depth += 1
+                self._ap_budget -= 1
+                added.append(deeper[-1][1])
+                rungs = deeper
+            if len(rungs) > len(getattr(self, attr)):
+                setattr(self, attr, rungs)
+                for rb, nm in rungs:
+                    self.dispatch_counts.setdefault(nm, 0)
+                    self.rung_rows[nm] = rb
+        if added:
+            print(f"[serving] auto-provision: added dispatch rungs "
+                  f"{added} from observed load (EMAs "
+                  f"{ {k: round(v, 1) for k, v in self._ap_ema.items() if v is not None} }); "
+                  f"pass auto_provision=False for fixed shapes",
+                  file=sys.stderr)
+
     def poll(self) -> List[WindowScore]:
         """Run at most one ``extend`` (+ one zero-segment const scatter)
         and one ``score`` dispatch; returns the completed window scores.
@@ -1099,6 +1271,8 @@ class MultiStreamScorer:
         larger than the batch sizes."""
         results: List[WindowScore] = []
         self._last_poll_work = False
+        self._ap_polls += 1
+        self._maybe_auto_provision()
         self._rr += 1  # rotate fairness offset (see _iter_slots)
         segs = self._due_segments(limit=self.extend_batch)
         if segs:
@@ -1119,6 +1293,7 @@ class MultiStreamScorer:
                     zpos_np[i] = (seg_idx * self.seg_frames) \
                         % self.ring_frames
             if live:
+                self._ap_obs("extend", len(live))
                 # the zero-segment const scatter rides inside this
                 # dispatch (program writes const rows FIRST — the
                 # real-data-wins order of the single-batch semantics)
@@ -1172,6 +1347,7 @@ class MultiStreamScorer:
                                                False, True))
         if wins:
             self._last_poll_work = True
+            self._ap_obs("score", len(wins))
             nbs, skey = self.score_batch, "score"
             if self._subshape_ok:
                 for rb, rname in self._score_rungs:
@@ -1195,6 +1371,11 @@ class MultiStreamScorer:
                 due = [i for i in range(len(wins))
                        if abs(float(scores[i]) - self.escalate_center)
                        <= self.escalate_band]
+                if due:
+                    # the residual (last) chunk is what padding wastes on;
+                    # its typical size is what the esc ladder should reach
+                    self._ap_obs("escalate",
+                                 (len(due) - 1) % self.esc_batch + 1)
                 for c0 in range(0, len(due), self.esc_batch):
                     chunk = due[c0: c0 + self.esc_batch]
                     # esc cost is ~linear per row with no fixed floor

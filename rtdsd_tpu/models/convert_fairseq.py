@@ -31,6 +31,8 @@ from __future__ import annotations
 import re
 from typing import Any, Dict, Mapping, Optional, Sequence
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 Array = np.ndarray
@@ -339,3 +341,49 @@ def convert_reference_model(sd: StateDict, model_name: str,
         "params": {"ssl_model": ssl, "backend": be_params},
         "batch_stats": {"backend": be_stats},
     }
+
+
+def to_mixed_remat(ssl_params: Dict[str, Any], m: int) -> Dict[str, Any]:
+    """Map a standard scan-stacked SSL tree into the partial-remat layout.
+
+    ``Wav2Vec2Config.remat_save_every = m`` chunks the encoder stack: the
+    standard layout stacks every transformer layer under
+    ``layers/layer`` with leading axis L; the mixed layout holds the
+    saved (non-remat) chunk heads under ``layers/layer_save`` (axis
+    L/m) and the remat'd rest under ``layers/layers_r/layer`` (axes
+    (L/m, m-1)). Chunk j covers layers [j*m, (j+1)*m): its head is layer
+    j*m, so ``layer_save = leaf[0::m]`` and
+    ``layers_r = leaf.reshape(L/m, m, ...)[:, 1:]``. Pure layout — the
+    math is identical (pinned by
+    tests/test_models.py::test_mixed_remat_matches_uniform).
+    """
+    out = dict(ssl_params)
+    layers = ssl_params["layers"]["layer"]
+
+    def split(leaf):
+        L = leaf.shape[0]
+        if L % m:
+            raise ValueError(f"stacked depth {L} not divisible by m={m}")
+        chunked = leaf.reshape((L // m, m) + leaf.shape[1:])
+        return chunked[:, 0], chunked[:, 1:]
+
+    saves = jax.tree_util.tree_map(lambda a: split(a)[0], layers)
+    rest = jax.tree_util.tree_map(lambda a: split(a)[1], layers)
+    out["layers"] = {"layer_save": saves, "layers_r": {"layer": rest}}
+    return out
+
+
+def from_mixed_remat(ssl_params: Dict[str, Any]) -> Dict[str, Any]:
+    """Inverse of :func:`to_mixed_remat`: interleave the chunk heads and
+    remat'd layers back into the standard (L, ...) stacked layout (for
+    saving checkpoints in the interchange format)."""
+    out = dict(ssl_params)
+    saves = ssl_params["layers"]["layer_save"]
+    rest = ssl_params["layers"]["layers_r"]["layer"]
+
+    def join(s, r):
+        merged = jnp.concatenate([s[:, None], r], axis=1)
+        return merged.reshape((-1,) + merged.shape[2:])
+
+    out["layers"] = {"layer": jax.tree_util.tree_map(join, saves, rest)}
+    return out

@@ -84,6 +84,20 @@ class Wav2Vec2Config:
     # "dots" saves every matmul output (jax dots_saveable) — least
     # recompute, most memory of the three.
     remat_policy: str = "full"
+    # Partial (mixed) rematerialization: with remat=True and this >= 2,
+    # the scanned stack becomes chunks of this many layers where the
+    # FIRST layer of each chunk keeps its activations (no remat) and the
+    # other (m-1) remat — recompute drops to (m-1)/m of the layers for
+    # (L/m) layers' worth of extra activation memory. The whole-program
+    # policies ("hidden"/"dots") fail to compile at b192 on this
+    # toolchain (PERFORMANCE.md r4 retry); this is the compilable
+    # middle ground between 46% MFU and the toolchain wall (probed in
+    # tools/train_remat_probe.py). 0/1 = off (uniform per-layer remat).
+    # Requires encoder_layers % remat_save_every == 0. Parameter layout
+    # changes (layers/layer_save + layers/layers_r vs layers/layer);
+    # models/convert_fairseq.py::to_mixed_remat maps a standard stacked
+    # tree into it.
+    remat_save_every: int = 0
     # Weight-only int8 transformer matmuls (serving mode): q/k/v/out/fc1/fc2
     # kernels are stored as int8 values + per-output-column float scales
     # (produced by models/quantize.py from a trained f32 tree), dequantized
@@ -497,6 +511,36 @@ class _ScanLayer(nn.Module):
         return y, y
 
 
+class _MixedRematChunk(nn.Module):
+    """One chunk of the partial-remat stack (``remat_save_every`` = m):
+    the first layer runs plain (its activations are saved — the chunk
+    boundary), the remaining m-1 layers run under an inner remat'd scan.
+    Emits the chunk's per-layer hiddens stacked (m, B, T, D) so the outer
+    scan still exposes every hidden state for KD taps."""
+
+    cfg: Wav2Vec2Config
+    dtype: Dtype = jnp.float32
+    train: bool = False
+    policy: Optional[object] = None
+
+    @nn.compact
+    def __call__(self, carry, _):
+        y0 = TransformerLayer(self.cfg, self.dtype, name="layer_save")(
+            carry, train=self.train)
+        inner_cls = nn.remat(_ScanLayer, static_argnums=(),
+                             prevent_cse=False, policy=self.policy)
+        inner = nn.scan(
+            inner_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.cfg.remat_save_every - 1,
+            metadata_params={nn.PARTITION_NAME: "layers"},
+        )(self.cfg, self.dtype, self.train, name="layers_r")
+        y, hs = inner(y0, None)
+        hiddens = jnp.concatenate([y0[None], hs], axis=0)
+        return y, hiddens
+
+
 class Wav2Vec2Encoder(nn.Module):
     """Full XLSR front-end: wave (B, T) -> features (B, frames, 1024)."""
 
@@ -531,9 +575,8 @@ class Wav2Vec2Encoder(nn.Module):
         if not cfg.layer_norm_first:
             x = nn.LayerNorm(epsilon=LN_EPS, name="encoder_layer_norm", dtype=self.dtype)(x)
 
-        layer_cls = _ScanLayer
+        policy = None
         if self.remat:
-            policy = None
             if cfg.remat_policy == "hidden":
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "attn_out", "ffn_hidden")
@@ -546,18 +589,38 @@ class Wav2Vec2Encoder(nn.Module):
                 raise ValueError(
                     f"unknown remat_policy {cfg.remat_policy!r} "
                     "(have: full, hidden, dots)")
-            layer_cls = nn.remat(
-                _ScanLayer, static_argnums=(), prevent_cse=False,
-                policy=policy)
-        stack = nn.scan(
-            layer_cls,
-            variable_axes={"params": 0},
-            split_rngs={"params": True, "dropout": True},
-            length=cfg.encoder_layers,
-            unroll=min(max(cfg.scan_unroll, 1), cfg.encoder_layers),
-            metadata_params={nn.PARTITION_NAME: "layers"},
-        )(cfg, self.dtype, train, name="layers")
-        x, hiddens = stack(x, None)
+        if self.remat and cfg.remat_save_every >= 2:
+            # partial remat: chunks of m layers, first saved, rest remat'd
+            m = cfg.remat_save_every
+            if cfg.encoder_layers % m:
+                raise ValueError(
+                    f"remat_save_every={m} must divide encoder_layers="
+                    f"{cfg.encoder_layers}")
+            stack = nn.scan(
+                _MixedRematChunk,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=cfg.encoder_layers // m,
+                metadata_params={nn.PARTITION_NAME: "chunks"},
+            )(cfg, self.dtype, train, policy, name="layers")
+            x, hiddens = stack(x, None)
+            # (L/m, m, B, T, D) -> (L, B, T, D), chunk-major = layer order
+            hiddens = hiddens.reshape((-1,) + hiddens.shape[2:])
+        else:
+            layer_cls = _ScanLayer
+            if self.remat:
+                layer_cls = nn.remat(
+                    _ScanLayer, static_argnums=(), prevent_cse=False,
+                    policy=policy)
+            stack = nn.scan(
+                layer_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=cfg.encoder_layers,
+                unroll=min(max(cfg.scan_unroll, 1), cfg.encoder_layers),
+                metadata_params={nn.PARTITION_NAME: "layers"},
+            )(cfg, self.dtype, train, name="layers")
+            x, hiddens = stack(x, None)
 
         if cfg.layer_norm_first:
             x = nn.LayerNorm(epsilon=LN_EPS, name="encoder_layer_norm", dtype=self.dtype)(x)

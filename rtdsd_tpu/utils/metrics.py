@@ -189,6 +189,26 @@ def load_calibration(path: str) -> dict:
     return cal
 
 
+def load_cascade_calibration(path: str) -> dict:
+    """Load a cascade band calibration produced by ``cli.evaluate
+    --cascade-sweep ... --cascade-out`` (band/center chosen on a dev set;
+    consumed by ``cli.serve`` / ``cli.daemon`` / ``cli.export``
+    ``--cascade_calibration``). Raises with the missing keys when handed
+    some other JSON file."""
+    import json
+
+    with open(path) as f:
+        cal = json.load(f)
+    missing = [k for k in ("band", "center") if k not in cal]
+    if missing:
+        raise ValueError(
+            f"{path} is not a cascade calibration file (missing "
+            f"{missing}); produce one with: python -m rtdsd_tpu.cli."
+            "evaluate --scores screener_dev.txt --protocol dev.txt "
+            "--cascade-sweep flagship_dev.txt --cascade-out band.json")
+    return cal
+
+
 def platt_prob(scores, cal: dict):
     """Calibrated ``P(bonafide | score)`` under the Platt fit in ``cal``.
     Accepts a scalar or array; returns the same shape as float64."""

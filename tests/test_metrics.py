@@ -449,3 +449,79 @@ def test_calibration_file_roundtrip_and_threshold_lookup(tmp_path):
     bad.write_text(json.dumps({"something": 1}))
     with pytest.raises(ValueError, match="platt_a"):
         load_calibration(str(bad))
+
+
+def test_cascade_sweep_sidecar_to_serve_flow(tmp_path, capsys):
+    """r5 (VERDICT r4 item 6) one-command cascade re-calibration:
+    --cascade-sweep --cascade-out picks a band on a dense sweep and
+    writes a sidecar; cli.serve --cascade_calibration consumes it
+    (explicit flags still win); bogus files fail with a pointer to the
+    producing command."""
+    import json
+
+    import numpy as np
+    import pytest
+
+    from rtdsd_tpu.cli import evaluate, serve
+    from rtdsd_tpu.utils.metrics import load_cascade_calibration
+
+    rng = np.random.default_rng(3)
+    n = 300
+    labels = np.arange(n) % 2
+    screener = np.where(labels == 1, 1.0, -1.0) + rng.normal(0, 1.0, n)
+    flagship = np.where(labels == 1, 5.0, -5.0)
+    proto = tmp_path / "proto.txt"
+    proto.write_text("".join(
+        f"spk u{i:03d} - A01 {'bonafide' if l else 'spoof'}\n"
+        for i, l in enumerate(labels)))
+    s_file = tmp_path / "screener.txt"
+    s_file.write_text("".join(f"u{i:03d} {screener[i]}\n" for i in range(n)))
+    f_file = tmp_path / "flagship.txt"
+    f_file.write_text("".join(f"u{i:03d} {flagship[i]}\n" for i in range(n)))
+    out_json = tmp_path / "band.json"
+
+    rc = evaluate.main(["--scores", str(s_file), "--protocol", str(proto),
+                        "--file-field", "1", "--label-field", "4",
+                        "--cascade-sweep", str(f_file),
+                        "--cascade-out", str(out_json)])
+    assert rc == 0
+    assert "picked band" in capsys.readouterr().out
+    side = load_cascade_calibration(str(out_json))
+    assert side["kind"] == "cascade_calibration"
+    assert side["band"] > 0.0 and side["center"] == 0.0
+    assert 0.0 < side["escalation_rate"] <= 1.0
+    # EER pick rule: within 2% of the best achievable cascade EER
+    assert side["cascade_eer"] <= side["screener_eer"]
+
+    # target-escalation pick rule
+    rc = evaluate.main(["--scores", str(s_file), "--protocol", str(proto),
+                        "--file-field", "1", "--label-field", "4",
+                        "--cascade-sweep", str(f_file),
+                        "--cascade-out", str(out_json),
+                        "--cascade-pick-esc", "0.2"])
+    assert rc == 0
+    capsys.readouterr()
+    side2 = json.load(open(out_json))
+    assert abs(side2["escalation_rate"] - 0.2) < 0.05
+
+    # serve consumes the sidecar: band/center filled before any model load
+    args = serve.parse_args(["--cascade_calibration", str(out_json),
+                             "--audio", "x.wav"])
+    with pytest.raises(SystemExit, match="--config and --ckpt"):
+        serve.build_engine(args, 2)
+    assert args.cascade_band == pytest.approx(side2["band"])
+    assert args.cascade_center == side2["center"]
+
+    # explicit flags outrank the sidecar
+    args = serve.parse_args(["--cascade_calibration", str(out_json),
+                             "--cascade_band", "9.875",
+                             "--audio", "x.wav"])
+    with pytest.raises(SystemExit, match="--config and --ckpt"):
+        serve.build_engine(args, 2)
+    assert args.cascade_band == 9.875
+
+    # non-calibration JSON fails with the producing command in the error
+    bogus = tmp_path / "bogus.json"
+    bogus.write_text("{\"platt_a\": 1.0}")
+    with pytest.raises(ValueError, match="cascade-sweep"):
+        load_cascade_calibration(str(bogus))

@@ -295,3 +295,70 @@ def test_segmented_conv_rejects_group_norm():
     wave = jnp.zeros((1, 2000), jnp.float32)
     with pytest.raises(ValueError, match="layer_norm"):
         Wav2Vec2Encoder(cfg).init(jax.random.key(0), wave)
+
+
+def test_mixed_remat_matches_uniform():
+    """r5 partial remat (remat_save_every=m): a pure scheduling/layout
+    change — forward outputs, per-layer hiddens, AND parameter gradients
+    must equal the uniform per-layer-remat stack once params are mapped
+    through the layout converter. Also pins the converter roundtrip and
+    the divisibility guard."""
+    import dataclasses
+
+    import numpy as np
+
+    from rtdsd_tpu.models.convert_fairseq import (from_mixed_remat,
+                                                  to_mixed_remat)
+    from rtdsd_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
+
+    cfg = Wav2Vec2Config(conv_layers=((8, 10, 5), (8, 4, 4)),
+                         encoder_embed_dim=8, encoder_ffn_dim=16,
+                         encoder_heads=2, encoder_layers=4, conv_pos=4,
+                         conv_pos_groups=2)
+    enc = Wav2Vec2Encoder(cfg, remat=True)
+    wave = jnp.asarray(np.random.default_rng(5).standard_normal(
+        (2, 2000)).astype(np.float32) * 0.1)
+    params = enc.init(jax.random.key(0), wave, train=False)["params"]
+
+    cfg_m = dataclasses.replace(cfg, remat_save_every=2)
+    enc_m = Wav2Vec2Encoder(cfg_m, remat=True)
+    params_m = to_mixed_remat(params, 2)
+    # shapes line up with what the mixed module would initialize
+    init_m = enc_m.init(jax.random.key(0), wave, train=False)["params"]
+    jax.tree_util.tree_map(lambda a, b: None if a.shape == b.shape
+                           else (_ for _ in ()).throw(AssertionError(
+                               (a.shape, b.shape))), params_m, init_m)
+
+    out, hid = enc.apply({"params": params}, wave, train=False,
+                         return_hiddens=True)
+    out_m, hid_m = enc_m.apply({"params": params_m}, wave, train=False,
+                               return_hiddens=True)
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out),
+                               rtol=1e-5, atol=1e-6)
+    assert hid_m.shape == hid.shape  # (L, B, T, D), layer order preserved
+    np.testing.assert_allclose(np.asarray(hid_m), np.asarray(hid),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(p, module):
+        return jnp.sum(module.apply({"params": p}, wave, train=False) ** 2)
+
+    g = jax.grad(lambda p: loss(p, enc))(params)
+    g_m = jax.grad(lambda p: loss(p, enc_m))(params_m)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5),
+        to_mixed_remat(g, 2), g_m)
+
+    # converter roundtrip is exact
+    rt = from_mixed_remat(params_m)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        params, rt)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="divide"):
+        Wav2Vec2Encoder(dataclasses.replace(cfg, remat_save_every=3),
+                        remat=True).init(jax.random.key(0), wave,
+                                         train=False)

@@ -1258,3 +1258,191 @@ def test_swap_model_quantized_w8a8(tiny):
     # a FULL-PRECISION tree must be rejected (different structure)
     with pytest.raises(ValueError, match="tree structure"):
         eng.swap_model(params, stats)
+
+
+def _drive_hop_by_hop(eng, wave, hop, handle):
+    """Push one hop at a time, polling after each (steady-state serving
+    cadence: ~1 window due per poll)."""
+    got = []
+    for i in range(0, len(wave), hop):
+        eng.push(handle, wave[i:i + hop])
+        got.extend(eng.poll())
+    eng.close_stream(handle, flush=True)
+    got.extend(eng.drain())
+    return got
+
+
+def test_auto_provision_deepens_ladders_and_preserves_windows(tiny):
+    """r5 adaptive provisioning: an engine provisioned for 8-wide score
+    dispatches but fed ~1 due window per poll deepens its score ladder
+    from observed EMAs after the hysteresis window — no batch knobs
+    passed — and the full window set (starts AND scores) matches a
+    fixed-shape auto_provision=False engine. Resize safety: ladder
+    deepening must never drop or duplicate a window."""
+    model, params, stats, cfg, duration = tiny
+    hop = duration // 2
+    rng = np.random.default_rng(23)
+    # enough hops to clear the 48-poll hysteresis with work every poll
+    wave = rng.standard_normal(70 * hop + duration).astype(np.float32) * 0.1
+
+    runs = {}
+    for auto in (False, True):
+        eng = MultiStreamScorer(model, params, stats, cfg,
+                                duration=duration, hop=hop, max_streams=8,
+                                score_batch=8, esc_batch=8,
+                                escalate=(model, params, stats),
+                                escalate_band=1e9,  # every window escalates
+                                auto_provision=auto)
+        assert eng._auto_provision is auto
+        base_score_rungs = list(eng._score_rungs)
+        got = _drive_hop_by_hop(eng, wave, hop, eng.open_stream("a"))
+        runs[auto] = sorted(got, key=lambda g: g.start_sample)
+        if auto:
+            # ladders deepened beyond the defaults and actually engaged
+            assert len(eng._score_rungs) > len(base_score_rungs)
+            assert len(eng._esc_rungs) > 0
+            assert sum(eng.dispatch_counts[nm]
+                       for _rb, nm in eng._score_rungs) > 0
+            assert sum(eng.dispatch_counts[nm]
+                       for _rb, nm in eng._esc_rungs) > 0
+            assert eng._ap_budget < 6  # budget actually spent
+            for _rb, nm in eng._score_rungs + eng._esc_rungs:
+                assert nm in eng.rung_rows
+        else:
+            assert eng._score_rungs == [] and eng._esc_rungs == []
+
+    fixed, adaptive = runs[False], runs[True]
+    assert [g.start_sample for g in adaptive] == \
+        [g.start_sample for g in fixed]
+    assert [g.escalated for g in adaptive] == [g.escalated for g in fixed]
+    # sub-shape dispatches retile fusion: scores agree to float tolerance
+    np.testing.assert_allclose([g.score for g in adaptive],
+                               [g.score for g in fixed],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_auto_provision_hysteresis_and_gates(tiny):
+    """Short workloads (< provision_after polls) never trigger adaptation;
+    auto_provision=False and exported fixed-shape engines
+    (_subshape_ok=False) never adapt regardless of load."""
+    model, params, stats, cfg, duration = tiny
+    hop = duration // 2
+    rng = np.random.default_rng(29)
+    wave = rng.standard_normal(10 * hop + duration).astype(np.float32) * 0.1
+
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            hop=hop, max_streams=8, score_batch=8)
+    _drive_hop_by_hop(eng, wave, hop, eng.open_stream("s"))
+    assert eng._score_rungs == []  # hysteresis: too few polls
+
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            hop=hop, max_streams=8, score_batch=8,
+                            provision_after=4)
+    eng._subshape_ok = False  # exported-artifact case
+    _drive_hop_by_hop(eng, wave, hop, eng.open_stream("s"))
+    assert eng._score_rungs == []
+
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            hop=hop, max_streams=8, score_batch=8,
+                            provision_after=4, auto_provision=False)
+    _drive_hop_by_hop(eng, wave, hop, eng.open_stream("s"))
+    assert eng._score_rungs == []
+
+    # and with a short hysteresis it DOES adapt on the same short load
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            hop=hop, max_streams=8, score_batch=8,
+                            provision_after=4)
+    _drive_hop_by_hop(eng, wave, hop, eng.open_stream("s"))
+    assert len(eng._score_rungs) > 0
+
+
+def test_probe_hbm_monotone_ascent(tmp_path, monkeypatch):
+    """r5 (VERDICT r4 item 3): the empirical HBM probe finds the usable
+    limit against an injected allocator by MONOTONE ascent (on the axon
+    relay the first failed allocation poisons later trials, so all
+    refinement must precede any failure), records the sidecar, and
+    _device_hbm_bytes picks it up where the device reports no
+    bytes_limit (relay / CPU)."""
+    from rtdsd_tpu.engine.serving import (_device_hbm_bytes,
+                                          hbm_limit_file_path,
+                                          probe_hbm_bytes)
+
+    true_limit = int(13.3 * 2 ** 30)
+    state = {"used": 0, "poisoned": False}
+
+    def alloc():
+        # model the relay: any failure poisons every later allocation
+        if state["poisoned"] or state["used"] + 2 ** 30 > true_limit:
+            state["poisoned"] = True
+            raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+        state["used"] += 2 ** 30
+        return object()
+
+    got = probe_hbm_bytes(alloc=alloc)
+    # fixed 1 GiB blocks: 13 succeed, the 14th fails
+    assert got == 13 * 2 ** 30
+    state.update(used=0, poisoned=False)
+
+    # max_gb cap: stop before ever failing
+    alloc_count = [0]
+
+    def alloc_ok():
+        alloc_count[0] += 1
+        return object()
+
+    assert probe_hbm_bytes(max_gb=4.0, alloc=alloc_ok) == 4 * 2 ** 30
+    assert alloc_count[0] == 4  # never probes past the cap
+
+    # a dead device raises instead of calibrating nonsense
+    def dead():
+        raise RuntimeError("RESOURCE_EXHAUSTED")
+
+    with pytest.raises(RuntimeError, match="GiB"):
+        probe_hbm_bytes(alloc=dead)
+
+    # record -> sidecar -> _device_hbm_bytes fallback chain
+    path = str(tmp_path / "hbm.json")
+    monkeypatch.setenv("RTDSD_HBM_LIMIT_FILE", path)
+    monkeypatch.delenv("RTDSD_HBM_GB", raising=False)
+    assert hbm_limit_file_path() == path
+    rec = probe_hbm_bytes(alloc=alloc, record=True)
+    import os as _os
+
+    assert _os.path.exists(path)
+    assert _device_hbm_bytes() == rec  # CPU reports no stats -> sidecar
+
+    # env override outranks the sidecar
+    monkeypatch.setenv("RTDSD_HBM_GB", "7.5")
+    assert _device_hbm_bytes() == int(7.5 * 2 ** 30)
+
+    # a sidecar recorded on a DIFFERENT device kind is ignored
+    monkeypatch.delenv("RTDSD_HBM_GB", raising=False)
+    import json as _json
+
+    with open(path, "w") as fh:
+        _json.dump({"bytes": 123, "device_kind": "TPU v9"}, fh)
+    assert _device_hbm_bytes() is None
+
+
+def test_hbm_sidecar_engages_extend_uncap(tiny, tmp_path, monkeypatch):
+    """With a calibrated sidecar present, the HBM-aware extend default
+    (keep extend_batch = max_streams when the estimate fits) engages on
+    devices that report no bytes_limit — previously inert exactly there."""
+    import json as _json
+
+    model, params, stats, cfg, duration = tiny
+    path = str(tmp_path / "hbm.json")
+    monkeypatch.setenv("RTDSD_HBM_LIMIT_FILE", path)
+    monkeypatch.delenv("RTDSD_HBM_GB", raising=False)
+
+    def mk():
+        return MultiStreamScorer(model, params, stats, cfg,
+                                 duration=duration, hop=duration // 2,
+                                 max_streams=8, score_batch=2)
+
+    eng = mk()  # no limit known: capped fallback (+ stderr warning)
+    assert eng.extend_batch == 2
+    with open(path, "w") as fh:
+        _json.dump({"bytes": 4 * 2 ** 30, "device_kind": "cpu"}, fh)
+    eng = mk()  # sidecar limit known and the tiny config fits: uncap
+    assert eng.extend_batch == 8

@@ -88,7 +88,23 @@ def main():
                          "relay reports no bytes_limit, so the guard and "
                          "the HBM-aware extend default are off without "
                          "this; 16 = v5e)")
+    ap.add_argument("--calibrate_hbm", action="store_true", default=False,
+                    help="one-shot: binary-search the usable device HBM "
+                         "by bounded trial allocation, record it to the "
+                         "sidecar (~/.cache/rtdsd_tpu/hbm_limit.json or "
+                         "$RTDSD_HBM_LIMIT_FILE), and exit — later "
+                         "processes' pre-flight guard and HBM-aware "
+                         "extend default then engage without "
+                         "--hbm_limit_gb (relay-attached devices report "
+                         "no bytes_limit)")
+    ap.add_argument("--calibrate_max_gb", type=float, default=64.0)
     args = ap.parse_args()
+    if args.calibrate_hbm:
+        from rtdsd_tpu.engine.serving import probe_hbm_bytes
+
+        got = probe_hbm_bytes(max_gb=args.calibrate_max_gb, record=True)
+        log(f"usable HBM: {got / 2**30:.2f} GiB")
+        return
     sweep = args.streams or [32, 64, 128, 256]
 
     import jax.numpy as jnp
