@@ -333,22 +333,28 @@ def produce_evaluation_file(dataset, spec: ModelSpec, state: TrainState,
     only process 0 writes."""
     names, scores = score_dataset(dataset, spec, state, batch_size,
                                   sharding, num_workers, on_decode_error)
-    if jax.process_count() > 1:
-        from rtdsd_tpu.parallel.distributed import all_gather_objects
-
-        merged = {}
-        for part_names, part_scores in all_gather_objects((names, scores)):
-            # stripe padding duplicates a few utts on the last process;
-            # scores for a duplicated utt are identical, first write wins
-            for n, s in zip(part_names, part_scores):
-                merged.setdefault(n, s)
-        names = [t.utt_id for t in dataset.trials if t.utt_id in merged]
-        scores = [merged[n] for n in names]
-        if jax.process_index() != 0:
-            _check_score_shortfall(dataset, names)
-            return
+    names, scores = _gather_stripes(dataset, names, scores)
     _check_score_shortfall(dataset, names)
+    if jax.process_index() != 0:
+        return
     _write_score_file(save_path, names, scores)
+
+
+def _gather_stripes(dataset, names, scores):
+    """Merge per-process loader stripes into global dataset order — every
+    process returns the SAME (names, scores); no-op single-process."""
+    if jax.process_count() == 1:
+        return names, scores
+    from rtdsd_tpu.parallel.distributed import all_gather_objects
+
+    merged = {}
+    for part_names, part_scores in all_gather_objects((names, scores)):
+        # stripe padding duplicates a few utts on the last process;
+        # scores for a duplicated utt are identical, first write wins
+        for n, s in zip(part_names, part_scores):
+            merged.setdefault(n, s)
+    names = [t.utt_id for t in dataset.trials if t.utt_id in merged]
+    return names, [merged[n] for n in names]
 
 
 def subset_dataset(dataset, indices):
@@ -377,9 +383,16 @@ def produce_evaluation_file_cascade(
     static-shape batches both passes — escalation is a second pass over a
     subset dataset, never a dynamic-shape program). Both datasets must
     enumerate the same trials in the same order (they may differ in
-    duration fit). The written file keeps the reference score format."""
+    duration fit). The written file keeps the reference score format.
+
+    Multi-process: the screener stripes are merged globally BEFORE the
+    escalation subset is built, so every process derives the SAME
+    subset (the second pass then re-stripes it consistently — per-stripe
+    subsets of different sizes would desynchronize the collectives);
+    process 0 writes."""
     names, scores = score_dataset(dataset_screen, spec_screen, state_screen,
                                   batch_size, sharding, num_workers)
+    names, scores = _gather_stripes(dataset_screen, names, scores)
     _check_score_shortfall(dataset_screen, names)
     esc = [i for i, sc in enumerate(scores) if abs(sc - center) <= band]
     if esc:
@@ -387,6 +400,7 @@ def produce_evaluation_file_cascade(
         sub_names, sub_scores = score_dataset(sub, spec_full, state_full,
                                               batch_size, sharding,
                                               num_workers)
+        sub_names, sub_scores = _gather_stripes(sub, sub_names, sub_scores)
         for i, name, sc in zip(esc, sub_names, sub_scores):
             if name != names[i]:  # trial-order mismatch between datasets
                 raise RuntimeError(
@@ -396,6 +410,8 @@ def produce_evaluation_file_cascade(
     print(f"cascade: {len(esc)}/{len(names)} escalated "
           f"({100.0 * len(esc) / max(len(names), 1):.1f}%, "
           f"band {band} around {center})")
+    if jax.process_index() != 0:
+        return
     _write_score_file(save_path, names, scores)
 
 

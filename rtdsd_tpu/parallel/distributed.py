@@ -52,6 +52,20 @@ def maybe_initialize_distributed(coordinator: Optional[str] = None,
                 process_id if process_id is not None
                 else os.environ["JAX_PROCESS_ID"])
         jax.distributed.initialize(**kwargs)
+        # Warm the host-collective clique NOW, while every process sits
+        # at the same point: Gloo contexts are created lazily at the
+        # first collective with a ~30 s peer-connect budget, and a peer
+        # stuck in a long XLA compile mid-run can miss it (observed
+        # flaking under CPU contention, r5). A tiny gather here builds
+        # the rendezvous machinery when skew is minimal.
+        try:
+            from jax.experimental import multihost_utils
+            import numpy as _np
+
+            multihost_utils.process_allgather(_np.zeros(1, _np.uint8),
+                                              tiled=False)
+        except Exception as e:  # warm-up only — never fail init for it
+            _log.warning("host-collective warmup failed: %s", e)
         return True
     except Exception as e:
         if explicit:
@@ -123,7 +137,14 @@ def all_gather_objects(obj: Any) -> list:
     payload = np.frombuffer(pickle.dumps(obj), np.uint8)
     lens = np.asarray(multihost_utils.process_allgather(
         np.asarray(len(payload), np.int64), tiled=False)).ravel()
-    padded = np.zeros(int(lens.max()), np.uint8)
+    # bucket the padded size: every distinct gather shape compiles a new
+    # XLA program AND spins up a new Gloo context (30 s peer budget) —
+    # power-of-two buckets make repeat gathers reuse both
+    width = max(int(lens.max()), 1)
+    bucket = 4096
+    while bucket < width:
+        bucket *= 2
+    padded = np.zeros(bucket, np.uint8)
     padded[: len(payload)] = payload
     rows = np.asarray(multihost_utils.process_allgather(padded, tiled=False))
     return [pickle.loads(rows[i, : int(lens[i])].tobytes())
@@ -147,11 +168,14 @@ def broadcast_object(obj: Any, root: int = 0) -> Any:
                else np.zeros(0, np.uint8))
     n = int(multihost_utils.broadcast_one_to_all(
         np.asarray(len(payload), np.int64), is_source=is_src))
-    buf = np.zeros(n, np.uint8)
+    bucket = 4096  # same shape-bucketing rationale as all_gather_objects
+    while bucket < max(n, 1):
+        bucket *= 2
+    buf = np.zeros(bucket, np.uint8)
     buf[: len(payload)] = payload[:n]
     out = np.asarray(multihost_utils.broadcast_one_to_all(
         buf, is_source=is_src))
-    return pickle.loads(out.tobytes())
+    return pickle.loads(out.tobytes()[:n])
 
 
 def shared_random_seed() -> int:

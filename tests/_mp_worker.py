@@ -128,6 +128,17 @@ def main() -> None:
         dataset, spec, state0, os.path.join(workdir, "scores_mp.txt"),
         batch_size=4, sharding=bsh, num_workers=1)
 
+    # cascade path: screener stripes merge globally BEFORE the subset is
+    # built (a per-stripe subset would desynchronize the collectives);
+    # band=1e9 escalates everything and screener == full model, so the
+    # merged cascade file must equal the plain one
+    from rtdsd_tpu.cli.common import produce_evaluation_file_cascade
+
+    produce_evaluation_file_cascade(
+        dataset, dataset, spec, state0, spec, state0,
+        os.path.join(workdir, "scores_mp_cascade.txt"),
+        batch_size=4, band=1e9, sharding=bsh, num_workers=1)
+
     with open(os.path.join(workdir, f"report_{pid}.json"), "w") as fh:
         json.dump(report, fh)
     print(f"worker {pid}: OK")

@@ -181,6 +181,14 @@ def test_two_process_distributed_run(tmp_path):
     for u in sp:
         assert sp[u] == mp_scores[u], (u, sp[u], mp_scores[u])
 
+    # cascade (all-escalate, screener == full): merged file == plain file
+    casc = {}
+    with open(os.path.join(workdir, "scores_mp_cascade.txt")) as fh:
+        for ln in fh.read().strip().splitlines():
+            u, s = ln.split()
+            casc[u] = float(s)
+    assert casc == mp_scores
+
 
 def _single_process_scores(workdir):
     """Score the same dataset with the same seed-0 tiny model in THIS
