@@ -261,6 +261,11 @@ def run_score(args, sys_config, exp_config, tracks):
 
 
 def main(argv=None):
+    from rtdsd_tpu.parallel.distributed import maybe_initialize_distributed
+
+    # before ANY jax device use — eval/scoring paths stripe their loaders
+    # by process too (run_train's own call is then a no-op)
+    maybe_initialize_distributed()
     args = parse_args(argv)
     tracks = args.tracks.split(",")
     if args.is_eval and (args.is_score or args.score_all_folder_path):

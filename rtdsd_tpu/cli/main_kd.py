@@ -229,6 +229,9 @@ def run_kd_score(args, sys_config, exp_config, tracks):
 
 
 def main(argv=None):
+    from rtdsd_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()  # before any jax device use
     args = parse_args(argv)
     sys_config, exp_config = load_yaml_config(args.config)
     if args.is_eval:

@@ -88,6 +88,16 @@ def main():
                          "relay reports no bytes_limit, so the guard and "
                          "the HBM-aware extend default are off without "
                          "this; 16 = v5e)")
+    ap.add_argument("--no_auto_provision", action="store_true",
+                    default=False,
+                    help="disable the engine's adaptive rung deepening")
+    ap.add_argument("--provision_after", type=int, default=None,
+                    help="polls of telemetry before the engine may adapt "
+                         "(default: engine's 48); lower it so short bench "
+                         "tick loops reach adapted steady state")
+    ap.add_argument("--esc_batch", type=int, default=None,
+                    help="explicit escalation batch (overrides the "
+                         "1.25*rate*score_batch auto-sizing)")
     ap.add_argument("--calibrate_hbm", action="store_true", default=False,
                     help="one-shot: binary-search the usable device HBM "
                          "by bounded trial allocation, record it to the "
@@ -178,6 +188,10 @@ def main():
             per_dispatch = min(S, args.score_batch or S)
             esc_kwargs["esc_batch"] = max(
                 8, int(np.ceil(per_dispatch * args.cascade * 1.25)))
+        if args.esc_batch is not None and args.cascade is not None:
+            esc_kwargs["esc_batch"] = args.esc_batch
+        prov = {} if args.provision_after is None \
+            else {"provision_after": args.provision_after}
         eng = MultiStreamScorer(screener, sparams, sstats, cfg,
                                 duration=duration, hop=hop, max_streams=S,
                                 transport_dtype=args.transport,
@@ -187,7 +201,9 @@ def main():
                                 extend_rungs=args.extend_rungs,
                                 score_rungs=args.score_rungs,
                                 esc_rungs=args.esc_rungs,
+                                auto_provision=not args.no_auto_provision,
                                 gate_rms_dbfs=args.gate_db,
+                                **prov,
                                 hbm_limit=(None if args.hbm_limit_gb
                                            is None
                                            else int(args.hbm_limit_gb
@@ -238,7 +254,13 @@ def main():
         n_esc = 0
         n_gated = 0
         counts0 = dict(eng.dispatch_counts)
+        counts_mid, mid_ticks = None, 0
         for t in range(args.ticks):
+            if t == args.ticks - args.ticks * 2 // 3:
+                # steady-state window: the last 2/3 of the loop, past any
+                # adaptive-provisioning warmup/deepening transitions
+                counts_mid = dict(eng.dispatch_counts)
+                mid_ticks = args.ticks - t
             t0 = time.perf_counter()
             for i, h in enumerate(handles):
                 eng.push(h, chunk[i])
@@ -280,6 +302,17 @@ def main():
         log(f"S={S}: device {dev_ms:.1f} ms/tick ({detail}) "
             f"{'SUSTAINED' if dev_ms < budget_ms else 'OVER'} on-device "
             f"-> co-located capacity ~{dev_cap} streams")
+        if counts_mid is not None and mid_ticks:
+            per_tick2 = {k: (eng.dispatch_counts[k] - counts_mid.get(k, 0))
+                         / mid_ticks for k in eng.dispatch_counts}
+            dev2 = sum(costs.get(k, 0.0) * per_tick2[k] for k in per_tick2)
+            det2 = " ".join(
+                f"{k}:x{per_tick2[k]:.2f}"
+                for k in dispatch_detail_keys(per_tick2)
+                if per_tick2.get(k))
+            log(f"S={S}: steady device {dev2:.1f} ms/tick over the last "
+                f"{mid_ticks} ticks ({det2}) -> co-located capacity "
+                f"~{int(S * budget_ms / max(dev2, 1e-9))} streams")
         del eng
 
 
