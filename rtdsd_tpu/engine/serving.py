@@ -1243,7 +1243,12 @@ class MultiStreamScorer:
             depth = len(rungs)
             while self._ap_budget > 0 and depth < 4:
                 smallest = rungs[-1][0] if rungs else full
-                if ema >= smallest / 2:
+                # deepen while the NEXT rung (smallest/2) would still fit
+                # the typical demand — a steady demand of exactly half
+                # the current shape is the canonical win (a 50%-silence
+                # provisioning serving 75% silence dispatches exactly
+                # score_batch/2 rows per poll)
+                if ema > smallest / 2:
                     break  # a compiled shape already fits the demand
                 deeper = _shape_ladder(full, depth + 1, fam, n_)
                 if len(deeper) <= len(rungs):
