@@ -80,6 +80,22 @@ def maybe_initialize_distributed(coordinator: Optional[str] = None,
         return jax.process_count() > 1
 
 
+def barrier() -> None:
+    """Align every process (cheap: reuses the rendezvous warmup gather's
+    compiled program and Gloo context, so it does not itself pay a
+    context-init budget). Call before the first execution of a NEW
+    collective program (the first jitted step, a new gather shape):
+    Gloo builds a context per program with a ~30 s peer-connect budget,
+    and a peer skewed by a cold compile misses it (observed r5 — both
+    the 2-process test and the dryrun leg flaked exactly there)."""
+    if jax.process_count() == 1:
+        return
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    multihost_utils.process_allgather(np.zeros(1, np.uint8), tiled=False)
+
+
 def make_global_array(local: Any, sharding) -> jax.Array:
     """Assemble a global batch-sharded array from per-process local rows.
 

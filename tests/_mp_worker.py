@@ -100,12 +100,20 @@ def main() -> None:
         num_workers=1, process_index=jax.process_index(),
         process_count=jax.process_count(), pad_last=True)
 
+    from rtdsd_tpu.parallel.distributed import barrier
+
     step = make_train_step(model, tx, preemph=0.97, donate=False)
     losses = []
     key = jax.random.key(7)
+    compiled = None
     for b in device_prefetch(mk_loader(), size=2, sharding=bsh):
         assert b.waves.shape[0] == 4 * nprocs  # global batch
-        state, metrics = step(state, b.waves, b.labels, key)
+        if compiled is None:
+            # compile apart, execute together: the grad all-reduce's Gloo
+            # context init has a ~30 s peer budget a cold compile can miss
+            compiled = step.lower(state, b.waves, b.labels, key).compile()
+            barrier()
+        state, metrics = compiled(state, b.waves, b.labels, key)
         losses.append(float(metrics["loss"]))
     report["train_losses"] = losses
 
