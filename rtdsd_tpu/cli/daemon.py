@@ -169,7 +169,8 @@ async def _amain(args):
                   f"reloads={daemon.reloads} "
                   f"gated={eng.gated_windows} "
                   f"zero_segs={eng.zero_segments} "
-                  f"dispatches={dict(eng.dispatch_counts)}",
+                  f"dispatches={dict(eng.dispatch_counts)} "
+                  f"provisioning={eng.provisioning()}",
                   file=sys.stderr, flush=True)
 
     stats_task = asyncio.ensure_future(stats())

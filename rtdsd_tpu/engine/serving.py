@@ -1269,6 +1269,24 @@ class MultiStreamScorer:
                   f"pass auto_provision=False for fixed shapes",
                   file=sys.stderr)
 
+    def provisioning(self) -> Dict[str, object]:
+        """Current dispatch-shape provisioning (observability for the
+        daemon stats line and operators): rung row-ladders per family,
+        remaining auto-deepening budget, and the live-row EMAs driving
+        adaptation."""
+        return {
+            "score": [self.score_batch] + [r for r, _ in self._score_rungs],
+            "extend": [self.extend_batch]
+            + [r for r, _ in self._extend_rungs],
+            "escalate": ([self.esc_batch]
+                         + [r for r, _ in self._esc_rungs]
+                         if self._escalate else []),
+            "auto": self._auto_provision and self._subshape_ok,
+            "auto_budget_left": self._ap_budget,
+            "ema": {k: round(v, 1) for k, v in self._ap_ema.items()
+                    if v is not None},
+        }
+
     def poll(self) -> List[WindowScore]:
         """Run at most one ``extend`` (+ one zero-segment const scatter)
         and one ``score`` dispatch; returns the completed window scores.

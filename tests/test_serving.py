@@ -1446,3 +1446,19 @@ def test_hbm_sidecar_engages_extend_uncap(tiny, tmp_path, monkeypatch):
         _json.dump({"bytes": 4 * 2 ** 30, "device_kind": "cpu"}, fh)
     eng = mk()  # sidecar limit known and the tiny config fits: uncap
     assert eng.extend_batch == 8
+
+
+def test_provisioning_observability(tiny):
+    """provisioning() reports the live shape ladders, adaptation state,
+    and EMAs (the daemon stats line prints it)."""
+    model, params, stats, cfg, duration = tiny
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            hop=duration // 2, max_streams=8,
+                            score_batch=8, extend_rungs=2, score_rungs=1)
+    p = eng.provisioning()
+    assert p["score"] == [8, 4]
+    assert p["extend"][0] == eng.extend_batch
+    assert len(p["extend"]) == 1 + len(eng._extend_rungs)
+    assert p["escalate"] == []  # no cascade configured
+    assert p["auto"] is True and p["auto_budget_left"] == 6
+    assert p["ema"] == {}  # nothing dispatched yet
