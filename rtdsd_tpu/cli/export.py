@@ -155,6 +155,7 @@ def export_serving(module, variables, cfg, *, duration: int,
                    escalate=None, escalate_band: float = 2.0,
                    escalate_center: float = 0.0,
                    esc_batch: Optional[int] = None,
+                   esc_rate: Optional[float] = None,
                    platforms: Sequence[str] = ("cpu", "tpu")):
     """Export the multi-stream serving engine's device programs.
 
@@ -189,7 +190,7 @@ def export_serving(module, variables, cfg, *, duration: int,
                             score_batch=score_batch,
                             escalate=escalate, escalate_band=escalate_band,
                             escalate_center=escalate_center,
-                            esc_batch=esc_batch,
+                            esc_batch=esc_batch, esc_rate=esc_rate,
                             transport_dtype=transport_dtype,
                             hbm_limit=0)  # guard runs on the SERVING host
 
@@ -642,8 +643,11 @@ def main(argv=None):
             if state_s.batch_stats:
                 mvars["batch_stats"] = state_s.batch_stats
             model_name = f"{spec_s.name} -> {spec.name} cascade"
-        band, center = args.cascade_band, args.cascade_center
+        band, center, esc_rate = args.cascade_band, args.cascade_center, \
+            None
         if args.cascade_calibration:
+            import math
+
             from rtdsd_tpu.utils.metrics import load_cascade_calibration
 
             cal = load_cascade_calibration(args.cascade_calibration)
@@ -651,13 +655,19 @@ def main(argv=None):
                 band = float(cal["band"])
             if center is None:
                 center = float(cal["center"])
+            rate = cal.get("escalation_rate")
+            if rate is not None and math.isfinite(float(rate)):
+                esc_rate = float(rate)  # sizes the baked esc chunk
             print(f"baking cascade band {band} around {center} from "
-                  f"{args.cascade_calibration}")
+                  f"{args.cascade_calibration}"
+                  + (f" (esc chunk sized for {esc_rate * 100:.1f}% "
+                     f"escalation)" if esc_rate is not None else ""))
         ext_exp, score_exp, esc_exp, meta = export_serving(
             module, mvars, module.w2v_cfg, duration=duration, hop=hop,
             max_streams=args.max_streams,
             extend_batch=args.extend_batch, score_batch=args.score_batch,
-            esc_batch=args.esc_batch, transport_dtype=args.transport,
+            esc_batch=args.esc_batch, esc_rate=esc_rate,
+            transport_dtype=args.transport,
             escalate=escalate,
             escalate_band=2.0 if band is None else band,
             escalate_center=0.0 if center is None else center,

@@ -20,6 +20,7 @@ clock, so the latency numbers are true end-to-end serving latencies.
 """
 
 import argparse
+import math
 import sys
 import time
 
@@ -114,6 +115,13 @@ def add_engine_args(p):
                         "HBM escape hatch for large stream counts; each tick "
                         "then needs ceil(due/score_batch) score dispatches, "
                         "trading tick latency for memory headroom")
+    p.add_argument("--esc_batch", type=int, default=None,
+                   help="cascade escalation chunk rows (default: sized "
+                        "from the calibration sidecar's measured dev "
+                        "escalation rate, ~1.25 x rate x score_batch — "
+                        "esc cost is ~linear per row, so a chunk much "
+                        "wider than the in-band arrival rate pays real "
+                        "padding time; score_batch/4 without a sidecar)")
     p.add_argument("--extend_batch", type=int, default=None,
                    help="cap the conv-extend batch (default: full width "
                         "when the pre-flight HBM estimate fits, else "
@@ -190,6 +198,7 @@ def build_engine(args, n_streams: int):
     """Construct a warmed :class:`MultiStreamScorer` from the shared
     engine flags (``add_engine_args``); used by this CLI and the network
     daemon (cli/daemon.py). Returns ``(engine, sample_rate_hz)``."""
+    esc_rate = None  # sidecar-measured dev escalation rate (see below)
     if getattr(args, "cascade_calibration", None):
         from rtdsd_tpu.utils.metrics import load_cascade_calibration
 
@@ -199,6 +208,14 @@ def build_engine(args, n_streams: int):
             args.cascade_band = float(cal["band"])
         if args.cascade_center is None:
             args.cascade_center = float(cal["center"])
+        rate = cal.get("escalation_rate")
+        if rate is not None and math.isfinite(float(rate)):
+            # the measured in-band fraction sizes the escalation chunk
+            # (engine esc_rate; explicit --esc_batch wins inside the
+            # engine) — the last DEPLOYMENT.md hand rule folded into the
+            # sweep -> sidecar -> serve flow
+            esc_rate = float(rate)
+        args.cascade_esc_rate = esc_rate  # observability (daemon stats)
         print(f"[serve] cascade band {args.cascade_band} around "
               f"{args.cascade_center} from {args.cascade_calibration} "
               f"(dev escalation "
@@ -214,6 +231,7 @@ def build_engine(args, n_streams: int):
             ("--window_sec", args.window_sec), ("--hop_sec", args.hop_sec),
             ("--score_batch", args.score_batch),
             ("--extend_batch", args.extend_batch),
+            ("--esc_batch", args.esc_batch),
             ("--cascade_ckpt", args.cascade_ckpt),
             ("--transport", args.transport)) if val is not None]
         if args.w8 or args.w8a8 or args.cascade_w8a8 or args.auto_batch \
@@ -282,6 +300,7 @@ def build_engine(args, n_streams: int):
                           escalate_center=(0.0 if args.cascade_center
                                            is None
                                            else args.cascade_center),
+                          esc_batch=args.esc_batch, esc_rate=esc_rate,
                           esc_gather=args.esc_gather)
         spec, state, cfg = spec_s, state_s, spec_s.module.w2v_cfg
 

@@ -319,6 +319,7 @@ class MultiStreamScorer:
                  escalate_band: float = 2.0,
                  escalate_center: float = 0.0,
                  esc_batch: Optional[int] = None,
+                 esc_rate: Optional[float] = None,
                  esc_gather: str = "slice",
                  extend_fastpath: bool = True,
                  extend_rungs: int = 2,
@@ -466,9 +467,30 @@ class MultiStreamScorer:
         self.params = params
         self.batch_stats = batch_stats
         self._channels = cfg.conv_layers[-1][0]
-        self.esc_batch = -(-(esc_batch or max(1, (score_batch
-                                                  or max_streams) // 4))
-                           // n_) * n_
+        # escalation chunk sizing: explicit esc_batch wins; else size from
+        # the measured dev-set escalation rate when a cascade calibration
+        # provides one (the PERFORMANCE.md operational rule — esc cost is
+        # ~linear per row with no fixed floor, so ~1.25 x rate x
+        # score_batch covers per-tick in-band arrivals with headroom,
+        # and a half-padded fixed-shape chunk pays real device time);
+        # else the historical score_batch/4 (a 20% rate with the same
+        # 1.25x headroom).
+        if esc_rate is not None and not 0.0 <= esc_rate <= 1.0:
+            raise ValueError(
+                f"esc_rate is the expected in-band (escalated) fraction "
+                f"of scored windows and must be in [0, 1], got {esc_rate}")
+        self._esc_rate = esc_rate
+
+        def esc_size(sb: int) -> int:
+            if esc_batch is not None:
+                return -(-esc_batch // n_) * n_
+            frac = 1.25 * esc_rate if esc_rate is not None else 0.25
+            # never wider than the score batch that feeds it (a tick can
+            # not put more windows in band than it scored)
+            want = min(sb, max(1, int(np.ceil(frac * sb))))
+            return -(-want // n_) * n_
+
+        self.esc_batch = esc_size(score_batch or max_streams)
 
         # ---- pre-flight HBM estimate (BEFORE any device allocation):
         # a misconfigured engine (too many streams / batch too large) must
@@ -488,7 +510,13 @@ class MultiStreamScorer:
                 sb = max(n_, -(-(self.score_batch // 2) // n_) * n_)
                 self.score_batch = sb
                 self.extend_batch = min(self.extend_batch, sb)
-                self.esc_batch = max(n_, -(-max(1, sb // 4) // n_) * n_)
+                # esc shrinks with the capped score batch (rate-aware);
+                # an explicit esc_batch is still capped to the shrunken
+                # rate size — keeping it full-width would defeat the fit
+                frac = (1.25 * esc_rate if esc_rate is not None else 0.25)
+                self.esc_batch = min(
+                    self.esc_batch,
+                    -(-max(1, int(np.ceil(frac * sb))) // n_) * n_)
                 self.hbm_estimate = self._estimate_hbm(model, cfg, params,
                                                        escalate)
             auto_shrank = self.hbm_estimate <= limit

@@ -511,6 +511,9 @@ def test_cascade_sweep_sidecar_to_serve_flow(tmp_path, capsys):
         serve.build_engine(args, 2)
     assert args.cascade_band == pytest.approx(side2["band"])
     assert args.cascade_center == side2["center"]
+    # the measured dev escalation rate rides along to size the esc chunk
+    # (engine esc_rate, test_serving.py::test_esc_rate_sizes_esc_batch)
+    assert args.cascade_esc_rate == pytest.approx(side2["escalation_rate"])
 
     # explicit flags outrank the sidecar
     args = serve.parse_args(["--cascade_calibration", str(out_json),

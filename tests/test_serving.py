@@ -1462,3 +1462,54 @@ def test_provisioning_observability(tiny):
     assert p["escalate"] == []  # no cascade configured
     assert p["auto"] is True and p["auto_budget_left"] == 6
     assert p["ema"] == {}  # nothing dispatched yet
+
+
+def test_esc_rate_sizes_esc_batch(tiny):
+    """esc_rate (the calibration sidecar's measured dev escalation rate)
+    sizes the escalation chunk as ~1.25 x rate x score_batch — the
+    PERFORMANCE.md operational rule ("size esc_batch to the in-band
+    rate"; esc cost is ~linear per row, padding pays real time) folded
+    into the sweep -> sidecar -> serve flow. Explicit esc_batch wins;
+    the rate never widens the chunk past the score batch that feeds it."""
+    model, params, stats, cfg, duration = tiny
+
+    def mk(**kw):
+        return MultiStreamScorer(model, params, stats, cfg,
+                                 duration=duration, max_streams=32,
+                                 escalate=(model, params, stats),
+                                 hbm_limit=0, **kw)
+
+    assert mk().esc_batch == 8                  # historical score/4
+    assert mk(esc_rate=0.1).esc_batch == 4      # ceil(1.25*0.1*32)
+    assert mk(esc_rate=0.5).esc_batch == 20     # ceil(1.25*0.5*32)
+    assert mk(esc_rate=0.0).esc_batch == 1      # one-row floor
+    assert mk(esc_rate=1.0).esc_batch == 32     # capped at score_batch
+    assert mk(esc_rate=0.1, esc_batch=16).esc_batch == 16  # explicit wins
+    # rate follows the capped score batch, not max_streams
+    assert mk(esc_rate=0.5, score_batch=16).esc_batch == 10
+    with pytest.raises(ValueError, match="esc_rate"):
+        mk(esc_rate=1.5)
+
+
+def test_esc_rate_scales_through_auto_batch_shrink(tiny):
+    """Under an auto_batch HBM shrink the escalation chunk follows the
+    CAPPED score batch at the calibrated rate (sizing esc from the
+    pre-shrink width would re-inflate the footprint the shrink just
+    bought)."""
+    model, params, stats, cfg, duration = tiny
+    full = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                             max_streams=8, escalate=(model, params, stats),
+                             hbm_limit=0)
+    floor = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                              max_streams=8, score_batch=1, extend_batch=1,
+                              esc_batch=1, escalate=(model, params, stats),
+                              hbm_limit=0)
+    limit = (floor.hbm_estimate + full.hbm_estimate) // 2
+    eng = MultiStreamScorer(model, params, stats, cfg, duration=duration,
+                            max_streams=8, escalate=(model, params, stats),
+                            esc_rate=0.5, auto_batch=True, hbm_limit=limit)
+    assert eng.score_batch < 8  # the shrink engaged
+    import math as _math
+
+    assert eng.esc_batch <= max(1, _math.ceil(1.25 * 0.5
+                                              * eng.score_batch))
